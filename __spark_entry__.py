@@ -3,8 +3,7 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
@@ -13,26 +12,38 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dbt_maxcompute_spark.session import apply_session_defaults
+from dbt_maxcompute_spark.suite import relational
+
+_SUITES = [relational]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    apply_session_defaults(spark)
+    return relational.q_flagship_customers(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for suite in _SUITES:
+        overlap = out.keys() & suite.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names across suites: {overlap}")
+        out.update(suite.QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_session_defaults(spark)
+            return fn(spark, sf_dir)
+
+        return inner
+
+    return {name: _wrap(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for suite in _SUITES:
+        out.update(getattr(suite, "ORACLES", {}))
+    return out

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing uses the noop sink so the full plan executes distributed
+(no driver-side collect skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _consume(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from dbt_maxcompute_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = entrymod.queries()
+
+    # warm up the JVM / parquet footer caches with a trivial full pass
+    try:
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    except Exception as exc:
+        print(f"# bench warmup failed ({SF_DIR}): {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(qs.items()):
+        t0 = time.perf_counter()
+        try:
+            _consume(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching; report the failure
+            timings[name] = -1.0
+            print(f"# bench FAILED {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

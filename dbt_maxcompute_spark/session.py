@@ -1,0 +1,70 @@
+"""SparkSession factory with the engine's operative defaults.
+
+Mirrors the session-level guarantees of the reference adapter
+(aliyun/dbt-maxcompute):
+
+- UTC session timezone (reference: ``credentials.py:112-116`` pins
+  ``options.local_timezone`` to UTC by default).
+- Dynamic partition overwrite (reference: ``insert_overwrite.sql:65-81``
+  dynamic mode replaces only partitions present in the source).
+- ODPS2 type semantics (decimal etc.) are Spark defaults already
+  (reference hints at ``context.py:3-13`` have no Spark equivalent or
+  are default-on: full scans, cartesian products, schema evolution).
+- AQE on: the runtime re-planning layer replacing the reference's
+  MaxQA interactive routing (``wrapper.py:78-104``).
+
+Scale posture: shuffle partitions default to the local core count for
+tests; on a real cluster the caller overrides via ``extra_conf`` (e.g.
+2-3x total executor cores) or relies on AQE partition coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "dbt_maxcompute_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session with operative defaults."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", DEFAULT_CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an externally-created session.
+
+    The driver hands us its own SparkSession; static confs (memory,
+    master) can't change post-start, but the semantic ones can.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # static in some deployments; AQE default-on in Spark 3.2+
+    return spark
