@@ -1,0 +1,14 @@
+"""Function suite vs DuckDB oracle at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_maxcompute_spark.suite import functions_suite
+from tests.oracle import compare_to_oracle
+
+
+@pytest.mark.parametrize("name", sorted(functions_suite.QUERIES))
+def test_functions_query_matches_oracle(spark, sf_dir, name):
+    df = functions_suite.QUERIES[name](spark, sf_dir)
+    compare_to_oracle(df, functions_suite.ORACLES[name], sf_dir)
