@@ -1,0 +1,450 @@
+"""Engine catalog: named tables/views over a parquet warehouse.
+
+Re-expresses the reference adapter's relation model
+(`/root/reference/dbt/adapters/maxcompute/relation.py:65-81`,
+`impl.py:58-63` RELATION_TYPES) Spark-first:
+
+- **table**: a hive-partitioned parquet directory + a metadata sidecar
+  (partition spec, auto-partition derived column, primary keys,
+  transactional flag, lifecycle, tblproperties, comments).
+- **view**: stored SELECT text, resolved lazily against the catalog
+  (reference macros/relations/view/create.sql:1-14).
+- **materialized_view**: stored defining query + a materialized table;
+  REBUILD re-runs the insert-overwrite, config change decides
+  rebuild-vs-replace (reference impl.py:112-158).
+
+Namespace is `schema.table` (the reference's 3-level
+project.schema.table collapses: a Spark deployment scopes the project
+at the session/warehouse level).
+
+Scale posture: metadata is O(tables), data paths are parquet dirs that
+Spark reads with full predicate pushdown + partition pruning; nothing
+here materializes data on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.functions.scalar import trunc_time
+
+META_FILE = "_engine_meta.json"
+
+_GRANULARITIES = ("hour", "day", "month", "year")
+
+
+@dataclass
+class AutoPartition:
+    """Auto-partitioned table: partition value derived from a data
+    column via trunc_time (reference relation_configs/_partition.py:9-37,
+    macros/relations/partition.sql:4-9). The generated column must NOT
+    appear in INSERT column lists (reference impl.py:206-214)."""
+
+    source_column: str
+    granularity: str = "day"
+    generated_column: str = "_pt"
+
+    def derive(self, df: DataFrame) -> DataFrame:
+        if self.granularity not in _GRANULARITIES:
+            raise ValueError(f"auto_partition: bad granularity {self.granularity!r}")
+        return df.withColumn(
+            self.generated_column,
+            trunc_time(F.col(self.source_column), self.granularity).cast("string"),
+        )
+
+
+@dataclass
+class TableMeta:
+    name: str
+    table_type: str = "table"  # table | view | materialized_view | external
+    partition_by: list[str] = field(default_factory=list)
+    auto_partition: dict[str, Any] | None = None
+    primary_keys: list[str] = field(default_factory=list)
+    transactional: bool = False
+    bucket_num: int = 16
+    lifecycle: int | None = None  # days; TTL metadata (reference create.sql:57-61)
+    tblproperties: dict[str, str] = field(default_factory=dict)
+    comment: str | None = None
+    column_comments: dict[str, str] = field(default_factory=dict)
+    view_sql: str | None = None  # views + MV defining query
+    mv_config: dict[str, Any] | None = None  # lifecycle/build_deferred/... for MVs
+    schema_json: str | None = None  # authoritative schema (survives empty tables)
+    created_at: float = 0.0
+    grants: dict[str, list[str]] = field(default_factory=dict)  # recorded, no-op executor
+
+    @property
+    def auto(self) -> AutoPartition | None:
+        return AutoPartition(**self.auto_partition) if self.auto_partition else None
+
+    def all_partition_cols(self) -> list[str]:
+        cols = list(self.partition_by)
+        if self.auto_partition:
+            cols.append(self.auto.generated_column)
+        return cols
+
+
+def _has_data_files(path: str) -> bool:
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                return True
+    return False
+
+
+def _valid_ident(name: str) -> None:
+    for part in name.split("."):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", part):
+            raise ValueError(f"invalid identifier: {name!r}")
+
+
+class EngineCatalog:
+    """Warehouse-directory catalog. One instance per warehouse path."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str, default_schema: str = "default"):
+        self.spark = spark
+        self.warehouse = warehouse_dir
+        self.default_schema = default_schema
+        os.makedirs(os.path.join(warehouse_dir, default_schema), exist_ok=True)
+
+    # -- namespace ----------------------------------------------------------
+
+    def _split(self, name: str) -> tuple[str, str]:
+        _valid_ident(name)
+        parts = name.split(".")
+        if len(parts) == 1:
+            return self.default_schema, parts[0]
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        # project.schema.table → collapse project (session-scoped)
+        return parts[-2], parts[-1]
+
+    def table_dir(self, name: str) -> str:
+        schema, table = self._split(name)
+        return os.path.join(self.warehouse, schema, table)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.table_dir(name), META_FILE)
+
+    # -- schema (database) ops — reference impl.py:217-248 -------------------
+
+    def create_schema(self, schema: str) -> None:
+        _valid_ident(schema)
+        os.makedirs(os.path.join(self.warehouse, schema), exist_ok=True)
+
+    def drop_schema(self, schema: str, cascade: bool = True) -> None:
+        p = os.path.join(self.warehouse, schema)
+        if not os.path.exists(p):
+            return
+        if not cascade and os.listdir(p):
+            raise ValueError(f"schema {schema} not empty (cascade=False)")
+        shutil.rmtree(p)
+
+    def list_schemas(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    # -- metadata -------------------------------------------------------------
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._meta_path(name))
+
+    def meta(self, name: str) -> TableMeta:
+        with open(self._meta_path(name)) as f:
+            return TableMeta(**json.load(f))
+
+    def _write_meta(self, name: str, meta: TableMeta) -> None:
+        os.makedirs(self.table_dir(name), exist_ok=True)
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(meta), f, indent=1)
+        os.replace(tmp, self._meta_path(name))
+
+    def list_tables(self, schema: str | None = None, pattern: str | None = None) -> list[str]:
+        """Pattern uses SQL LIKE (%/_), translated to regex exactly as the
+        reference does (impl.py:671-724)."""
+        schema = schema or self.default_schema
+        base = os.path.join(self.warehouse, schema)
+        if not os.path.isdir(base):
+            return []
+        names = sorted(
+            d for d in os.listdir(base)
+            if os.path.exists(os.path.join(base, d, META_FILE))
+        )
+        if pattern:
+            # SQL LIKE -> regex, %→.* and _→. (reference impl.py:671-724)
+            rx = re.compile(
+                "^" + "".join(".*" if c == "%" else "." if c == "_" else re.escape(c) for c in pattern) + "$",
+                re.IGNORECASE,
+            )
+            names = [n for n in names if rx.match(n)]
+        return names
+
+    # -- create / write -------------------------------------------------------
+
+    def create_table(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        auto_partition: dict[str, Any] | None = None,
+        primary_keys: list[str] | None = None,
+        transactional: bool = False,
+        bucket_num: int = 16,
+        lifecycle: int | None = None,
+        tblproperties: dict[str, str] | None = None,
+        comment: str | None = None,
+        mode: str = "error",
+    ) -> TableMeta:
+        """CREATE TABLE + INSERT (reference table/create.sql:13-76 is a
+        two-statement create-then-insert; here one partitioned write).
+
+        transactional=True records the delta-table contract
+        (primary-key upsert target, reference create.sql:2-4,44-49);
+        the DML planner uses primary_keys for its merge rewrite.
+        """
+        if self.exists(name) and mode == "error":
+            raise ValueError(f"table {name} already exists")
+        meta = TableMeta(
+            name=name,
+            partition_by=list(partition_by or []),
+            auto_partition=auto_partition,
+            primary_keys=list(primary_keys or []),
+            transactional=transactional,
+            bucket_num=bucket_num,
+            lifecycle=lifecycle,
+            tblproperties=dict(tblproperties or {}),
+            comment=comment,
+            created_at=time.time(),
+        )
+        if transactional and not meta.primary_keys:
+            raise ValueError("transactional table requires primary_keys")
+        out = df
+        if meta.auto_partition:
+            out = meta.auto.derive(out)
+        pt_cols = meta.all_partition_cols()
+        missing = [c for c in pt_cols if c not in out.columns]
+        if missing:
+            raise ValueError(f"partition columns {missing} not in dataframe")
+        path = self.table_dir(name)
+        if self.exists(name) and mode == "overwrite":
+            self.drop(name)
+        writer = out.write.mode("overwrite")
+        if pt_cols:
+            writer = writer.partitionBy(*pt_cols)
+        writer.parquet(path)
+        meta.schema_json = out.schema.json()
+        self._write_meta(name, meta)
+        return meta
+
+    def create_view(self, name: str, sql: str, comment: str | None = None) -> TableMeta:
+        """CREATE OR REPLACE VIEW (reference view/create.sql:1-14)."""
+        meta = TableMeta(
+            name=name, table_type="view", view_sql=sql, comment=comment,
+            created_at=time.time(),
+        )
+        self._write_meta(name, meta)
+        return meta
+
+    # -- read ------------------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        meta = self.meta(name)
+        if meta.table_type == "view":
+            return self.sql(meta.view_sql)
+        reader = self.spark.read
+        if meta.schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(meta.schema_json))
+            if not _has_data_files(self.table_dir(name)):
+                # empty table: no parquet files to scan — empty frame
+                return self.spark.createDataFrame([], schema)
+            reader = reader.schema(schema)
+        return reader.parquet(self.table_dir(name))
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL with every catalog table registered (schema-qualified
+        names become schema_table temp views; bare names too for the
+        default schema)."""
+        for schema in self.list_schemas():
+            for t in self.list_tables(schema):
+                full = f"{schema}.{t}"
+                m = self.meta(full)
+                if m.table_type == "view":
+                    continue  # views resolve recursively via their SQL
+                df = self.spark.read.parquet(self.table_dir(full))
+                if schema == self.default_schema:
+                    df.createOrReplaceTempView(t)
+                df.createOrReplaceTempView(f"{schema}_{t}")
+        return self.spark.sql(query)
+
+    def columns(self, name: str) -> list[tuple[str, str]]:
+        """Column introspection: data columns first, then non-auto
+        partition columns, auto-generated partition column EXCLUDED —
+        load-bearing for merge correctness (reference impl.py:197-215,
+        regression get_columns_partition_test.py:33-80)."""
+        meta = self.meta(name)
+        df = self.read(name)
+        hidden = {meta.auto.generated_column} if meta.auto_partition else set()
+        pt = [c for c in meta.partition_by if c not in hidden]
+        data = [c for c in df.schema.fields if c.name not in set(pt) | hidden]
+        ordered = [(f.name, f.dataType.simpleString()) for f in data]
+        for c in pt:
+            ordered.append((c, dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[c]))
+        return ordered
+
+    def data_columns(self, name: str) -> list[str]:
+        return [c for c, _ in self.columns(name)]
+
+    # -- DDL: drop / rename / truncate / clone / comments ----------------------
+
+    def drop(self, name: str) -> None:
+        p = self.table_dir(name)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    def rename(self, src: str, dst: str) -> None:
+        """ALTER TABLE RENAME (reference adapters.sql:14-26; MV rename is
+        a compile error — parity kept)."""
+        meta = self.meta(src)
+        if meta.table_type == "materialized_view":
+            raise ValueError("materialized views cannot be renamed (reference parity)")
+        if self.exists(dst):
+            raise ValueError(f"rename target {dst} exists")
+        meta.name = dst
+        os.makedirs(os.path.dirname(self.table_dir(dst)), exist_ok=True)
+        os.replace(self.table_dir(src), self.table_dir(dst))
+        self._write_meta(dst, meta)
+
+    def truncate(self, name: str) -> None:
+        """TRUNCATE TABLE — tables only (reference adapters.sql:6-12)."""
+        meta = self.meta(name)
+        if meta.table_type != "table":
+            raise ValueError("truncate supports tables only")
+        empty = self.read(name).limit(0)
+        # preserve schema: overwrite with an empty frame
+        pt = meta.all_partition_cols()
+        writer = empty.write.mode("overwrite")
+        if pt:
+            writer = writer.partitionBy(*pt)
+        self.drop_data_keep_meta(name)
+        writer.parquet(self.table_dir(name))
+        self._write_meta(name, meta)
+
+    def drop_data_keep_meta(self, name: str) -> None:
+        meta = self.meta(name)
+        shutil.rmtree(self.table_dir(name))
+        os.makedirs(self.table_dir(name), exist_ok=True)
+        self._write_meta(name, meta)
+
+    def clone(self, src: str, dst: str) -> None:
+        """CLONE TABLE src TO dst, drop-if-exists first (reference
+        macros/materializations/clone.sql:6-11). Vanilla parquet has no
+        zero-copy; this is a file-level copy (cheaper than a re-query:
+        no decode/encode)."""
+        if self.exists(dst):
+            self.drop(dst)
+        meta = self.meta(src)
+        os.makedirs(os.path.dirname(self.table_dir(dst)), exist_ok=True)
+        shutil.copytree(self.table_dir(src), self.table_dir(dst))
+        meta.name = dst
+        self._write_meta(dst, meta)
+
+    def set_comment(self, name: str, comment: str) -> None:
+        """Idempotent-skip comment update (reference impl.py:629-669)."""
+        meta = self.meta(name)
+        if meta.comment == comment:
+            return
+        meta.comment = comment
+        self._write_meta(name, meta)
+
+    def set_column_comment(self, name: str, column: str, comment: str) -> None:
+        meta = self.meta(name)
+        if meta.column_comments.get(column) == comment:
+            return
+        meta.column_comments[column] = comment
+        self._write_meta(name, meta)
+
+    def apply_grants(self, name: str, grants: dict[str, list[str]]) -> dict[str, Any]:
+        """Grant diffing (reference apply_grants.sql:36-63) — recorded as
+        metadata; single-user Spark has no privilege executor."""
+        meta = self.meta(name)
+        current = meta.grants
+        to_grant = {p: sorted(set(grants.get(p, [])) - set(current.get(p, []))) for p in grants}
+        to_revoke = {
+            p: sorted(set(current.get(p, [])) - set(grants.get(p, [])))
+            for p in current
+        }
+        meta.grants = {p: sorted(v) for p, v in grants.items() if v}
+        self._write_meta(name, meta)
+        return {"granted": {k: v for k, v in to_grant.items() if v},
+                "revoked": {k: v for k, v in to_revoke.items() if v}}
+
+    # -- schema evolution (reference macros/adapters/columns.sql) --------------
+
+    def add_remove_columns(
+        self, name: str, add: dict[str, str] | None = None, remove: list[str] | None = None
+    ) -> None:
+        """ALTER TABLE ADD/DROP COLUMNS via a single rewrite pass
+        (reference columns.sql:6-25). Parquet has no in-place DDL; one
+        scan+write applies both."""
+        meta = self.meta(name)
+        df = self.spark.read.parquet(self.table_dir(name))
+        for col, typ in (add or {}).items():
+            df = df.withColumn(col, F.lit(None).cast(typ))
+        for col in remove or []:
+            if col in meta.all_partition_cols():
+                raise ValueError(f"cannot drop partition column {col}")
+            df = df.drop(col)
+        self._rewrite(name, df, meta)
+
+    def alter_column_type(self, name: str, column: str, new_type: str) -> None:
+        """CHANGE COLUMN type (reference columns.sql:1-3); string
+        expansion always allowed (column.py:78-80)."""
+        meta = self.meta(name)
+        df = self.spark.read.parquet(self.table_dir(name))
+        df = df.withColumn(column, F.col(column).cast(new_type))
+        self._rewrite(name, df, meta)
+
+    def _rewrite(self, name: str, df: DataFrame, meta: TableMeta) -> None:
+        """Full rewrite through a staging dir (cannot read+overwrite the
+        same parquet path in one job)."""
+        staging = self.table_dir(name) + "__staging"
+        pt = meta.all_partition_cols()
+        w = df.write.mode("overwrite")
+        if pt:
+            w = w.partitionBy(*pt)
+        w.parquet(staging)
+        shutil.rmtree(self.table_dir(name))
+        os.replace(staging, self.table_dir(name))
+        meta.schema_json = df.schema.json()
+        self._write_meta(name, meta)
+
+    # -- freshness / validation -------------------------------------------------
+
+    def freshness(self, name: str) -> float:
+        """Age in seconds since last data modification (reference
+        impl.py:447-462 last_data_modified_time)."""
+        newest = 0.0
+        for root, _dirs, files in os.walk(self.table_dir(name)):
+            for f in files:
+                if f == META_FILE:
+                    continue
+                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+        return time.time() - newest if newest else float("inf")
+
+    def validate_sql(self, query: str) -> str:
+        """EXPLAIN-based validation (reference impl.py:430-433) — analysis
+        only, no execution."""
+        return self.sql(query)._jdf.queryExecution().analyzed().toString()

@@ -1,0 +1,126 @@
+"""Materialized view: managed table + stored defining query.
+
+Spark has no native MV; the reference's MV surface
+(`/root/reference/dbt/adapters/maxcompute/relation_configs/
+_materialized_view.py:15-128`, `impl.py:112-158`) maps to:
+
+- CREATE: run the defining query, store it + the MV config
+  (lifecycle, build_deferred, disable_rewrite, partitioning,
+  tblproperties) in table metadata. `build_deferred=True` creates
+  the metadata with an empty table (reference `_materialized_view.py:21`).
+- REFRESH (`ALTER MATERIALIZED VIEW ... REBUILD`,
+  macros/relations/materialized_view/refresh.sql:2): re-run the
+  stored query, INSERT OVERWRITE the table.
+- on config change: diff stored vs new config — changes to the
+  defining query or partitioning require DROP+CREATE (replace);
+  anything else is satisfiable by REBUILD/metadata update
+  (reference impl.py:112-158 returns RelationConfigChangeAction).
+
+`disable_rewrite` is recorded for parity; automatic query rewrite
+over MVs is a server-side MaxCompute feature explicitly out of scope
+(SURVEY.md §7 tail note).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from dbt_maxcompute_spark.catalog import EngineCatalog
+
+
+def create_materialized_view(
+    catalog: EngineCatalog,
+    name: str,
+    defining_sql: str,
+    partition_by: list[str] | None = None,
+    lifecycle: int | None = None,
+    build_deferred: bool = False,
+    disable_rewrite: bool = False,
+    tblproperties: dict[str, str] | None = None,
+    columns: dict[str, str] | None = None,
+) -> None:
+    df = catalog.sql(defining_sql)
+    if build_deferred:
+        df = df.limit(0)
+    meta = catalog.create_table(
+        name,
+        df,
+        partition_by=partition_by,
+        lifecycle=lifecycle,
+        tblproperties=tblproperties,
+        mode="overwrite",
+    )
+    meta.table_type = "materialized_view"
+    meta.view_sql = defining_sql
+    meta.mv_config = {
+        "partition_by": list(partition_by or []),
+        "lifecycle": lifecycle,
+        "build_deferred": build_deferred,
+        "disable_rewrite": disable_rewrite,
+        "tblproperties": dict(tblproperties or {}),
+        "columns": dict(columns or {}),
+        "built_at": time.time(),
+    }
+    catalog._write_meta(name, meta)  # noqa: SLF001
+
+
+def refresh_materialized_view(catalog: EngineCatalog, name: str) -> None:
+    """REBUILD: re-run the stored query, overwrite in place — the table
+    identity (created_at) is preserved, mirroring the reference's
+    creation_time-witnessed REBUILD (test_mv_configuration_changes.py)."""
+    meta = catalog.meta(name)
+    if meta.table_type != "materialized_view":
+        raise ValueError(f"{name} is not a materialized view")
+    df = catalog.sql(meta.view_sql)
+    from dbt_maxcompute_spark.plans.dml import _stage_and_swap
+
+    _stage_and_swap(catalog, name, meta, df, None)
+    meta.mv_config["built_at"] = time.time()
+    catalog._write_meta(name, meta)  # noqa: SLF001
+
+
+def diff_config(old: dict[str, Any], new: dict[str, Any], old_sql: str, new_sql: str) -> str:
+    """Returns 'rebuild' | 'replace' | 'noop' (reference impl.py:112-158)."""
+    if old_sql.strip() != new_sql.strip():
+        return "replace"
+    if old.get("partition_by") != new.get("partition_by"):
+        return "replace"
+    for key in ("lifecycle", "disable_rewrite", "tblproperties", "columns"):
+        if old.get(key) != new.get(key):
+            return "rebuild"
+    return "noop"
+
+
+def apply_materialized_view(
+    catalog: EngineCatalog,
+    name: str,
+    defining_sql: str,
+    **config: Any,
+) -> str:
+    """Idempotent MV application: create if missing, otherwise diff the
+    stored config and REBUILD / DROP+CREATE / no-op accordingly.
+    Returns the action taken."""
+    if not catalog.exists(name):
+        create_materialized_view(catalog, name, defining_sql, **config)
+        return "create"
+    meta = catalog.meta(name)
+    new_cfg = {
+        "partition_by": list(config.get("partition_by") or []),
+        "lifecycle": config.get("lifecycle"),
+        "build_deferred": config.get("build_deferred", False),
+        "disable_rewrite": config.get("disable_rewrite", False),
+        "tblproperties": dict(config.get("tblproperties") or {}),
+        "columns": dict(config.get("columns") or {}),
+    }
+    action = diff_config(meta.mv_config or {}, new_cfg, meta.view_sql or "", defining_sql)
+    if action == "replace":
+        catalog.drop(name)
+        create_materialized_view(catalog, name, defining_sql, **config)
+    elif action == "rebuild":
+        meta.mv_config.update(new_cfg)
+        meta.lifecycle = new_cfg["lifecycle"]
+        meta.tblproperties = new_cfg["tblproperties"]
+        catalog._write_meta(name, meta)  # noqa: SLF001
+        refresh_materialized_view(catalog, name)
+    return action

@@ -1,0 +1,392 @@
+"""DML planner: row-level DML as partition-pruned parquet rewrites.
+
+The reference generates MERGE / DELETE+INSERT / INSERT [OVERWRITE]
+against a warehouse that supports row-level DML on transactional
+tables (`/root/reference/dbt/include/maxcompute/macros/materializations/
+incremental/incremental_strategy/merge.sql`, `insert_overwrite.sql`).
+Vanilla-parquet Spark has none of that, so each statement becomes a
+declarative rewrite (SURVEY.md §4.3):
+
+- **merge**   = one full-outer join on the unique key producing the
+  post-merge row set, written back with partition pruning.
+- **delete+insert** = left-anti join (drop matched keys) ∪ source.
+- **append**  = plain partitioned append.
+- **insert_overwrite** = dynamic partition overwrite (only partitions
+  present in the source are replaced), or static (user-listed
+  partition values deleted + re-inserted).
+- **microbatch** = a batch loop of dynamic overwrites over
+  event-time slices (exact reference semantics, microbatch.sql:20-28).
+
+Scale design:
+- Partitioned targets rewrite ONLY affected partitions. The affected
+  set comes from `source.select(pt).distinct()` — a metadata-sized
+  collect (same cardinality as the reference's static partition list).
+- Unpartitioned merges rewrite the whole table (unavoidable without a
+  table format; the reference requires `transactional=true` i.e. a
+  bucketed delta table for the same reason). For merge-heavy tables,
+  partition them — same guidance as the reference's bucket sizing.
+- The merge itself is ONE shuffle (full-outer sort-merge join on the
+  key). Update-set semantics, partition-column exclusion from UPDATE
+  (merge.sql:7-16), and incremental_predicates (merge.sql:2,26-33)
+  are column-level expressions on top.
+- Writes stage to a sibling directory then atomically swap affected
+  partitions (a parquet path can't be read and overwritten in the
+  same job — the reference's temp-table pattern, incremental.sql:69-71).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.catalog import EngineCatalog, TableMeta
+
+_T, _S = "__dml_tgt_present", "__dml_src_present"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _key_condition(tgt: DataFrame, src: DataFrame, keys: list[str]) -> Column:
+    cond = None
+    for k in keys:
+        c = tgt[k] == src[k]
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def _affected_partitions(src: DataFrame, pt_cols: list[str]) -> list[dict]:
+    """Distinct partition tuples present in the source. Metadata-sized:
+    equivalent to the reference's `partitions` config list
+    (insert_overwrite.sql:29-33)."""
+    rows = src.select(*pt_cols).distinct().collect()
+    return [r.asDict() for r in rows]
+
+
+def _partition_filter(pt_cols: list[str], parts: list[dict]) -> Column:
+    cond = F.lit(False)
+    for p in parts:
+        this = F.lit(True)
+        for c in pt_cols:
+            v = p[c]
+            this = this & (F.col(c).eqNullSafe(F.lit(v)))
+        cond = cond | this
+    return cond
+
+
+def _stage_and_swap(
+    catalog: EngineCatalog,
+    name: str,
+    meta: TableMeta,
+    result: DataFrame,
+    replace_partitions: list[dict] | None,
+) -> None:
+    """Write `result` to a staging dir, then swap it into the target:
+    whole-table swap, or per-partition directory swap when pruned."""
+    table_dir = catalog.table_dir(name)
+    staging = f"{table_dir}__stage_{uuid.uuid4().hex[:8]}"
+    pt = meta.all_partition_cols()
+    w = result.write.mode("overwrite")
+    if pt:
+        w = w.partitionBy(*pt)
+    w.parquet(staging)
+    try:
+        if replace_partitions is None or not pt:
+            meta_backup = catalog.meta(name)
+            shutil.rmtree(table_dir)
+            os.replace(staging, table_dir)
+            catalog._write_meta(name, meta_backup)  # noqa: SLF001
+        else:
+            # The result frame contains only affected partitions (target
+            # was pre-filtered to them), so every leaf partition dir the
+            # staging write produced replaces its target counterpart —
+            # Spark's own hive path escaping, no re-encoding guesswork.
+            for rel in _leaf_partition_dirs(staging, len(pt)):
+                src_dir = os.path.join(staging, rel)
+                dst_dir = os.path.join(table_dir, rel)
+                if os.path.exists(dst_dir):
+                    shutil.rmtree(dst_dir)
+                os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+                os.replace(src_dir, dst_dir)
+    finally:
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+
+
+def _leaf_partition_dirs(base: str, depth: int) -> list[str]:
+    """Relative `k1=v1[/k2=v2...]` dirs at the partition depth."""
+    out: list[str] = []
+
+    def walk(cur: str, level: int) -> None:
+        for d in os.listdir(os.path.join(base, cur) if cur else base):
+            if "=" not in d:
+                continue
+            rel = os.path.join(cur, d) if cur else d
+            if level + 1 == depth:
+                out.append(rel)
+            else:
+                walk(rel, level + 1)
+
+    walk("", 0)
+    return out
+
+
+def _derive_auto(meta: TableMeta, df: DataFrame) -> DataFrame:
+    """Auto-partition targets derive the hidden pt column at write time
+    (reference impl.py:206-214: generated column excluded from INSERT
+    lists, computed server-side)."""
+    if meta.auto_partition:
+        gen = meta.auto.generated_column
+        if gen in df.columns:
+            df = df.drop(gen)
+        df = meta.auto.derive(df)
+    return df
+
+
+def _align_columns(df: DataFrame, like: DataFrame) -> DataFrame:
+    """Project + coerce to the target's column order and types (the
+    implicit cast INSERT INTO performs)."""
+    return df.select(
+        *[F.col(f.name).cast(f.dataType) for f in like.schema.fields]
+    )
+
+
+# ---------------------------------------------------------------------------
+# append (reference merge.sql:120-146 maxcompute__get_incremental_append_sql)
+# ---------------------------------------------------------------------------
+
+def append(catalog: EngineCatalog, name: str, source: DataFrame) -> None:
+    meta = catalog.meta(name)
+    src = _derive_auto(meta, source)
+    src = _align_columns(src, catalog.read(name))
+    pt = meta.all_partition_cols()
+    w = src.write.mode("append")
+    if pt:
+        w = w.partitionBy(*pt)
+    w.parquet(catalog.table_dir(name))
+
+
+# ---------------------------------------------------------------------------
+# merge / upsert (reference merge.sql:1-58)
+# ---------------------------------------------------------------------------
+
+def merge(
+    catalog: EngineCatalog,
+    name: str,
+    source: DataFrame,
+    unique_key: list[str] | str,
+    merge_update_columns: list[str] | None = None,
+    merge_exclude_columns: list[str] | None = None,
+    incremental_predicates: list[str] | None = None,
+) -> None:
+    """MERGE INTO tgt USING src ON keys
+    WHEN MATCHED [AND predicates] THEN UPDATE SET <update set>
+    WHEN NOT MATCHED THEN INSERT *.
+
+    Update-set rules (reference merge.sql:7-16): explicit
+    merge_update_columns wins; else all source columns minus
+    merge_exclude_columns; partition columns are always excluded from
+    UPDATE (no row movement across partitions for matched rows).
+
+    No unique_key -> degenerate append (reference merge.sql:53-57).
+    """
+    if not unique_key:
+        append(catalog, name, source)
+        return
+    keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    meta = catalog.meta(name)
+    tgt = catalog.read(name)
+    src = _derive_auto(meta, source)
+    src = _align_columns(src, tgt)
+
+    pt_cols = meta.all_partition_cols()
+    update_cols = _update_set(meta, tgt.columns, keys, merge_update_columns, merge_exclude_columns)
+
+    replace_parts = None
+    if pt_cols:
+        # Prune: only partitions the source touches are rewritten. A
+        # matched row keeps its target partition value (partition cols
+        # excluded from UPDATE), so target rows outside source
+        # partitions cannot change.
+        replace_parts = _affected_partitions(src, pt_cols)
+        tgt = tgt.filter(_partition_filter(pt_cols, replace_parts))
+
+    t = tgt.withColumn(_T, F.lit(True))
+    s = src.withColumn(_S, F.lit(True))
+    cond = _key_condition(t, s, keys)
+    for pred in incremental_predicates or []:
+        cond = cond & F.expr(pred)
+    joined = t.join(s, cond, "full_outer")
+
+    matched = t[_T].isNotNull() & s[_S].isNotNull()
+    cols = []
+    for c in tgt.columns:
+        if c in keys:
+            col = F.coalesce(s[c], t[c])
+        elif c in update_cols:
+            # matched -> source value; target-only -> target; source-only -> source
+            col = F.when(matched, s[c]).otherwise(F.coalesce(t[c], s[c]))
+        else:
+            # not in update set: matched keeps target value; inserts take source
+            col = F.when(t[_T].isNotNull(), t[c]).otherwise(s[c])
+        cols.append(col.alias(c))
+    result = joined.select(*cols)
+
+    if pt_cols and replace_parts is not None:
+        # a matched row's partition value comes from the target side and
+        # is by construction within replace_parts; source-only rows may
+        # introduce new partitions — extend the replace set
+        new_parts = {tuple(p[c] for c in pt_cols) for p in replace_parts}
+        replace_parts = [dict(zip(pt_cols, t_)) for t_ in new_parts]
+    _stage_and_swap(catalog, name, meta, result, replace_parts)
+
+
+def _update_set(
+    meta: TableMeta,
+    all_cols: list[str],
+    keys: list[str],
+    update_columns: list[str] | None,
+    exclude_columns: list[str] | None,
+) -> set[str]:
+    pt = set(meta.all_partition_cols())
+    if update_columns:
+        cols = set(update_columns)
+    else:
+        cols = set(all_cols) - set(keys) - set(exclude_columns or [])
+    return cols - pt  # partition fields default-excluded (merge.sql:11-16)
+
+
+# ---------------------------------------------------------------------------
+# delete+insert (reference merge.sql:61-117)
+# ---------------------------------------------------------------------------
+
+def delete_insert(
+    catalog: EngineCatalog,
+    name: str,
+    source: DataFrame,
+    unique_key: list[str] | str,
+    incremental_predicates: list[str] | None = None,
+) -> None:
+    """DELETE FROM tgt WHERE (keys) IN (SELECT keys FROM src) [AND preds]
+    then INSERT — list unique_key uses tuple matching (regression:
+    test_delete_insert_list_unique_key.py). Rewrite: left-anti join ∪
+    source."""
+    keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    meta = catalog.meta(name)
+    tgt = catalog.read(name)
+    src = _derive_auto(meta, source)
+    src = _align_columns(src, tgt)
+    pt_cols = meta.all_partition_cols()
+
+    replace_parts = None
+    survivors_outside = None
+    if pt_cols:
+        replace_parts = _affected_partitions(src, pt_cols)
+        tgt_scope = tgt.filter(_partition_filter(pt_cols, replace_parts))
+    else:
+        tgt_scope = tgt
+
+    delete_cond = _key_condition(tgt_scope, src, keys)
+    if incremental_predicates:
+        # extra AND conditions restrict which target rows are deleted
+        for pred in incremental_predicates:
+            delete_cond = delete_cond & F.expr(pred)
+    survivors = tgt_scope.join(src, delete_cond, "left_anti")
+    result = survivors.unionByName(src)
+    _stage_and_swap(catalog, name, meta, result, replace_parts)
+
+
+# ---------------------------------------------------------------------------
+# insert_overwrite (reference insert_overwrite.sql:1-81)
+# ---------------------------------------------------------------------------
+
+def insert_overwrite(
+    catalog: EngineCatalog,
+    name: str,
+    source: DataFrame,
+    partitions: list[dict] | None = None,
+) -> None:
+    """Dynamic (default): replace exactly the partitions present in the
+    source. Static (`partitions` given): delete those partitions and
+    insert only source rows belonging to them (insert_overwrite.sql:39-63).
+    Requires a partitioned target (L4-9 parity)."""
+    meta = catalog.meta(name)
+    pt_cols = meta.all_partition_cols()
+    if not pt_cols:
+        raise ValueError("insert_overwrite requires a partitioned target (reference parity)")
+    src = _derive_auto(meta, source)
+    src = _align_columns(src, catalog.read(name))
+    if partitions is not None:
+        src = src.filter(_partition_filter(pt_cols, partitions))
+        replace = partitions
+    else:
+        replace = _affected_partitions(src, pt_cols)
+    _stage_and_swap(catalog, name, meta, src, replace)
+
+
+# ---------------------------------------------------------------------------
+# microbatch (reference microbatch.sql:1-28)
+# ---------------------------------------------------------------------------
+
+def microbatch(
+    catalog: EngineCatalog,
+    name: str,
+    source: DataFrame,
+    event_time: str,
+    begin,
+    end,
+    batch_size: str = "day",
+) -> int:
+    """Validates target partitioned & granularity == batch_size
+    (microbatch.sql:1-18), then per-batch executes the insert_overwrite
+    path. Returns the number of batches executed.
+
+    dbt-core slices time; here the loop is internal. Each slice is an
+    independent dynamic partition overwrite — idempotent re-runs,
+    exactly the reference's retry-a-batch semantics."""
+    meta = catalog.meta(name)
+    if not meta.all_partition_cols():
+        raise ValueError("microbatch requires a partitioned target")
+    if meta.auto_partition and meta.auto.granularity != batch_size:
+        raise ValueError(
+            f"microbatch batch_size {batch_size!r} must equal partition granularity "
+            f"{meta.auto.granularity!r} (reference microbatch.sql:1-18)"
+        )
+    slices = []
+    cur = begin
+    while cur < end:
+        slices.append(cur)
+        cur = _bump(cur, batch_size)
+    n = 0
+    for lo in slices:
+        hi = _bump(lo, batch_size)
+        batch = source.filter(
+            (F.col(event_time) >= F.lit(lo)) & (F.col(event_time) < F.lit(hi))
+        )
+        if batch.limit(1).count() == 0:
+            continue
+        insert_overwrite(catalog, name, batch)
+        n += 1
+    return n
+
+
+def _bump(ts, batch_size: str):
+    from datetime import timedelta
+
+    if batch_size == "hour":
+        return ts + timedelta(hours=1)
+    if batch_size == "day":
+        return ts + timedelta(days=1)
+    if batch_size == "month":
+        y, m = ts.year, ts.month
+        if m == 12:
+            return ts.replace(year=y + 1, month=1)
+        return ts.replace(month=m + 1)
+    if batch_size == "year":
+        return ts.replace(year=ts.year + 1)
+    raise ValueError(f"unsupported batch_size {batch_size!r}")

@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # keep partition values as written (string "1" stays "1"; the
+        # reference's partition columns are explicitly typed)
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # the events fixture stores TIMESTAMP(NANOS) which Spark rejects;
+        # read as long and convert in the registry (DuckDB truncates to µs)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
@@ -63,6 +69,11 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:

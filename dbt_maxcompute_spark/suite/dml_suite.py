@@ -1,0 +1,332 @@
+"""DML / materialization suite: each incremental strategy, snapshot
+SCD2, materialized views, and seeds exercised end-to-end against the
+fixture tables, with the FINAL TABLE STATE checked against a DuckDB
+oracle that expresses the same semantics in pure SQL.
+
+Each query builds a throwaway warehouse under /tmp (the driver may
+collect the returned DataFrame later, so the warehouse is not
+deleted — temp dirs are per-invocation and tiny at sf0.01).
+"""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.catalog import EngineCatalog
+from dbt_maxcompute_spark.materializations.incremental import run_incremental
+from dbt_maxcompute_spark.materializations.materialized_view import (
+    apply_materialized_view,
+)
+from dbt_maxcompute_spark.materializations.snapshot import run_snapshot
+from dbt_maxcompute_spark.sources.registry import load_table
+from dbt_maxcompute_spark.sources.seeds import load_seed
+
+
+def _wh(spark: SparkSession) -> EngineCatalog:
+    return EngineCatalog(spark, tempfile.mkdtemp(prefix="dml_suite_wh_"))
+
+
+# ---------------------------------------------------------------------------
+# merge (upsert): target = pre-1996 orders; source = 1995H2..1996H1 orders
+# with recomputed totals; final state = anti ∪ source (update-all-columns).
+# ---------------------------------------------------------------------------
+
+def q_incr_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _wh(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    source = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp"))
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+
+    run_incremental(cat, "tgt", target, strategy="merge", unique_key="o_orderkey")
+    run_incremental(cat, "tgt", source, strategy="merge", unique_key="o_orderkey")
+    return cat.read("tgt").orderBy("o_orderkey")
+
+
+ORACLE_MERGE = """
+WITH target AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+), src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+)
+SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+UNION ALL
+SELECT * FROM src
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# delete+insert with a LIST unique key (reference regression
+# test_delete_insert_list_unique_key.py) over lineitem.
+# ---------------------------------------------------------------------------
+
+def q_incr_delete_insert_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _wh(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    target = li.filter(F.col("l_orderkey") % 4 != 0)
+    source = li.filter(F.col("l_orderkey") % 2 == 0).withColumn(
+        "l_returnflag", F.lit("X")
+    )
+    run_incremental(
+        cat, "tgt", target, strategy="delete+insert", unique_key=["l_orderkey", "l_linenumber"]
+    )
+    run_incremental(
+        cat, "tgt", source, strategy="delete+insert", unique_key=["l_orderkey", "l_linenumber"]
+    )
+    return cat.read("tgt").orderBy("l_orderkey", "l_linenumber")
+
+
+ORACLE_DELETE_INSERT = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+  FROM lineitem
+), target AS (
+  SELECT * FROM li WHERE l_orderkey % 4 != 0
+), src AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, 'X' AS l_returnflag
+  FROM li WHERE l_orderkey % 2 = 0
+)
+SELECT t.* FROM target t
+WHERE NOT EXISTS (
+  SELECT 1 FROM src s
+  WHERE s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+)
+UNION ALL
+SELECT * FROM src
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# insert_overwrite (dynamic) on a month-partitioned target: only months
+# present in the source are replaced (reference insert_overwrite.sql:65-81).
+# ---------------------------------------------------------------------------
+
+def q_incr_insert_overwrite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _wh(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "month", F.date_trunc("month", "ts").cast("date").cast("string")
+    )
+    target = ev  # all months
+    # source: only the first two months, values re-scored
+    months = [r["month"] for r in ev.select("month").distinct().orderBy("month").limit(2).collect()]
+    source = ev.filter(F.col("month").isin(months)).withColumn("value", F.col("value") * 2.0)
+
+    run_incremental(cat, "tgt", target, strategy="insert_overwrite", partition_by=["month"])
+    run_incremental(cat, "tgt", source, strategy="insert_overwrite")
+    out = cat.read("tgt")
+    return out.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "month"
+    ).orderBy("event_id")
+
+
+ORACLE_INSERT_OVERWRITE = """
+WITH ev AS (
+  SELECT *, CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR) AS month FROM events
+), two_months AS (
+  SELECT DISTINCT month FROM ev ORDER BY month LIMIT 2
+)
+SELECT event_id, ts, user_id, event_type, value, props, month
+FROM ev WHERE month NOT IN (SELECT month FROM two_months)
+UNION ALL
+SELECT event_id, ts, user_id, event_type, value * 2.0 AS value, props, month
+FROM ev WHERE month IN (SELECT month FROM two_months)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# microbatch over events: 3-day window reprocessed day-by-day into an
+# auto-partitioned (day) target (reference microbatch.sql:1-28).
+# ---------------------------------------------------------------------------
+
+def q_incr_microbatch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _wh(spark)
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.min("ts")).first()[0]
+    begin = datetime.datetime(lo.year, lo.month, lo.day)
+    end = begin + datetime.timedelta(days=3)
+
+    cat.create_table(
+        "tgt",
+        ev.limit(0),
+        auto_partition={"source_column": "ts", "granularity": "day", "generated_column": "pt"},
+    )
+    run_incremental(
+        cat, "tgt", ev, strategy="microbatch",
+        event_time="ts", begin=begin, end=end, batch_size="day",
+    )
+    return (
+        cat.read("tgt")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_MICROBATCH = """
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo FROM events
+)
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events, bounds
+WHERE ts >= lo AND ts < lo + INTERVAL 3 DAY
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 snapshot: orders state1 -> state2 (urgent orders flip status 30
+# days later); compare versioned history minus the opaque scd_id.
+# ---------------------------------------------------------------------------
+
+def q_scd2_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _wh(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    state1 = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("updated_at"),
+    )
+    state2 = state1.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    ).withColumn(
+        "updated_at",
+        F.when(
+            F.col("o_orderkey") % 10 == 0,
+            F.timestamp_add("DAY", F.lit(30), F.col("updated_at")),
+        ).otherwise(F.col("updated_at")),
+    )
+    run_snapshot(cat, "snap", state1, "o_orderkey", "timestamp", "updated_at")
+    run_snapshot(cat, "snap", state2, "o_orderkey", "timestamp", "updated_at")
+    return cat.read("snap").select(
+        "o_orderkey", "o_orderstatus", "updated_at", "dbt_valid_from", "dbt_valid_to"
+    ).orderBy("o_orderkey", "dbt_valid_from")
+
+
+ORACLE_SCD2 = """
+WITH changed AS (
+  SELECT o_orderkey, o_orderstatus AS old_status, o_orderdate,
+         o_orderdate + INTERVAL 30 DAY AS new_updated
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+-- closed-out first versions of changed keys
+SELECT o_orderkey, old_status AS o_orderstatus, o_orderdate AS updated_at,
+       o_orderdate AS dbt_valid_from, new_updated AS dbt_valid_to
+FROM changed
+UNION ALL
+-- open second versions of changed keys
+SELECT o_orderkey, 'X' AS o_orderstatus, new_updated AS updated_at,
+       new_updated AS dbt_valid_from, NULL AS dbt_valid_to
+FROM changed
+UNION ALL
+-- untouched keys: single open version
+SELECT o_orderkey, o_orderstatus, o_orderdate AS updated_at,
+       o_orderdate AS dbt_valid_from, CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+FROM orders WHERE o_orderkey % 10 != 0
+ORDER BY o_orderkey, dbt_valid_from
+"""
+
+
+# ---------------------------------------------------------------------------
+# materialized view: rollup over lineitem, refreshed after new data lands
+# (reference orders_daily_mv.sql pattern + refresh.sql REBUILD).
+# ---------------------------------------------------------------------------
+
+def q_mv_returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _wh(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    half = li.filter(F.col("l_orderkey") % 2 == 0)
+    cat.create_table("li", half)
+    mv_sql = (
+        "SELECT l_returnflag, count(*) AS n, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty "
+        "FROM li GROUP BY l_returnflag"
+    )
+    apply_materialized_view(cat, "mv", mv_sql)
+    # new data lands; REBUILD refreshes the stored query's result
+    from dbt_maxcompute_spark.plans.dml import append
+
+    append(cat, "li", li.filter(F.col("l_orderkey") % 2 != 0))
+    from dbt_maxcompute_spark.materializations.materialized_view import (
+        refresh_materialized_view,
+    )
+
+    refresh_materialized_view(cat, "mv")
+    return cat.read("mv").orderBy("l_returnflag")
+
+
+ORACLE_MV = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# seed: deterministic CSV -> typed table (agate inference + overrides)
+# ---------------------------------------------------------------------------
+
+_SEED_CSV = """id,name,amount,flag,born,seen
+1,Easton,120.50,true,1981-05-20,1981-05-20 06:46:51
+2,Lillian,9.99,false,1978-09-03,1978-09-03 18:23:34
+3,,0.01,true,1992-01-01,1992-01-01 00:00:00
+"""
+
+
+def q_seed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    cat = _wh(spark)
+    p = os.path.join(tempfile.mkdtemp(prefix="seed_csv_"), "seed.csv")
+    with open(p, "w") as f:
+        f.write(_SEED_CSV)
+    load_seed(cat, "seed", p, column_types={"amount": "decimal(18,2)"})
+    df = cat.read("seed")
+    return df.select(
+        "id", "name", F.col("amount").cast("double").alias("amount"), "flag", "born", "seen"
+    ).orderBy("id")
+
+
+ORACLE_SEED = """
+SELECT * FROM (VALUES
+  (1, 'Easton', 120.50, true, DATE '1981-05-20', TIMESTAMP '1981-05-20 06:46:51'),
+  (2, 'Lillian', 9.99, false, DATE '1978-09-03', TIMESTAMP '1978-09-03 18:23:34'),
+  (3, NULL, 0.01, true, DATE '1992-01-01', TIMESTAMP '1992-01-01 00:00:00')
+) AS t(id, name, amount, flag, born, seen)
+ORDER BY id
+"""
+
+
+QUERIES = {
+    "incr_merge_orders": q_incr_merge_orders,
+    "incr_delete_insert_lineitem": q_incr_delete_insert_lineitem,
+    "incr_insert_overwrite_events": q_incr_insert_overwrite_events,
+    "incr_microbatch_events": q_incr_microbatch_events,
+    "scd2_snapshot_orders": q_scd2_snapshot_orders,
+    "mv_returnflag_rollup": q_mv_returnflag_rollup,
+    "seed_roundtrip": q_seed_roundtrip,
+}
+
+ORACLES = {
+    "incr_merge_orders": ORACLE_MERGE,
+    "incr_delete_insert_lineitem": ORACLE_DELETE_INSERT,
+    "incr_insert_overwrite_events": ORACLE_INSERT_OVERWRITE,
+    "incr_microbatch_events": ORACLE_MICROBATCH,
+    "scd2_snapshot_orders": ORACLE_SCD2,
+    "mv_returnflag_rollup": ORACLE_MV,
+    "seed_roundtrip": ORACLE_SEED,
+}

@@ -1,0 +1,134 @@
+"""Catalog DDL/metadata operators (SURVEY.md §2.7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_maxcompute_spark.catalog import EngineCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return EngineCatalog(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def base(spark, catalog):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    catalog.create_table("base", df)
+    return df
+
+
+def test_create_read_roundtrip(spark, catalog, base):
+    got = sorted((r["id"], r["name"]) for r in catalog.read("base").collect())
+    assert got == [(1, "a"), (2, "b")]
+    assert catalog.exists("base")
+    assert not catalog.exists("nope")
+
+
+def test_create_duplicate_errors(spark, catalog, base):
+    with pytest.raises(ValueError, match="exists"):
+        catalog.create_table("base", catalog.read("base"))
+
+
+def test_rename(spark, catalog, base):
+    catalog.rename("base", "base2")
+    assert not catalog.exists("base")
+    assert catalog.read("base2").count() == 2
+
+
+def test_rename_mv_is_error(spark, catalog):
+    catalog.create_view("v", "SELECT 1 AS x")
+    m = catalog.meta("v")
+    m.table_type = "materialized_view"
+    catalog._write_meta("v", m)
+    with pytest.raises(ValueError, match="materialized"):
+        catalog.rename("v", "v2")
+
+
+def test_clone(spark, catalog, base):
+    catalog.clone("base", "copy")
+    assert catalog.read("copy").count() == 2
+    # clone is independent: truncating the copy leaves src intact
+    catalog.truncate("copy")
+    assert catalog.read("copy").count() == 0
+    assert catalog.read("base").count() == 2
+
+
+def test_truncate_keeps_schema(spark, catalog, base):
+    catalog.truncate("base")
+    df = catalog.read("base")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "name"]
+
+
+def test_views(spark, catalog, base):
+    catalog.create_view("v_big", "SELECT id, name FROM base WHERE id > 1")
+    got = catalog.read("v_big").collect()
+    assert len(got) == 1 and got[0]["name"] == "b"
+
+
+def test_schema_evolution_add_remove(spark, catalog, base):
+    catalog.add_remove_columns("base", add={"score": "double"}, remove=["name"])
+    df = catalog.read("base")
+    assert set(df.columns) == {"id", "score"}
+    assert df.filter(df.score.isNull()).count() == 2
+
+
+def test_alter_column_type(spark, catalog, base):
+    catalog.alter_column_type("base", "id", "string")
+    assert dict(catalog.columns("base"))["id"] == "string"
+
+
+def test_comments_idempotent(spark, catalog, base):
+    catalog.set_comment("base", "hello")
+    assert catalog.meta("base").comment == "hello"
+    catalog.set_column_comment("base", "id", "the key")
+    assert catalog.meta("base").column_comments["id"] == "the key"
+
+
+def test_grants_diff(spark, catalog, base):
+    r1 = catalog.apply_grants("base", {"select": ["alice", "bob"]})
+    assert r1["granted"] == {"select": ["alice", "bob"]}
+    r2 = catalog.apply_grants("base", {"select": ["alice"]})
+    assert r2["revoked"] == {"select": ["bob"]}
+
+
+def test_list_tables_pattern(spark, catalog, base):
+    df = catalog.read("base")
+    catalog.create_table("base_v2", df)
+    catalog.create_table("other", df)
+    assert catalog.list_tables(pattern="base%") == ["base", "base_v2"]
+    assert catalog.list_tables(pattern="bas_") == ["base"]
+    assert set(catalog.list_tables()) == {"base", "base_v2", "other"}
+
+
+def test_schemas(spark, catalog, base):
+    catalog.create_schema("staging")
+    catalog.create_table("staging.t1", catalog.read("base"))
+    assert catalog.list_tables("staging") == ["t1"]
+    assert catalog.read("staging.t1").count() == 2
+    catalog.drop_schema("staging", cascade=True)
+    assert not catalog.exists("staging.t1")
+
+
+def test_sql_over_catalog(spark, catalog, base):
+    out = catalog.sql("SELECT count(*) AS n FROM base").first()["n"]
+    assert out == 2
+
+
+def test_validate_sql(spark, catalog, base):
+    plan = catalog.validate_sql("SELECT id FROM base")
+    assert "id" in plan
+    with pytest.raises(Exception):
+        catalog.validate_sql("SELECT nonexistent_col FROM base")
+
+
+def test_freshness(spark, catalog, base):
+    age = catalog.freshness("base")
+    assert 0 <= age < 300
+
+
+def test_invalid_identifier(spark, catalog):
+    with pytest.raises(ValueError, match="invalid identifier"):
+        catalog.table_dir("bad-name; drop")
