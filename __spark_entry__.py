@@ -13,9 +13,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dbt_maxcompute_spark.session import apply_session_defaults
-from dbt_maxcompute_spark.suite import dml_suite, functions_suite, relational
+from dbt_maxcompute_spark.suite import (
+    dml_suite,
+    events_suite,
+    functions_suite,
+    pipeline_suite,
+    relational,
+)
 
-_SUITES = [relational, functions_suite, dml_suite]
+_SUITES = [relational, functions_suite, dml_suite, pipeline_suite, events_suite]
 
 
 def entry(spark: SparkSession) -> DataFrame:

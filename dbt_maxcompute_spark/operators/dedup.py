@@ -1,0 +1,305 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No counterpart in the reference (extension per BASELINE.json): exact
+dedup, MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard
+verification, embedding-cosine near-dup.
+
+Scale design (the whole point of these):
+- Exact dedup = hash-groupBy — one shuffle on a 64-bit content hash,
+  never on the full text.
+- MinHash+LSH: signatures are computed per-row with built-in
+  Catalyst expressions (split → shingle via transform/sequence/slice
+  → xxhash64 → array_min) — fully codegen'd, no Python in the hot
+  path. Banding turns the O(n²) pair space into per-bucket joins;
+  the only shuffle is groupBy(band, band_hash). At 100 TB the bucket
+  histogram is the thing to watch: a degenerate bucket (all-identical
+  boilerplate docs) creates a quadratic bucket — cap bucket size and
+  route overflow to a quarantine output rather than joining it.
+- Candidate verification computes exact token-set Jaccard only on
+  LSH candidates (tiny fraction of pairs).
+- "Dedup" keeps the smallest doc_id of each duplicate group: a row
+  drops iff it has a verified duplicate with a smaller id — one
+  anti-join, no iterative connected components (documented
+  approximation: transitive chains collapse to their minimum only if
+  each link sees a smaller partner; standard for near-dup pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct value of `cols`. Hash-groupBy:
+    the shuffle key is xxhash64(cols), not the payload."""
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    win_min = df.withColumn("__h", h).groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return df.join(win_min, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingles (shared, pure Catalyst expressions)
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-grams; a doc shorter than n tokens contributes its full
+    token join as a single shingle."""
+    joined = F.concat_ws(" ", toks)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) < n, F.array(joined)).otherwise(ngrams)
+
+
+def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
+    """num_hashes independent min-hashes: xxhash64 with per-function
+    seed, min over shingles. Array-valued column.
+
+    NB: the per-k lambda must be single-arg — a two-arg lambda would be
+    interpreted by F.transform as (element, index) and silently bind
+    the seed to the array index (every 'independent' hash identical)."""
+
+    def one_hash(k: int) -> Column:
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(k))))
+
+    return F.array(*[one_hash(k) for k in range(num_hashes)])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    bands of r = num_hashes/bands rows each; a pair collides if any
+    band matches. Collision prob = 1-(1-j^r)^b (S-curve around
+    (1/b)^(1/r)). Candidates get exact shingle-SET Jaccard
+    verification (the same measure the signatures approximate), so
+    false positives are 0 by construction; threshold recall is the
+    usual LSH trade. shingle_n=1 degrades to token-set Jaccard.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide into bands")
+    r = num_hashes // bands
+    sh = shingles(tokens(F.col(text_col)), shingle_n)
+    sig = minhash_signature(sh, num_hashes)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(sh).alias("__tokset"),
+        sig.alias("__sig"),
+    )
+
+    banded = base.select(
+        "__id",
+        "__tokset",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.hash(F.slice("__sig", b * r + 1, r)).alias("bh")
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "__tokset", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    # bucket-size cap: degenerate buckets would go quadratic at scale
+    bucket_sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("n") <= max_bucket).select("band", "bh"),
+        ["band", "bh"],
+        "left_semi",
+    )
+
+    a = banded.select(
+        F.col("band"), F.col("bh"), F.col("__id").alias("id_a"), F.col("__tokset").alias("tok_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("bh"), F.col("__id").alias("id_b"), F.col("__tokset").alias("tok_b")
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "tok_a", "tok_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("tok_a", "tok_b")) / F.size(F.array_union("tok_a", "tok_b"))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, id_col: str, text_col: str, **kwargs
+) -> DataFrame:
+    """Drop every row having a verified duplicate with a smaller id."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate sets or small inputs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs shingle-set Jaccard — the brute-force oracle for
+    LSH recall tests. O(n²): ONLY for verification/sampled audits; the
+    scale path is minhash_lsh_pairs."""
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    base = df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
+    a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash(toks: Column, bits: int = 64) -> Column:
+    """64-bit SimHash from token hashes, pure Catalyst: for each bit
+    position, sum ±1 over token hash bits, take the sign. Expressed as
+    an aggregate fold over the token array (no Python).
+    """
+    if bits != 64:
+        raise ValueError("simhash: only 64-bit supported")
+    # Bit positions are unrolled statically: PySpark's shiftright/
+    # shiftleft take literal ints only, and static unrolling keeps the
+    # whole fold inside one codegen'd expression anyway.
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for i in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # two's-complement value of bit i (bit 63 = min-long sign bit)
+    bit_val = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.element_at(counts, i + 1) > 0, F.lit(bit_val[i]).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    `chunks` 16-bit blocks (pigeonhole: hamming<=chunks-1 guarantees an
+    exact block match), bucket-join on matching blocks, verify true
+    hamming distance via bit_count(xor)."""
+    fp = simhash(tokens(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("__id"), fp.alias("__fp"))
+    width = 64 // chunks
+    blocks = base.select(
+        "__id",
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("blk"),
+                        F.shiftright(F.col("__fp"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__fp", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    a = blocks.select("blk", "bv", F.col("__id").alias("id_a"), F.col("__fp").alias("fp_a"))
+    b = blocks.select("blk", "bv", F.col("__id").alias("id_b"), F.col("__fp").alias("fp_b"))
+    cand = (
+        a.join(b, ["blk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (delegates to similarity.cosine machinery)
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-identical vectors via random-hyperplane LSH buckets + exact
+    cosine verification. See similarity.py for the signing path."""
+    from dbt_maxcompute_spark.operators.similarity import (
+        cosine_expr,
+        hyperplane_signature,
+    )
+
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    signed = base.withColumn("__sig", hyperplane_signature(F.col("__v"), planes, seed))
+    a = signed.select(F.col("__sig"), F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
+    b = signed.select(F.col("__sig"), F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+    cand = a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    return cand.withColumn("cosine", cos).filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )

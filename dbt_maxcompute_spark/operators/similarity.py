@@ -1,0 +1,256 @@
+"""Similarity search over embedding columns (array<float>).
+
+No counterpart in the reference (extension per BASELINE.json):
+brute-force cosine top-k as the exact baseline, plus two scale paths —
+random-hyperplane LSH buckets and an IVF (inverted-file) coarse
+quantizer.
+
+Scale design:
+- All vector math is pure Catalyst lambda expressions
+  (``zip_with``/``aggregate``/``transform``) — JVM codegen, no Python
+  in the hot path, no UDF serialization of vectors.
+- Brute force broadcasts the (small) query set against the full
+  corpus: one scan, no shuffle of the corpus, top-k via window over
+  query_id. Linear in corpus size — the 100 TB baseline only when the
+  query set is small.
+- IVF: corpus is assigned once to C centroids (written partitioned by
+  centroid at scale); a query probes only ``nprobe`` centroid
+  partitions → scan cost drops by ~C/nprobe. Partition pruning does
+  the work; the assignment is the only full pass.
+- Hyperplane LSH: single deterministic signature per row (Rademacher
+  planes derived from xxhash64 — no stored model), candidates meet in
+  bucket-joins. Recall is probabilistic; exact cosine re-checks every
+  candidate so precision is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# vector expressions (pure Catalyst)
+# ---------------------------------------------------------------------------
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sum of elementwise products in DOUBLE, left-to-right array order
+    (deterministic; matches DuckDB list_sum order for oracle checks)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL-safe-ish: 0.0 when either norm is 0."""
+    dot = dot_expr(a, b)
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom)
+
+
+def hyperplane_signature(vec: Column, planes: int = 16, seed: int = 42) -> Column:
+    """Pack `planes` random-hyperplane sign bits into one LONG.
+
+    Plane p's component j is a Rademacher ±1 derived from
+    xxhash64(p, j, seed) — fully deterministic, no stored plane matrix,
+    recomputable on any executor. sign(dot(v, plane_p)) -> bit p.
+    """
+    def plane_dot(p: int) -> Column:
+        signed = F.transform(
+            vec,
+            lambda x, i: F.when(
+                F.xxhash64(F.lit(p), i, F.lit(seed)).bitwiseAND(F.lit(1)) == 1,
+                x.cast("double"),
+            ).otherwise(-x.cast("double")),
+        )
+        return F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = [
+        F.when(plane_dot(p) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for p in range(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (exact baseline)
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, scan the corpus
+    once, window top-k per query. Output: (query_id, neighbor_id,
+    rank, cosine) with deterministic (cosine desc, neighbor_id) order.
+
+    Self-matches (same id) are excluded when query and corpus share the
+    id namespace.
+    """
+    from pyspark.sql import Window as W
+
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q))  # cartesian with a broadcast side: no corpus shuffle
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("__qv"), F.col("__cv")))
+    )
+    win = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path #1)
+# ---------------------------------------------------------------------------
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    planes: int = 12,
+    seed: int = 42,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: `tables` independent hyperplane signatures;
+    candidates = corpus rows sharing any signature with the query;
+    exact cosine on candidates only. Recall grows with `tables`,
+    candidate count shrinks with `planes`.
+    """
+    from pyspark.sql import Window as W
+
+    def with_sigs(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        out = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    hyperplane_signature(F.col(vec_alias), planes, seed + t).alias("sig"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return out.withColumn("__s", F.explode(sigs)).select(
+            id_alias, vec_alias, F.col("__s.t").alias("t"), F.col("__s.sig").alias("sig")
+        )
+
+    c = with_sigs(corpus, "neighbor_id", "__cv")
+    q = with_sigs(queries, "query_id", "__qv")
+    cand = (
+        c.join(F.broadcast(q), ["t", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_expr(F.col("__qv"), F.col("__cv")))
+    )
+    win = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer (scale path #2)
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame, id_col: str, vec_col: str, num_centroids: int = 16, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Pick centroids deterministically (the `num_centroids` corpus rows
+    with the smallest xxhash64(id, seed) — a uniform sample without RNG
+    state), then assign every row to its nearest centroid by cosine.
+
+    Returns (centroids, assigned) where assigned has a `centroid_id`
+    column. At 100 TB: persist `assigned` partitioned by centroid_id so
+    probes prune partitions; the assignment pass is the one full scan.
+    """
+    from pyspark.sql import Window as W
+
+    ranked = corpus.withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
+    centroids = (
+        ranked.orderBy("__r")
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"))
+    )
+    scored = corpus.join(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_expr(F.col(vec_col), F.col("centroid_vec"))
+    )
+    win = W.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    assigned = (
+        scored.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") == 1)
+        .drop("__sim", "__rk", "centroid_vec")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF search: per query, rank centroids by cosine, keep the top
+    `nprobe`, and scan only corpus rows assigned to those centroids.
+    Approximate (a true neighbor in an unprobed cell is missed) —
+    standard IVF trade; recall tuned by nprobe/num_centroids.
+    """
+    from pyspark.sql import Window as W
+
+    centroids, assigned = ivf_assign(corpus, id_col, vec_col, num_centroids, seed)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    qc = q.join(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_expr(F.col("__qv"), F.col("centroid_vec"))
+    )
+    cwin = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    probes = (
+        qc.withColumn("__rk", F.row_number().over(cwin))
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "__qv", "centroid_id")
+    )
+    cand = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "centroid_id"
+        )
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("__qv"), F.col("__cv")))
+    )
+    win = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )

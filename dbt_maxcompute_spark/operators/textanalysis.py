@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+No counterpart in the reference (extension per BASELINE.json):
+language-ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex estimate), document fingerprinting.
+
+Everything here is pure Catalyst expressions (split / regexp /
+filter / aggregate lambdas) — whole-stage codegen, no Python UDFs, so
+a 100 TB documents scan stays one pass with column pruning (only
+`text` + id columns read). Each function is also expressible in ANSI
+SQL, so every suite query pairs with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small fixed stopword sets per language — the heuristic's lexicon.
+# Deliberately tiny: lang-ID here demonstrates the operator shape
+# (argmax over per-language token-hit counts); swap in real lexicons
+# for production.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "que", "dans"),
+}
+
+# BPE-ish word-piece pattern: letter runs, single digits, single
+# punctuation marks — a cheap proxy for subword token counts.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def tokens_estimate(text: Column) -> Column:
+    """BPE-ish token-count estimate: count TOKEN_REGEX matches."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword hits; ties break lexicographically
+    by language code; zero hits everywhere -> 'und'."""
+    toks = tokens(text)
+    best = None
+    for code in sorted(STOPWORDS):
+        cand = F.struct(
+            stopword_hits(toks, code).alias("hits"), F.lit(code).alias("code")
+        )
+        if best is None:
+            best = cand
+        else:
+            # strictly-greater keeps the earlier (lexicographically
+            # smaller) code on ties
+            best = F.when(cand["hits"] > best["hits"], cand).otherwise(best)
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(alpha.cast("double") / n.cast("double"))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are (any-language) stopwords."""
+    toks = tokens(text)
+    all_words = sorted({w for ws in STOPWORDS.values() for w in ws})
+    hits = F.size(F.filter(toks, lambda t: t.isin(all_words)))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic:
+      0.35*alpha_ratio + 0.25*min(stopword_ratio*4, 1)
+      + 0.25*(1 - min(punct_ratio*5, 1)) + 0.15*min(token_count/100, 1)
+    Weights/caps are the operator's parameters, mirrored exactly in the
+    oracle SQL."""
+    length_score = F.least(token_count(text).cast("double") / 100.0, F.lit(1.0))
+    sw = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    pu = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    return (
+        0.35 * alpha_ratio(text) + 0.25 * sw + 0.25 * pu + 0.15 * length_score
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token bag. Identical token multisets-modulo-order collide by design
+    (bag fingerprinting); pair with exact dedup for strict identity."""
+    toks = F.array_sort(F.array_distinct(tokens(text)))
+    return F.md5(F.concat_ws(" ", toks))

@@ -1,0 +1,96 @@
+"""Structured Streaming window aggregations over the events schema.
+
+The reference has no streaming (SURVEY.md §2.9) — this is the
+Spark-native extension: the same tumbling/sliding window semantics as
+suite/events_suite.py, expressed over ``readStream`` with watermarks
+for late data, so a batch backfill and a live stream share one
+definition.
+
+Scale: stateful window aggs keep per-(window,key) state in the state
+store; the watermark bounds state size (windows older than watermark
+are finalized and evicted). At 100 TB/day ingest, partition state by
+key via `spark.sql.shuffle.partitions` sized to the executor count,
+and use `Trigger.AvailableNow` for catch-up backfills (processes the
+backlog in bounded batches, then stops — same results as one big
+batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# The fixture parquet stores TIMESTAMP(NANOS); with the session's
+# nanosAsLong conf the raw read yields a long — converted to a
+# microsecond timestamp below (same rule as sources.registry).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+EVENTS_SCHEMA = StructType(
+    [f if f.name != "ts" else StructField("ts", TimestampType()) for f in EVENTS_RAW_SCHEMA]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+    `path` must be a directory (Spark's file stream source lists it)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-hour, per-type rolling counts/sums with late-data watermark.
+    Same semantics as events_suite.q_events_tumbling_hourly."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").start.alias("hour_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def sliding_half_hour(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1 h windows sliding every 30 min (each event in 2 windows)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").start.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def run_available_now(agg: DataFrame, query_name: str) -> None:
+    """Drain the source with AvailableNow into an in-memory sink (test /
+    backfill harness). Complete mode: window aggs without append-mode
+    finality; production sinks would use update/append + a real sink."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,178 @@
+"""Event-stream aggregation suite (extension; SURVEY.md §2.9 notes the
+reference has no streaming — these are the Spark-native event ops a
+user of the engine gets on top: tumbling/sliding windows, gap-based
+sessionization, JSON prop extraction).
+
+Batch (`F.window`) and Structured Streaming
+(`dbt_maxcompute_spark.streaming.windows`) share the same window
+semantics; the suite checks the batch form against DuckDB, the
+streaming form is covered by tests/test_streaming.py (same plan over
+readStream + AvailableNow).
+
+Scale: windowed aggs shuffle once on (window, key); sessionization
+shuffles once on user_id and sorts within partitions — both are the
+minimal-shuffle plans for their semantics. Skewed users would need
+salting of the session window at extreme scale (noted, not needed for
+TPC-H-ish fixtures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.sources.registry import load_table
+
+
+def _dsum(col, scale=6):
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# tumbling window: per-hour, per-event-type counts and value sums
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .drop("approx_users")  # approx sketch exercised but excluded from hash compare
+        .orderBy("hour_start", "event_type")
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding window: 1 h width, 30 min slide — every event lands in 2 windows
+# ---------------------------------------------------------------------------
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").start.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum(F.col("value")).alias("total_value"))
+        .orderBy("window_start")
+    )
+
+
+ORACLE_SLIDING = """
+WITH exploded AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS window_start,
+         value
+  FROM events, unnest([0, 1800]) AS t(off)
+)
+SELECT window_start, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM exploded GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (30 min inactivity closes a session)
+# ---------------------------------------------------------------------------
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    with_break = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = with_break.withColumn(
+        "session_seq", F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            _dsum(F.col("value")).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON prop extraction + per-key rollup
+# ---------------------------------------------------------------------------
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            _dsum(F.col("k").cast("double")).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_PROPS = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+)
+SELECT event_type, count(*) AS n_events, min(k) AS min_k, max(k) AS max_k,
+       CAST(sum(CAST(CAST(k AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sum_k
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "events_tumbling_hourly": q_events_tumbling_hourly,
+    "events_sliding_windows": q_events_sliding,
+    "events_sessionize": q_events_sessionize,
+    "events_json_props": q_events_json_props,
+}
+
+ORACLES = {
+    "events_tumbling_hourly": ORACLE_TUMBLING,
+    "events_sliding_windows": ORACLE_SLIDING,
+    "events_sessionize": ORACLE_SESSIONIZE,
+    "events_json_props": ORACLE_JSON_PROPS,
+}

@@ -1,0 +1,300 @@
+"""Training-data pipeline suite (extensions beyond reference parity):
+dedup, similarity search, text analysis, multimodal plumbing — over the
+`documents` and `embeddings` fixture tables.
+
+Approximate operators (MinHash-LSH, SimHash, IVF/LSH ANN) have no
+DuckDB oracle (driver records rows-only); every exact operator pairs
+with an oracle that mirrors the formula term-by-term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.operators import dedup, multimodal, similarity, textanalysis as ta
+from dbt_maxcompute_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+"""
+
+
+def q_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact all-pairs token-set Jaccard on a bounded subset (O(n²) —
+    # the LSH path is the scale story; this is its accuracy oracle).
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.array_distinct(dedup.tokens(F.col("text")))
+    base = docs.select(F.col("doc_id").alias("id"), toks.alias("tok"))
+    a = base.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b"))
+    icnt = F.size(F.array_intersect("tok_a", "tok_b"))
+    ucnt = F.size("tok_a") + F.size("tok_b") - icnt
+    jac = icnt.cast("double") / ucnt.cast("double")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+ORACLE_DEDUP_JACCARD = """
+WITH base AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE doc_id < 100
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.tok, b.tok)) AS icnt,
+         len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS ucnt
+  FROM base a, base b WHERE a.id < b.id
+)
+SELECT id_a, id_b,
+       round(CAST(icnt AS DOUBLE) / CAST(ucnt AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE round(CAST(icnt AS DOUBLE) / CAST(ucnt AS DOUBLE), 6) >= 0.8
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate — rows-only check (no SQL-expressible oracle).
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.8
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate — rows-only check.
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+
+
+ORACLE_ANN_BRUTE = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding,
+                                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding,
+                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate (IVF probes a subset of cells) — rows-only check.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=10, num_centroids=16, nprobe=4
+    )
+
+
+def q_emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate (hyperplane-LSH recall) — rows-only check. The fixture
+    # has no true near-dups (max pairwise cosine ≈ 0.51), so the
+    # threshold/planes are set where the S-curve still yields matches.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, planes=4
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ta.token_count(t).alias("n_tokens"),
+        ta.tokens_estimate(t).alias("n_tokens_bpe"),
+        F.round(ta.alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(ta.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(ta.quality_score(t), 6).alias("quality"),
+    )
+
+
+_SW_ALL = sorted({w for ws in ta.STOPWORDS.values() for w in ws})
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+ORACLE_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(text, '{ta.TOKEN_REGEX}')) AS n_tokens_bpe,
+         CASE WHEN n_chars = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars
+         END AS alpha_ratio,
+         CASE WHEN n_chars = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / n_chars
+         END AS punct_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains({_sql_list(_SW_ALL)}, x)))
+                        AS DOUBLE) / len(toks)
+         END AS sw_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, n_tokens_bpe,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(0.35 * alpha_ratio
+             + 0.25 * least(sw_ratio * 4.0, 1.0)
+             + 0.25 * (1.0 - least(punct_ratio * 5.0, 1.0))
+             + 0.15 * least(n_tokens / 100.0, 1.0), 6) AS quality
+FROM m
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", ta.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+_HITS = {
+    code: f"len(list_filter(toks, x -> list_contains({_sql_list(ta.STOPWORDS[code])}, x)))"
+    for code in sorted(ta.STOPWORDS)
+}
+
+ORACLE_TEXT_LANGID = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{expr} AS h_{code}" for code, expr in _HITS.items())}
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            ELSE 'fr'
+       END AS lang_pred
+FROM h
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ta.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(
+             list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))),
+             ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.attach_fake_payload(docs, "text", "doc_id").select(
+        "media_id", "kind", "byte_len", "content_md5"
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas stub decode + frame sampling — rows-only check.
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_payload(docs, "text", "doc_id")
+    feats = multimodal.decode_media(media, fake=True)
+    return multimodal.frame_sample(feats, every_n=8)
+
+
+QUERIES = {
+    "dedup_exact_documents": q_dedup_exact,
+    "dedup_token_jaccard_pairs": q_dedup_token_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "ann_brute_force_cosine": q_ann_brute_force,
+    "ann_ivf_topk": q_ann_ivf,
+    "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "dedup_exact_documents": ORACLE_DEDUP_EXACT,
+    "dedup_token_jaccard_pairs": ORACLE_DEDUP_JACCARD,
+    "ann_brute_force_cosine": ORACLE_ANN_BRUTE,
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_langid": ORACLE_TEXT_LANGID,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "multimodal_metadata": ORACLE_MULTIMODAL_META,
+}

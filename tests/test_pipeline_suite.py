@@ -1,0 +1,99 @@
+"""Training-data pipeline suite: oracle checks for exact operators,
+property checks for approximate ones (LSH recall vs the exact oracle,
+IVF vs brute force), plumbing checks for multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.operators import dedup, multimodal, similarity
+from dbt_maxcompute_spark.sources.registry import load_table
+from dbt_maxcompute_spark.suite import pipeline_suite
+from tests.oracle import compare_to_oracle
+
+
+@pytest.mark.parametrize("name", sorted(pipeline_suite.ORACLES))
+def test_pipeline_query_matches_oracle(spark, sf_dir, name):
+    df = pipeline_suite.QUERIES[name](spark, sf_dir)
+    compare_to_oracle(df, pipeline_suite.ORACLES[name], sf_dir)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH pairs must recover most exact jaccard pairs at the same
+    threshold and shingle size, with zero false positives (candidates
+    are re-verified with the exact measure). shingle_n=1 (token sets)
+    so the word-salad fixture actually produces similar pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=1, threshold=0.8)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16, shingle_n=1,
+            jaccard_threshold=0.8,
+        ).collect()
+    }
+    assert got <= exact  # zero false positives
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_simhash_pairs_are_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    for r in pairs:
+        assert r.hamming <= 3
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    approx = similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=10, num_centroids=8, nprobe=4
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} (probing half the cells)"
+
+
+def test_lsh_topk_subset_of_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.lsh_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    assert all(r.rank <= 5 for r in out)
+    assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = multimodal.attach_fake_payload(docs, "text", "doc_id")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.decode_media(media, fake=False).collect()
+
+
+def test_multimodal_feature_pipeline_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_payload(docs, "text", "doc_id")
+    n_media = media.count()
+    feats = multimodal.decode_media(media, fake=True)
+    assert feats.count() == n_media
+    sampled = multimodal.frame_sample(feats, every_n=8)
+    # videos explode to >= 1 frames, others exactly 1
+    assert sampled.count() >= n_media
+    videos = feats.filter(F.col("kind") == "video")
+    assert videos.filter(F.col("n_frames") > 1).count() > 0
+
+
+def test_repartition_by_size_balances(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_payload(docs, "text", "doc_id")
+    out = multimodal.repartition_by_size(media, 8)
+    sizes = out.rdd.glom().map(len).collect()
+    assert len(sizes) == 8 and max(sizes) <= 3 * (sum(sizes) / 8)
