@@ -23,10 +23,56 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
+from pyspark.sql import functions as F
+
 from dbt_maxcompute_spark.catalog import EngineCatalog
 from dbt_maxcompute_spark.plans import dml
 
 STRATEGIES = ("append", "merge", "delete+insert", "insert_overwrite", "microbatch")
+SCHEMA_CHANGE_MODES = ("ignore", "append_new_columns", "sync_all_columns", "fail")
+
+
+def apply_schema_change(
+    catalog: EngineCatalog, name: str, model: DataFrame, mode: str = "ignore"
+) -> DataFrame:
+    """on_schema_change handling (reference macros/adapters/columns.sql:
+    6-25 + dbt-core semantics; hint odps.sql.allow.schema.evolution is
+    default-on here):
+
+    - ignore: new source columns are dropped on insert; a *removed*
+      source column fails at alignment (dbt behavior).
+    - append_new_columns: target gains new source columns; removed
+      target columns stay and NULL-fill for new rows.
+    - sync_all_columns: target gains new and drops removed columns.
+    - fail: any difference raises.
+
+    Partition columns (incl. auto-generated ones) never count as
+    removed. Returns the model, NULL-padded where needed.
+    """
+    if mode not in SCHEMA_CHANGE_MODES:
+        raise ValueError(f"unknown on_schema_change mode {mode!r}")
+    tgt = {f.name: f.dataType.simpleString() for f in catalog.read(name).schema.fields}
+    src = {f.name: f.dataType.simpleString() for f in model.schema.fields}
+    pt = set(catalog.meta(name).all_partition_cols())
+    new = [c for c in src if c not in tgt]
+    removed = [c for c in tgt if c not in src and c not in pt]
+    if mode == "ignore" or (not new and not removed):
+        return model
+    if mode == "fail":
+        raise ValueError(
+            f"schema changed for {name}: new={new} removed={removed} (on_schema_change=fail)"
+        )
+    if mode == "append_new_columns":
+        if new:
+            catalog.add_remove_columns(name, add={c: src[c] for c in new})
+        for c in removed:
+            model = model.withColumn(c, F.lit(None).cast(tgt[c]))
+        return model
+    # sync_all_columns
+    catalog.add_remove_columns(
+        name, add={c: src[c] for c in new} or None, remove=removed or None
+    )
+    return model
 
 
 def run_incremental(
@@ -44,6 +90,7 @@ def run_incremental(
     begin: Any = None,
     end: Any = None,
     batch_size: str = "day",
+    on_schema_change: str = "ignore",
     **create_opts: Any,
 ) -> str:
     """Run one incremental build; returns the action taken."""
@@ -58,6 +105,8 @@ def run_incremental(
     if full_refresh or not catalog.exists(name):
         catalog.create_table(name, model, mode="overwrite", **create_opts)
         return "create"
+
+    model = apply_schema_change(catalog, name, model, on_schema_change)
 
     if strategy == "append":
         dml.append(catalog, name, model)

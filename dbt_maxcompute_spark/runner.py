@@ -1,0 +1,123 @@
+"""Model runner — the dbt-shaped surface of the engine.
+
+One call per model: a config dict (the adapter's ``config(...)``
+values, reference ``impl.py:47-54`` MaxComputeConfig + materialization
+macros) plus the model itself (a DataFrame or a SQL string), dispatched
+to the matching materialization:
+
+    run_model(catalog, {"name": "t", "materialized": "table"}, df)
+
+Materializations (reference §2.2): table, view, incremental, snapshot,
+materialized_view, seed, clone, raw, ephemeral. Unknown keys raise —
+config typos should not silently no-op.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from dbt_maxcompute_spark.catalog import EngineCatalog
+from dbt_maxcompute_spark.materializations.incremental import run_incremental
+from dbt_maxcompute_spark.materializations.materialized_view import (
+    apply_materialized_view,
+)
+from dbt_maxcompute_spark.materializations.raw import run_raw
+from dbt_maxcompute_spark.materializations.snapshot import run_snapshot
+from dbt_maxcompute_spark.sources.seeds import load_seed
+
+MATERIALIZATIONS = (
+    "table",
+    "view",
+    "incremental",
+    "snapshot",
+    "materialized_view",
+    "seed",
+    "clone",
+    "raw",
+    "ephemeral",
+)
+
+_TABLE_OPTS = (
+    "partition_by",
+    "auto_partition",
+    "primary_keys",
+    "transactional",
+    "bucket_num",
+    "lifecycle",
+    "tblproperties",
+    "comment",
+)
+
+
+def _as_df(catalog: EngineCatalog, model: DataFrame | str) -> DataFrame:
+    return catalog.sql(model) if isinstance(model, str) else model
+
+
+def run_model(
+    catalog: EngineCatalog,
+    config: dict[str, Any],
+    model: DataFrame | str | None = None,
+) -> Any:
+    """Materialize one model. Returns the materialization's result
+    (action string, DataFrame for ephemeral/raw, TableMeta for
+    table/view)."""
+    cfg = dict(config)
+    name = cfg.pop("name")
+    mat = cfg.pop("materialized", "view")
+    if mat not in MATERIALIZATIONS:
+        raise ValueError(f"unknown materialization {mat!r} (have {MATERIALIZATIONS})")
+
+    if mat == "table":
+        opts = {k: cfg.pop(k) for k in list(cfg) if k in _TABLE_OPTS}
+        _reject_extra(cfg)
+        return catalog.create_table(name, _as_df(catalog, model), mode="overwrite", **opts)
+
+    if mat == "view":
+        if not isinstance(model, str):
+            raise ValueError("view materialization requires a SQL-string model")
+        comment = cfg.pop("comment", None)
+        _reject_extra(cfg)
+        return catalog.create_view(name, model, comment=comment)
+
+    if mat == "incremental":
+        return run_incremental(catalog, name, _as_df(catalog, model), **cfg)
+
+    if mat == "snapshot":
+        return run_snapshot(catalog, name, _as_df(catalog, model), **cfg)
+
+    if mat == "materialized_view":
+        if not isinstance(model, str):
+            raise ValueError("materialized_view requires a SQL-string model")
+        return apply_materialized_view(catalog, name, model, **cfg)
+
+    if mat == "seed":
+        csv_path = cfg.pop("csv_path")
+        return load_seed(catalog, name, csv_path, **cfg)
+
+    if mat == "clone":
+        src = cfg.pop("source")
+        _reject_extra(cfg)
+        catalog.clone(src, name)
+        return "clone"
+
+    if mat == "raw":
+        if not isinstance(model, str):
+            raise ValueError("raw materialization requires a SQL-string model")
+        _reject_extra(cfg)
+        df, hints, errors = run_raw(catalog.spark, model)
+        if errors:
+            raise ValueError(f"raw script hint errors: {errors}")
+        return df
+
+    # ephemeral: never materialized, composed downstream (reference
+    # relation.py:25-26 — CTE inlining is dbt-core's job; ours is the
+    # lazy DataFrame itself)
+    _reject_extra(cfg)
+    return _as_df(catalog, model)
+
+
+def _reject_extra(cfg: dict[str, Any]) -> None:
+    if cfg:
+        raise ValueError(f"unsupported config keys: {sorted(cfg)}")

@@ -1,0 +1,208 @@
+"""SET-preamble parser, raw materialization, on_schema_change modes,
+and the model-runner dispatch (reference setting_parser_test.py +
+incremental schema-change + materialization surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.catalog import EngineCatalog
+from dbt_maxcompute_spark.materializations.incremental import (
+    apply_schema_change,
+    run_incremental,
+)
+from dbt_maxcompute_spark.materializations.raw import run_raw, split_statements
+from dbt_maxcompute_spark.plans.settings import parse_set_preamble, split_hints
+from dbt_maxcompute_spark.runner import run_model
+
+
+# ---------------------------------------------------------------------------
+# SET-preamble parser (reference tests/unit_test/setting_parser_test.py)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_basic_settings():
+    r = parse_set_preamble("set a=1;\nset b = x y ;\nselect 1")
+    assert r.settings == {"a": "1", "b": "x y"}
+    assert r.remaining_query.strip() == "select 1"
+    assert not r.errors
+
+
+def test_parse_stops_at_first_statement():
+    r = parse_set_preamble("select 1; set a=1;")
+    assert r.settings == {}
+    assert r.remaining_query == "select 1; set a=1;"
+
+
+def test_parse_comments_interleaved():
+    q = "-- lead comment\nset a=1;\n/* block\ncomment */ set b=2;\nselect 1 -- t\n"
+    r = parse_set_preamble(q)
+    assert r.settings == {"a": "1", "b": "2"}
+    assert "select 1" in r.remaining_query
+    assert "-- lead comment" in r.remaining_query  # comments survive
+
+
+def test_parse_escaped_semicolon():
+    r = parse_set_preamble(r"set sep=a\;b;select 1")
+    assert r.settings == {"sep": "a;b"}
+
+
+def test_parse_errors():
+    assert parse_set_preamble("set a 1;select 1").errors  # missing =
+    assert parse_set_preamble("set =v;select 1").errors  # empty key
+    assert parse_set_preamble("set a=1").errors  # missing ;
+
+
+def test_parse_set_prefix_word_is_not_set():
+    r = parse_set_preamble("settings_table_scan()")
+    assert r.settings == {} and r.remaining_query == "settings_table_scan()"
+
+
+def test_split_hints_routing():
+    apply, record = split_hints(
+        {
+            "spark.sql.shuffle.partitions": "8",
+            "odps.sql.allow.fullscan": "true",
+            "dbt.execution_mode": "maxqa",
+        }
+    )
+    assert apply == {"spark.sql.shuffle.partitions": "8"}
+    assert set(record) == {"odps.sql.allow.fullscan", "dbt.execution_mode"}
+
+
+# ---------------------------------------------------------------------------
+# raw materialization
+# ---------------------------------------------------------------------------
+
+
+def test_split_statements_quotes_and_comments():
+    stmts = split_statements(
+        "select ';' as a; -- c;\nselect \"x;y\" as b;/* ; */ select 3"
+    )
+    assert len(stmts) == 3
+    assert stmts[0] == "select ';' as a"
+
+
+def test_run_raw_applies_scoped_conf(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df, hints, errors = run_raw(
+        spark,
+        "set spark.sql.shuffle.partitions=7;\n"
+        "set odps.sql.allow.fullscan=true;\n"
+        "select 1 as one",
+    )
+    assert df.collect()[0].one == 1
+    assert hints == {"odps.sql.allow.fullscan": "true"}
+    assert not errors
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before  # restored
+
+
+# ---------------------------------------------------------------------------
+# on_schema_change
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    return EngineCatalog(spark, str(tmp_path / "wh"))
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_schema_change_fail(spark, cat):
+    cat.create_table("t", _mk(spark, [(1, "a")], ["id", "v"]))
+    wider = _mk(spark, [(2, "b", 9.0)], ["id", "v", "extra"])
+    with pytest.raises(ValueError, match="on_schema_change=fail"):
+        apply_schema_change(cat, "t", wider, "fail")
+
+
+def test_schema_change_append_new_columns(spark, cat):
+    cat.create_table("t", _mk(spark, [(1, "a")], ["id", "v"]))
+    wider = _mk(spark, [(2, "b", 9.0)], ["id", "v", "extra"])
+    run_incremental(cat, "t", wider, strategy="append", on_schema_change="append_new_columns")
+    got = {r.id: (r.v, r.extra) for r in cat.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.0)}
+
+
+def test_schema_change_sync_all_columns(spark, cat):
+    cat.create_table("t", _mk(spark, [(1, "a", True)], ["id", "v", "old"]))
+    changed = _mk(spark, [(2, "b", 9.0)], ["id", "v", "extra"])
+    run_incremental(cat, "t", changed, strategy="append", on_schema_change="sync_all_columns")
+    df = cat.read("t")
+    assert sorted(df.columns) == ["extra", "id", "v"]  # old dropped, extra added
+    got = {r.id: (r.v, r.extra) for r in df.collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.0)}
+
+
+def test_schema_change_ignore_drops_new_columns(spark, cat):
+    cat.create_table("t", _mk(spark, [(1, "a")], ["id", "v"]))
+    wider = _mk(spark, [(2, "b", 9.0)], ["id", "v", "extra"])
+    run_incremental(cat, "t", wider, strategy="append", on_schema_change="ignore")
+    assert sorted(cat.read("t").columns) == ["id", "v"]
+
+
+# ---------------------------------------------------------------------------
+# model runner dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_run_model_table_view_clone_raw(spark, cat, sf_dir):
+    from dbt_maxcompute_spark.sources.registry import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    run_model(cat, {"name": "nat", "materialized": "table"}, nation)
+    assert cat.read("nat").count() == nation.count()
+
+    run_model(
+        cat,
+        {"name": "top_nat", "materialized": "view"},
+        "select n_name from nat order by n_name limit 3",
+    )
+    assert cat.read("top_nat").count() == 3
+
+    run_model(cat, {"name": "nat2", "materialized": "clone", "source": "nat"})
+    assert cat.read("nat2").count() == nation.count()
+
+    df = run_model(
+        cat,
+        {"name": "r", "materialized": "raw"},
+        "set odps.x=1;\nselect count(*) as n from nat",
+    )
+    assert df.collect()[0].n == nation.count()
+
+
+def test_run_model_incremental_roundtrip(spark, cat):
+    base = _mk(spark, [(1, "a"), (2, "b")], ["id", "v"])
+    run_model(
+        cat,
+        {"name": "inc", "materialized": "incremental", "strategy": "merge", "unique_key": "id"},
+        base,
+    )
+    upd = _mk(spark, [(2, "B"), (3, "c")], ["id", "v"])
+    run_model(
+        cat,
+        {"name": "inc", "materialized": "incremental", "strategy": "merge", "unique_key": "id"},
+        upd,
+    )
+    got = {r.id: r.v for r in cat.read("inc").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_run_model_rejects_unknown_config(spark, cat):
+    with pytest.raises(ValueError, match="unsupported config keys"):
+        run_model(
+            cat,
+            {"name": "x", "materialized": "table", "typo_key": 1},
+            _mk(spark, [(1,)], ["id"]),
+        )
+
+
+def test_run_model_ephemeral_returns_dataframe(spark, cat):
+    df = run_model(
+        cat, {"name": "e", "materialized": "ephemeral"}, _mk(spark, [(1,)], ["id"])
+    )
+    assert df.collect()[0].id == 1
+    assert not cat.exists("e")
