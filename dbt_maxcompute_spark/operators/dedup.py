@@ -29,6 +29,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Ensure enough partitions for CPU-heavy per-row expressions.
+
+    A small local fixture arrives as ONE file split and would pin all
+    signature/verification work to one core; at 100 TB the input
+    already has thousands of splits and this is a no-op. The exchange
+    also acts as a materialization barrier: expressions computed below
+    it are evaluated once, not re-inlined per consumer.
+    """
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -66,14 +82,44 @@ def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
     """num_hashes independent min-hashes: xxhash64 with per-function
     seed, min over shingles. Array-valued column.
 
-    NB: the per-k lambda must be single-arg — a two-arg lambda would be
-    interpreted by F.transform as (element, index) and silently bind
-    the seed to the array index (every 'independent' hash identical)."""
+    Single fold over the shingle array with a num_hashes-wide min
+    accumulator: the shingle-construction subexpression appears ONCE in
+    the plan (a per-k array_min(transform(sh, ...)) would re-inline it
+    num_hashes times — Catalyst's CollapseProject duplicates cheap-
+    looking expressions).
 
-    def one_hash(k: int) -> Column:
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(k))))
+    NB: per-k lambdas must be single-arg — a two-arg lambda is
+    interpreted by F.transform as (element, index) and would silently
+    bind the seed to the array index (every 'independent' hash
+    identical)."""
+    max_long = (1 << 63) - 1
+    # Two-base-hash family: the k-th hash is h1 XOR rot_k(h2) — 2
+    # xxhash64 calls per shingle instead of num_hashes, and pure bit
+    # ops (ANSI mode forbids wrapping arithmetic). The struct is
+    # materialized per element so the k combinations reference lambda-
+    # var fields, not recomputed hashes.
+    pre = F.transform(
+        sh,
+        lambda s: F.struct(
+            F.xxhash64(s).alias("h1"), F.xxhash64(s, F.lit(1)).alias("h2")
+        ),
+    )
 
-    return F.array(*[one_hash(k) for k in range(num_hashes)])
+    def mix(p: Column, k: int) -> Column:
+        if k == 0:
+            return p["h1"]
+        rot = F.shiftleft(p["h2"], k).bitwiseOR(F.shiftrightunsigned(p["h2"], 64 - k))
+        return p["h1"].bitwiseXOR(rot)
+
+    return F.aggregate(
+        pre,
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
+        lambda acc, p: F.zip_with(
+            acc,
+            F.array(*[mix(p, k) for k in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -102,51 +148,64 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into bands")
+    from pyspark.sql import Window as W
+
     r = num_hashes // bands
+    src = spread(df)
     sh = shingles(tokens(F.col(text_col)), shingle_n)
     sig = minhash_signature(sh, num_hashes)
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(sh).alias("__tokset"),
-        sig.alias("__sig"),
-    )
 
-    banded = base.select(
+    # Band rows carry ONLY (id, band, bh): the shingle sets (wide
+    # arrays) never enter the bucket shuffle — they re-attach to the
+    # deduped candidate pairs at the end. The signature is projected
+    # to a named column FIRST so the per-band slices under the explode
+    # reference it as an attribute instead of re-inlining the fold
+    # `bands` times.
+    sigs = src.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    banded = sigs.select(
         "__id",
-        "__tokset",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), F.hash(F.slice("__sig", b * r + 1, r)).alias("bh")
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice(F.col("__sig"), b * r + 1, r)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
-    ).select("__id", "__tokset", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    # bucket-size cap: degenerate buckets would go quadratic at scale
-    bucket_sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("n") <= max_bucket).select("band", "bh"),
-        ["band", "bh"],
-        "left_semi",
+    # bucket-size cap via window count (one shuffle, no self-join):
+    # degenerate buckets — boilerplate-identical docs — would go
+    # quadratic at scale; they're quarantined, not joined. Persisted
+    # ((id, band, bh) only — rows are tiny) so the a/b join sides
+    # reuse one signature computation.
+    n_in_bucket = F.count(F.lit(1)).over(W.partitionBy("band", "bh"))
+    banded = (
+        banded.withColumn("__n", n_in_bucket).filter(F.col("__n") <= max_bucket).persist()
     )
 
-    a = banded.select(
-        F.col("band"), F.col("bh"), F.col("__id").alias("id_a"), F.col("__tokset").alias("tok_a")
-    )
-    b = banded.select(
-        F.col("band"), F.col("bh"), F.col("__id").alias("id_b"), F.col("__tokset").alias("tok_b")
-    )
+    a = banded.select("band", "bh", F.col("__id").alias("id_a"))
+    b = banded.select("band", "bh", F.col("__id").alias("id_b"))
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "tok_a", "tok_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    toksets = spread(df).select(
+        F.col(id_col).alias("__tid"), F.array_distinct(sh).alias("__tokset")
+    )
+    pairs = (
+        cand.join(toksets.select(F.col("__tid").alias("id_a"), F.col("__tokset").alias("tok_a")), "id_a")
+        .join(toksets.select(F.col("__tid").alias("id_b"), F.col("__tokset").alias("tok_b")), "id_b")
     )
     jac = F.size(F.array_intersect("tok_a", "tok_b")) / F.size(F.array_union("tok_a", "tok_b"))
     return (
-        cand.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -200,32 +259,30 @@ def simhash(toks: Column, bits: int = 64) -> Column:
     if bits != 64:
         raise ValueError("simhash: only 64-bit supported")
     # Bit positions are unrolled statically: PySpark's shiftright/
-    # shiftleft take literal ints only, and static unrolling keeps the
-    # whole fold inside one codegen'd expression anyway.
-    counts = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(
+    # shiftleft take literal ints only. The fold runs over PRE-HASHED
+    # tokens (hashing inside the per-bit terms would re-inline xxhash64
+    # 64× per token), counts ONE-bits with branch-free arithmetic
+    # ((h>>i)&1 summed; higher-order functions are interpreted, so
+    # per-bit CASE WHEN chains cost ~3× the plain add), and derives the
+    # majority sign at the end: bit i set iff 2*ones > n.
+    ones = F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
-                    ).otherwise(-1)
-                    for i in range(64)
-                ]
-            ),
+            F.array(*[F.shiftright(h, i).bitwiseAND(F.lit(1)) for i in range(64)]),
             lambda a, b: a + b,
         ),
     )
+    n = F.size(toks).cast("long")
     # two's-complement value of bit i (bit 63 = min-long sign bit)
     bit_val = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
     fp = F.lit(0).cast("long")
     for i in range(64):
         fp = fp.bitwiseOR(
-            F.when(F.element_at(counts, i + 1) > 0, F.lit(bit_val[i]).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.element_at(ones, i + 1) * 2 > n, F.lit(bit_val[i]).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         )
     return fp
 
@@ -242,7 +299,15 @@ def simhash_pairs(
     exact block match), bucket-join on matching blocks, verify true
     hamming distance via bit_count(xor)."""
     fp = simhash(tokens(F.col(text_col)))
-    base = df.select(F.col(id_col).alias("__id"), fp.alias("__fp"))
+    # The fingerprint table is 16 bytes/doc — persist it so the
+    # self-join's two sides consume one computation of the 64-way
+    # SimHash fold instead of re-evaluating it per side (exchange
+    # reuse does not kick in across the rename-only branches). At
+    # 100 TB the fp table is ~0.02% of the corpus: persisting it is
+    # the same call a production pipeline would make.
+    base = (
+        spread(df).select(F.col(id_col).alias("__id"), fp.alias("__fp")).persist()
+    )
     width = 64 // chunks
     blocks = base.select(
         "__id",
