@@ -359,8 +359,9 @@ def embedding_cosine_pairs(
         hyperplane_signature,
     )
 
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    signed = base.withColumn("__sig", hyperplane_signature(F.col("__v"), planes, seed))
+    base = spread(df).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    # persisted: both self-join sides reuse one signature computation
+    signed = base.withColumn("__sig", hyperplane_signature(F.col("__v"), planes, seed)).persist()
     a = signed.select(F.col("__sig"), F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
     b = signed.select(F.col("__sig"), F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
     cand = a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b"))

@@ -138,7 +138,11 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from dbt_maxcompute_spark.operators.dedup import spread
+
+    # spread: JSON parsing is the map-side cost and the fixture is one
+    # file split; at scale the input already has many splits.
+    ev = spread(load_table(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.withColumn("k", k)

@@ -131,10 +131,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate (hyperplane-LSH recall) — rows-only check. The fixture
     # has no true near-dups (max pairwise cosine ≈ 0.51), so the
-    # threshold/planes are set where the S-curve still yields matches.
+    # threshold/planes are set where the S-curve still yields matches
+    # while keeping buckets small (planes=6 → 64 buckets; planes=4 had
+    # 16 buckets and a near-quadratic candidate space).
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_cosine_pairs(
-        emb, "vec_id", "embedding", threshold=0.45, planes=4
+        emb, "vec_id", "embedding", threshold=0.45, planes=6
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -268,7 +270,10 @@ FROM documents
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas stub decode + frame sampling — rows-only check.
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the fixture is one file split; the Arrow decode batches
+    # must fan out across cores (at scale the size-balanced
+    # repartition_by_size plays this role).
+    docs = dedup.spread(load_table(spark, sf_dir, "documents"))
     media = multimodal.attach_fake_payload(docs, "text", "doc_id")
     feats = multimodal.decode_media(media, fake=True)
     return multimodal.frame_sample(feats, every_n=8)

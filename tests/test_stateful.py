@@ -1,0 +1,77 @@
+"""Stateful streaming: native session_window vs the lag-based batch
+sessionization, applyInPandasWithState running totals vs batch agg,
+and a model-runner concurrency check (reference test_concurrency.py)."""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.catalog import EngineCatalog
+from dbt_maxcompute_spark.sources.registry import load_table, table_path
+from dbt_maxcompute_spark.streaming import stateful, windows as sw
+from dbt_maxcompute_spark.suite import events_suite
+
+
+def test_session_window_matches_lag_based_sessionize(spark, sf_dir):
+    """Two independent formulations of 30-min-gap sessions must agree:
+    the suite's lag+cumsum and Spark's native session_window."""
+    ours = events_suite.q_events_sessionize(spark, sf_dir)
+    native = stateful.sessionize(load_table(spark, sf_dir, "events"))
+    a = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in ours.collect()
+    }
+    # session_window's end = last_ts + gap; compare on start/count/value
+    b = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in native.collect()
+    }
+    assert a == b
+
+
+def test_running_totals_stateful_matches_batch(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id): (r.n, round(r.total, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    stream_dir = tmp_path / "ev"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(table_path(sf_dir, "events"))
+    stream = sw.read_events_stream(spark, str(stream_dir), max_files_per_trigger=1)
+    q = (
+        stateful.user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # single input file -> one micro-batch -> last update is the total
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.table("t_totals").collect()
+    }
+    assert got == want
+
+
+def test_concurrent_materializations_one_session(spark, sf_dir, tmp_path):
+    """dbt runs models on a thread pool against one warehouse
+    (reference tests/functional/adapter/test_concurrency.py); the
+    engine must be thread-safe over one SparkSession."""
+    cat = EngineCatalog(spark, str(tmp_path / "wh"))
+    nation = load_table(spark, sf_dir, "nation")
+
+    def build(i: int) -> int:
+        cat.create_table(f"t_{i}", nation.filter(F.col("n_nationkey") % 4 == i % 4))
+        return cat.read(f"t_{i}").count()
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        counts = list(ex.map(build, range(8)))
+    assert sum(counts[:4]) == nation.count()
+    assert counts[:4] == counts[4:]  # same filters -> same counts
