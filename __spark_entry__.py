@@ -19,9 +19,10 @@ from dbt_maxcompute_spark.suite import (
     functions_suite,
     pipeline_suite,
     relational,
+    relational2,
 )
 
-_SUITES = [relational, functions_suite, dml_suite, pipeline_suite, events_suite]
+_SUITES = [relational, relational2, functions_suite, dml_suite, pipeline_suite, events_suite]
 
 
 def entry(spark: SparkSession) -> DataFrame:
