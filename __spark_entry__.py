@@ -20,9 +20,18 @@ from dbt_maxcompute_spark.suite import (
     pipeline_suite,
     relational,
     relational2,
+    relational3,
 )
 
-_SUITES = [relational, relational2, functions_suite, dml_suite, pipeline_suite, events_suite]
+_SUITES = [
+    relational,
+    relational2,
+    relational3,
+    functions_suite,
+    dml_suite,
+    pipeline_suite,
+    events_suite,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
