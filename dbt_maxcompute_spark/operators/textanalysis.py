@@ -106,6 +106,21 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def chunk_starts(toks: Column, chunk_size: int, overlap: int) -> Column:
+    """1-based start offsets of token windows: stride = size - overlap,
+    last window may be short; every doc yields >= 1 chunk."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    return F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(stride)
+    )
+
+
+def chunk_tokens(toks: Column, start: Column, chunk_size: int) -> Column:
+    return F.slice(toks, start, chunk_size)
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token bag. Identical token multisets-modulo-order collide by design

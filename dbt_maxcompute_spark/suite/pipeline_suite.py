@@ -279,6 +279,74 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(feats, every_n=8)
 
 
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-window chunking (size 64, overlap 8) — the standard
+    # long-document preprocessing step before tokenizer/packing stages.
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ta.tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"))
+    ex = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        "toks",
+        F.explode(ta.chunk_starts(F.col("toks"), 64, 8)).alias("start"),
+    )
+    chunk = ta.chunk_tokens(F.col("toks"), F.col("start"), 64)
+    return ex.select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("start") - 1) / (64 - 8)).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+ORACLE_TEXT_CHUNKING = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         unnest(generate_series(1, greatest(len(toks) - 8, 1), 56)) AS start
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST((start - 1) / 56 AS INT) AS chunk_idx,
+       len(toks[start:start+63]) AS chunk_tokens,
+       array_to_string(toks[start:start+63], ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_maxcompute_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        docs, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}
+    )
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("split")
+    )
+
+
+ORACLE_HASH_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, min(doc_id) AS min_doc
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": q_dedup_exact,
     "dedup_token_jaccard_pairs": q_dedup_token_jaccard,
@@ -292,9 +360,13 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
+    "text_chunking": q_text_chunking,
+    "hash_split_counts": q_hash_split_counts,
 }
 
 ORACLES = {
+    "text_chunking": ORACLE_TEXT_CHUNKING,
+    "hash_split_counts": ORACLE_HASH_SPLIT,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_token_jaccard_pairs": ORACLE_DEDUP_JACCARD,
     "ann_brute_force_cosine": ORACLE_ANN_BRUTE,

@@ -97,3 +97,37 @@ def test_repartition_by_size_balances(spark, sf_dir):
     out = multimodal.repartition_by_size(media, 8)
     sizes = out.rdd.glom().map(len).collect()
     assert len(sizes) == 8 and max(sizes) <= 3 * (sum(sizes) / 8)
+
+
+def test_hash_sample_deterministic_and_sized(spark, sf_dir):
+    from dbt_maxcompute_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1 = sampling.hash_sample(docs, "doc_id", 0.2)
+    s2 = sampling.hash_sample(docs.repartition(7), "doc_id", 0.2)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # stable under repartitioning
+    assert 0.1 * n < len(ids1) < 0.3 * n
+
+
+def test_hash_split_partitions_everything_once(spark, sf_dir):
+    from dbt_maxcompute_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5})
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"a", "b"}
+
+
+def test_hash_split_weights_validation(spark, sf_dir):
+    from dbt_maxcompute_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
