@@ -310,11 +310,12 @@ def insert_overwrite(
     name: str,
     source: DataFrame,
     partitions: list[dict] | None = None,
-) -> None:
+) -> list[dict]:
     """Dynamic (default): replace exactly the partitions present in the
     source. Static (`partitions` given): delete those partitions and
     insert only source rows belonging to them (insert_overwrite.sql:39-63).
-    Requires a partitioned target (L4-9 parity)."""
+    Requires a partitioned target (L4-9 parity). Returns the replaced
+    partition list (empty = no-op)."""
     meta = catalog.meta(name)
     pt_cols = meta.all_partition_cols()
     if not pt_cols:
@@ -326,7 +327,10 @@ def insert_overwrite(
         replace = partitions
     else:
         replace = _affected_partitions(src, pt_cols)
+    if not replace:
+        return []  # empty source: nothing to overwrite
     _stage_and_swap(catalog, name, meta, src, replace)
+    return replace
 
 
 # ---------------------------------------------------------------------------
@@ -368,10 +372,10 @@ def microbatch(
         batch = source.filter(
             (F.col(event_time) >= F.lit(lo)) & (F.col(event_time) < F.lit(hi))
         )
-        if batch.limit(1).count() == 0:
-            continue
-        insert_overwrite(catalog, name, batch)
-        n += 1
+        # emptiness is decided by the overwrite's own affected-partition
+        # probe — no separate existence-scan job per slice
+        if insert_overwrite(catalog, name, batch):
+            n += 1
     return n
 
 

@@ -1,0 +1,56 @@
+"""Streaming ingestion into engine tables via foreachBatch.
+
+Bridges Structured Streaming to the DML planner: each micro-batch
+applies one incremental strategy (merge / append / insert_overwrite)
+against a catalog table — the streaming counterpart of the reference's
+microbatch materialization (its batch loop becomes Spark's trigger
+loop; SURVEY.md §2.3/§2.9).
+
+Exactly-once notes: the DML rewrites are idempotent per partition for
+insert_overwrite (replayed batches rewrite the same partitions) and
+key-idempotent for merge (replayed upserts converge); append is
+at-least-once on replay — same contract dbt microbatch gives. State
+lives in the checkpoint dir; at scale use one checkpoint per target
+table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from dbt_maxcompute_spark.catalog import EngineCatalog
+from dbt_maxcompute_spark.plans import dml
+
+
+def stream_into_table(
+    stream: DataFrame,
+    catalog: EngineCatalog,
+    name: str,
+    strategy: str = "merge",
+    unique_key: list[str] | str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Write a stream into catalog table `name` with a DML strategy per
+    micro-batch. The target table must already exist (its schema and
+    partition spec govern alignment)."""
+    if strategy not in ("merge", "append", "insert_overwrite"):
+        raise ValueError(f"unsupported streaming strategy {strategy!r}")
+    if strategy == "merge" and not unique_key:
+        raise ValueError("merge strategy requires unique_key")
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if strategy == "merge":
+            dml.merge(catalog, name, batch, unique_key)
+        elif strategy == "append":
+            dml.append(catalog, name, batch)
+        else:
+            dml.insert_overwrite(catalog, name, batch)
+
+    writer = stream.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

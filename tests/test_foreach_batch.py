@@ -1,0 +1,63 @@
+"""Streaming foreachBatch -> DML planner integration."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.catalog import EngineCatalog
+from dbt_maxcompute_spark.sources.registry import load_table, table_path
+from dbt_maxcompute_spark.streaming import windows as sw
+from dbt_maxcompute_spark.streaming.foreach_batch import stream_into_table
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return EngineCatalog(spark, str(tmp_path / "wh"))
+
+
+def _events_stream(spark, sf_dir, tmp_path):
+    d = tmp_path / "ev_src"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(table_path(sf_dir, "events"))
+    return sw.read_events_stream(spark, str(d))
+
+
+def test_stream_merge_into_table(spark, sf_dir, tmp_path, cat):
+    ev = load_table(spark, sf_dir, "events")
+    # pre-seed with stale rows for half the ids: the stream must upsert
+    stale = ev.filter(F.col("event_id") % 2 == 0).withColumn("value", F.lit(-1.0))
+    cat.create_table("ev_tgt", stale)
+    q = stream_into_table(
+        _events_stream(spark, sf_dir, tmp_path),
+        cat,
+        "ev_tgt",
+        strategy="merge",
+        unique_key="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = cat.read("ev_tgt")
+    assert got.count() == ev.count()
+    assert got.filter(F.col("value") == -1.0).count() == 0  # all refreshed
+
+
+def test_stream_append_into_table(spark, sf_dir, tmp_path, cat):
+    ev = load_table(spark, sf_dir, "events")
+    cat.create_table("ev_app", ev.limit(0))
+    q = stream_into_table(
+        _events_stream(spark, sf_dir, tmp_path),
+        cat,
+        "ev_app",
+        strategy="append",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination()
+    assert cat.read("ev_app").count() == ev.count()
+
+
+def test_stream_merge_requires_key(spark, sf_dir, tmp_path, cat):
+    with pytest.raises(ValueError, match="unique_key"):
+        stream_into_table(
+            _events_stream(spark, sf_dir, tmp_path), cat, "x", strategy="merge"
+        )
