@@ -431,6 +431,53 @@ class EngineCatalog:
         meta.schema_json = df.schema.json()
         self._write_meta(name, meta)
 
+    # -- info schema / lifecycle -------------------------------------------------
+
+    def info_schema(self) -> DataFrame:
+        """One row per relation: schema, name, type, comment, n_columns,
+        lifecycle — the reference assembles the same catalog rows from
+        warehouse metadata (impl.py:299-374). Metadata-sized by
+        definition: built on the driver from the meta files."""
+        rows = []
+        for schema in self.list_schemas():
+            for tbl in self.list_tables(schema):
+                full = f"{schema}.{tbl}"
+                m = self.meta(full)
+                rows.append(
+                    (
+                        schema,
+                        tbl,
+                        m.table_type,
+                        m.comment,
+                        len(self.columns(full)),
+                        m.lifecycle,
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "table_schema string, table_name string, table_type string, "
+            "comment string, n_columns int, lifecycle int",
+        )
+
+    def sweep_lifecycle(self, now: float | None = None) -> list[str]:
+        """Drop relations older than their `lifecycle` days (the
+        reference's LIFECYCLE N table option — the warehouse GCs these
+        server-side; here an explicit sweep, run from a scheduler).
+        Returns the dropped names."""
+        now = now if now is not None else time.time()
+        dropped = []
+        for schema in self.list_schemas():
+            for tbl in self.list_tables(schema):
+                full = f"{schema}.{tbl}"
+                m = self.meta(full)
+                if m.lifecycle is None:
+                    continue
+                age_days = (now - (m.created_at or now)) / 86400.0
+                if age_days > m.lifecycle:
+                    self.drop(full)
+                    dropped.append(full)
+        return dropped
+
     # -- freshness / validation -------------------------------------------------
 
     def freshness(self, name: str) -> float:

@@ -132,3 +132,41 @@ def test_freshness(spark, catalog, base):
 def test_invalid_identifier(spark, catalog):
     with pytest.raises(ValueError, match="invalid identifier"):
         catalog.table_dir("bad-name; drop")
+
+
+def test_info_schema_rows(spark, catalog):
+    catalog.create_table("t_info", spark.createDataFrame([(1, "a")], ["id", "v"]), lifecycle=7)
+    catalog.create_view("v_info", "select 1 as one")
+    rows = {
+        (r.table_name, r.table_type, r.n_columns, r.lifecycle)
+        for r in catalog.info_schema().collect()
+    }
+    assert ("t_info", "table", 2, 7) in rows
+    assert ("v_info", "view", 1, None) in rows
+
+
+def test_lifecycle_sweep(spark, catalog):
+    import time as _time
+
+    catalog.create_table("t_ttl", spark.createDataFrame([(1,)], ["id"]), lifecycle=1)
+    catalog.create_table("t_keep", spark.createDataFrame([(1,)], ["id"]))
+    assert catalog.sweep_lifecycle() == []  # fresh: nothing dropped
+    dropped = catalog.sweep_lifecycle(now=_time.time() + 3 * 86400)
+    assert dropped == ["default.t_ttl"]
+    assert not catalog.exists("t_ttl") and catalog.exists("t_keep")
+
+
+def test_relation_type_swap(spark, catalog):
+    """table -> view -> table swaps on re-materialization (reference
+    test_relations.py BaseChangeRelationTypeValidator)."""
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    catalog.create_table("swapper", df)
+    assert catalog.meta("swapper").table_type == "table"
+    catalog.drop("swapper")
+    catalog.create_view("swapper", "select 1 as one")
+    assert catalog.meta("swapper").table_type == "view"
+    assert catalog.read("swapper").collect()[0].one == 1
+    catalog.drop("swapper")
+    catalog.create_table("swapper", df)
+    assert catalog.meta("swapper").table_type == "table"
+    assert catalog.read("swapper").count() == 1
