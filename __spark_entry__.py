@@ -21,12 +21,14 @@ from dbt_maxcompute_spark.suite import (
     relational,
     relational2,
     relational3,
+    tpch,
 )
 
 _SUITES = [
     relational,
     relational2,
     relational3,
+    tpch,
     functions_suite,
     dml_suite,
     pipeline_suite,
