@@ -3,11 +3,15 @@ cube / grouping sets), pivot, correlated EXISTS / NOT EXISTS,
 array+struct explode, and decimal-precision fidelity (SURVEY.md §7
 watch-list item e).
 
-Scale notes: rollup/cube are single-shuffle Expand-based plans in
-Spark (each input row fans out to its grouping sets map-side — no
-re-aggregation pass per level); pivot with an explicit value list
-stays one aggregation (no distinct-values probe job); EXISTS
-decorrelates to a semi join.
+Scale notes: rollup/cube over LOW-cardinality keys are computed as
+base-aggregate-then-re-rollup — Spark's native rollup/cube runs the
+Expand operator on every input row (fan-out x grouping-set count
+BEFORE the shuffle); pre-aggregating on the full key first means the
+fact table crosses the shuffle once, partially aggregated map-side,
+and the Expand touches only #distinct-groups rows.  Valid because
+count and decimal-sum partials re-aggregate exactly (associative).
+Pivot with an explicit value list stays one aggregation (no
+distinct-values probe job); EXISTS decorrelates to a semi join.
 """
 
 from __future__ import annotations
@@ -29,11 +33,21 @@ def _dsum(col, scale=6):
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Pre-aggregate on the full key (1 shuffle, map-side combine), then
+    # rollup the ~6-row result: count/decimal-sum partials recombine
+    # exactly, so this matches the single-pass rollup bit-for-bit while
+    # the Expand fan-out touches 6 rows instead of the whole fact table.
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")).alias(
+            "_rev"
+        ),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum("_n").alias("n"),
+            F.sum("_rev").cast("double").alias("revenue"),
             F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
@@ -57,11 +71,18 @@ ORDER BY gid, l_returnflag, l_linestatus
 
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # Same base-aggregate-then-re-cube trick as q_rollup_revenue: the
+    # Expand fan-out (x4 grouping sets for a 2-col cube) runs over the
+    # ~15 distinct (status, priority) pairs, not every order row.
+    base = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("_tot"),
+    )
     return (
-        orders.cube("o_orderstatus", "o_orderpriority")
+        base.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            _dsum(F.col("o_totalprice")).alias("total"),
+            F.sum("_n").alias("n"),
+            F.sum("_tot").cast("double").alias("total"),
             F.grouping_id("o_orderstatus", "o_orderpriority").alias("gid"),
         )
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
