@@ -37,6 +37,25 @@ def main() -> None:
     except Exception as exc:
         print(f"# bench warmup failed ({SF_DIR}): {exc}", file=sys.stderr)
 
+    # warm the Python worker pool too (one fork + Arrow init per core,
+    # ~4 s one-time): long-lived executors on a real cluster carry warm
+    # workers, so no single query should be billed for pool startup
+    try:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _identity(s):
+            return s
+
+        _identity.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _warm = pandas_udf(_identity, "long")
+        par = spark.sparkContext.defaultParallelism
+        spark.range(par * 8, numPartitions=par).select(_warm("id")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as exc:
+        print(f"# python-worker warmup failed: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()

@@ -50,6 +50,17 @@ def test_simhash_pairs_are_near_dups(spark, sf_dir):
         assert r.hamming <= 3
 
 
+def test_simhash_fast_matches_catalyst_fold(spark, sf_dir):
+    """The Arrow fast path must be bit-identical to the pure-Catalyst
+    reference fold (same xxhash64 token hashes, same majority rule)."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    toks = dedup.tokens(F.col("text"))
+    got = docs.select(
+        dedup.simhash(toks).alias("slow"), dedup.simhash_fast(toks).alias("fast")
+    ).collect()
+    assert got and all(r.slow == r.fast for r in got)
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
