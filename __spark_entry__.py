@@ -22,6 +22,7 @@ from dbt_maxcompute_spark.suite import (
     relational2,
     relational3,
     tpch,
+    tpch2,
 )
 
 _SUITES = [
@@ -29,6 +30,7 @@ _SUITES = [
     relational2,
     relational3,
     tpch,
+    tpch2,
     functions_suite,
     dml_suite,
     pipeline_suite,
