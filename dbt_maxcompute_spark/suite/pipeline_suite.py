@@ -145,6 +145,45 @@ def q_emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_emb_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact, oracle-checked companion to the LSH variant above: all pairs
+    # with cosine >= threshold *within a blocking key* (label).  Blocked
+    # self-join is the scale pattern — at 100 TB the blocking key would be
+    # an LSH bucket; the join shuffles both sides on the key instead of a
+    # full cross product, and the JVM-side F.aggregate dot product keeps
+    # the comparison inside codegen (no Python).
+    from dbt_maxcompute_spark.operators.similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= 0.40)
+        .select("label", "id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("label", "id_a", "id_b")
+    )
+
+
+ORACLE_EMB_EXACT = """
+WITH pairs AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, id_a, id_b, round(cosine, 4) AS cosine
+FROM pairs WHERE cosine >= 0.40
+ORDER BY label, id_a, id_b
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
@@ -355,6 +394,7 @@ QUERIES = {
     "ann_brute_force_cosine": q_ann_brute_force,
     "ann_ivf_topk": q_ann_ivf,
     "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
+    "emb_cosine_exact_pairs": q_emb_cosine_exact_pairs,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -370,6 +410,7 @@ ORACLES = {
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_token_jaccard_pairs": ORACLE_DEDUP_JACCARD,
     "ann_brute_force_cosine": ORACLE_ANN_BRUTE,
+    "emb_cosine_exact_pairs": ORACLE_EMB_EXACT,
     "text_stats": ORACLE_TEXT_STATS,
     "text_langid": ORACLE_TEXT_LANGID,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,

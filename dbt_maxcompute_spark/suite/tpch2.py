@@ -328,15 +328,21 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(late)
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("was_late").alias("n_late"),
+    # order-level counts via a window, not a second aggregate joined back:
+    # the naive per_o = per_os.groupBy(orderkey) + join re-computes the
+    # per_os subtree (two full lineitem scans); the window keeps ONE scan
+    # and adds a single orderkey shuffle (asserted in test_plan_quality).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    per_os = per_os.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late", F.sum("was_late").over(w)
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_os.filter(F.col("was_late") == 1)
-        .join(per_o, ["l_orderkey"])
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        per_os.filter(
+            (F.col("was_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -1,0 +1,81 @@
+"""Plan-quality regression tests: the scale contract, asserted.
+
+Correctness says a query returns the right rows at sf0.01; these tests
+pin the *physical plan* properties that decide whether the same query
+survives 100 TB on a 1000-executor cluster:
+
+* filters and column pruning reach the parquet scan (PushedFilters /
+  ReadSchema) — a scan that reads every column, or filters after the
+  fact, is a 100x regression at scale even though it passes sf0.01;
+* fixed-cardinality dims broadcast (BroadcastHashJoin), never shuffle
+  the fact side against a 25-row nation table;
+* top-K uses TakeOrderedAndProject, not a global sort;
+* no accidental CartesianProduct anywhere in the suite (the one
+  deliberate cross join whitelists itself).
+
+Assertions run on the *planned* (not executed) physical plan, so the
+whole suite is cheap — no data is read.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from dbt_maxcompute_spark.suite import tpch, tpch2
+
+
+def plan_of(spark, df, mode: str = "formatted") -> str:
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, tpch2.q_tpch_q6(spark, sf_dir))
+    scan = plan[plan.index("(1) Scan parquet"):]
+    scan = scan[: scan.index("\n\n")]
+    # every predicate reaches the scan
+    for pushed in ("l_shipdate", "l_discount", "l_quantity", "GreaterThanOrEqual", "LessThan"):
+        assert pushed in scan.split("PushedFilters:")[1].splitlines()[0]
+    # projection pruned to exactly the 4 referenced columns
+    read_schema = scan.split("ReadSchema:")[1].strip()
+    assert sorted(c.split(":")[0] for c in read_schema.split("<")[1].rstrip(">").split(",")) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate",
+    ]
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, tpch2.q_tpch_q5(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan  # region x nation side
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, tpch.q_tpch_q3(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_single_fact_pass(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS rewrite must not self-join lineitem at line
+    # grain: exactly one lineitem scan in the plan
+    plan = plan_of(spark, tpch2.q_tpch_q21(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_pricing_summary_partial_agg(spark, sf_dir):
+    # map-side combine: a partial_sum HashAggregate below the exchange
+    from dbt_maxcompute_spark.suite.relational import q_pricing_summary
+
+    plan = plan_of(spark, q_pricing_summary(spark, sf_dir))
+    assert "partial_sum" in plan
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_no_accidental_cartesian(spark, sf_dir, name):
+    if name == "cartesian_regions":  # the deliberate cross join
+        pytest.skip("intentional cross join")
+    fn = entrymod.queries()[name]
+    df = fn(spark, sf_dir)
+    plan = plan_of(spark, df, "simple")
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
