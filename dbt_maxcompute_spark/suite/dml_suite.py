@@ -188,6 +188,33 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# append into an auto-partitioned target (reference merge.sql:120-146:
+# partition column moved out of the INSERT list; impl.py:206-214: the
+# generated trunc_time column is derived at write, hidden from the
+# logical schema).  Completes the §2.3 strategy matrix in the
+# driver-visible set.  Scale: append is a pure partitioned write —
+# no read of existing data, dynamic partition routing only.
+# ---------------------------------------------------------------------------
+
+def q_incr_append_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _wh(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.filter(F.col("o_orderkey") % 3 == 0)
+    second = orders.filter(F.col("o_orderkey") % 3 != 0)
+    ap = {"source_column": "o_orderdate", "granularity": "month", "generated_column": "pt"}
+    run_incremental(cat, "tgt", first, strategy="append", auto_partition=ap)
+    run_incremental(cat, "tgt", second, strategy="append")
+    # the generated pt column is NOT part of the logical schema
+    return cat.read("tgt").select(*orders.columns).orderBy("o_orderkey")
+
+
+ORACLE_APPEND = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # SCD2 snapshot: orders state1 -> state2 (urgent orders flip status 30
 # days later); compare versioned history minus the opaque scd_id.
 # ---------------------------------------------------------------------------
@@ -313,6 +340,7 @@ ORDER BY id
 
 QUERIES = {
     "incr_merge_orders": q_incr_merge_orders,
+    "incr_append_partitioned": q_incr_append_partitioned,
     "incr_delete_insert_lineitem": q_incr_delete_insert_lineitem,
     "incr_insert_overwrite_events": q_incr_insert_overwrite_events,
     "incr_microbatch_events": q_incr_microbatch_events,
@@ -323,6 +351,7 @@ QUERIES = {
 
 ORACLES = {
     "incr_merge_orders": ORACLE_MERGE,
+    "incr_append_partitioned": ORACLE_APPEND,
     "incr_delete_insert_lineitem": ORACLE_DELETE_INSERT,
     "incr_insert_overwrite_events": ORACLE_INSERT_OVERWRITE,
     "incr_microbatch_events": ORACLE_MICROBATCH,
