@@ -92,6 +92,29 @@ class TableMeta:
         return cols
 
 
+def cluster_for_write(df: DataFrame, pt_cols: list[str]) -> DataFrame:
+    """Cluster rows by partition columns before a partitionBy write.
+
+    Without this, every input partition opens a file in every hive
+    partition it touches — P_in x P_table small files per write (the
+    classic dynamic-partition file explosion; 32 tasks x 24 months =
+    768 files for one fixture append).  One hash shuffle on the
+    partition key yields one file per hive partition.  For very large
+    single-partition loads add a second random key to the repartition
+    (spread one pt value over k tasks) — not needed at fixture scale.
+
+    The partition count is pinned explicitly: a bare repartition(col)
+    is an AQE coalesce target, and a small write collapses to ONE task
+    that opens every hive-partition writer sequentially — the explicit
+    N keeps the write wide while the hash on pt still sends each hive
+    partition to exactly one task (one file apiece).
+    """
+    if not pt_cols:
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in pt_cols])
+
+
 def _has_data_files(path: str) -> bool:
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -239,7 +262,7 @@ class EngineCatalog:
         path = self.table_dir(name)
         if self.exists(name) and mode == "overwrite":
             self.drop(name)
-        writer = out.write.mode("overwrite")
+        writer = cluster_for_write(out, pt_cols).write.mode("overwrite")
         if pt_cols:
             writer = writer.partitionBy(*pt_cols)
         writer.parquet(path)
@@ -422,7 +445,7 @@ class EngineCatalog:
         same parquet path in one job)."""
         staging = self.table_dir(name) + "__staging"
         pt = meta.all_partition_cols()
-        w = df.write.mode("overwrite")
+        w = cluster_for_write(df, pt).write.mode("overwrite")
         if pt:
             w = w.partitionBy(*pt)
         w.parquet(staging)

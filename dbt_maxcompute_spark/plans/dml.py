@@ -43,7 +43,7 @@ import uuid
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dbt_maxcompute_spark.catalog import EngineCatalog, TableMeta
+from dbt_maxcompute_spark.catalog import EngineCatalog, TableMeta, cluster_for_write
 
 _T, _S = "__dml_tgt_present", "__dml_src_present"
 
@@ -91,7 +91,7 @@ def _stage_and_swap(
     table_dir = catalog.table_dir(name)
     staging = f"{table_dir}__stage_{uuid.uuid4().hex[:8]}"
     pt = meta.all_partition_cols()
-    w = result.write.mode("overwrite")
+    w = cluster_for_write(result, pt).write.mode("overwrite")
     if pt:
         w = w.partitionBy(*pt)
     w.parquet(staging)
@@ -165,7 +165,7 @@ def append(catalog: EngineCatalog, name: str, source: DataFrame) -> None:
     src = _derive_auto(meta, source)
     src = _align_columns(src, catalog.read(name))
     pt = meta.all_partition_cols()
-    w = src.write.mode("append")
+    w = cluster_for_write(src, pt).write.mode("append")
     if pt:
         w = w.partitionBy(*pt)
     w.parquet(catalog.table_dir(name))

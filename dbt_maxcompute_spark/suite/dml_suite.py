@@ -194,6 +194,10 @@ ORDER BY event_id
 # logical schema).  Completes the §2.3 strategy matrix in the
 # driver-visible set.  Scale: append is a pure partitioned write —
 # no read of existing data, dynamic partition routing only.
+# Partition granularity matches data volume (year here: ~7 partitions
+# of ~20k rows at sf0.1) — partitioned writes cost per FILE, so
+# month-grain partitions of ~2k rows each would be the classic
+# tiny-partition anti-pattern at any scale.
 # ---------------------------------------------------------------------------
 
 def q_incr_append_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,7 +205,7 @@ def q_incr_append_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     first = orders.filter(F.col("o_orderkey") % 3 == 0)
     second = orders.filter(F.col("o_orderkey") % 3 != 0)
-    ap = {"source_column": "o_orderdate", "granularity": "month", "generated_column": "pt"}
+    ap = {"source_column": "o_orderdate", "granularity": "year", "generated_column": "pt"}
     run_incremental(cat, "tgt", first, strategy="append", auto_partition=ap)
     run_incremental(cat, "tgt", second, strategy="append")
     # the generated pt column is NOT part of the logical schema

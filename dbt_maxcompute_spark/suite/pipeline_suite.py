@@ -152,15 +152,37 @@ def q_emb_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an LSH bucket; the join shuffles both sides on the key instead of a
     # full cross product, and the JVM-side F.aggregate dot product keeps
     # the comparison inside codegen (no Python).
-    from dbt_maxcompute_spark.operators.similarity import cosine_expr
+    from dbt_maxcompute_spark.operators.similarity import dot_expr, norm_expr
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
-    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    # Norms are computed ONCE per vector before the self-join (n folds),
+    # not per pair inside it (2 x n^2/bucket folds): the interpreted
+    # aggregate lambda is the unit of cost here, and the pair side then
+    # pays a single dot fold.  Same arithmetic and order as the oracle.
+    from dbt_maxcompute_spark.operators.dedup import spread
+
+    # spread(): the fixture arrives as one file split and would pin all
+    # pair folds to one core (no-op at scale, where splits abound)
+    emb = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "norm", norm_expr(F.col("embedding"))
+    )
+    a = emb.select(
+        "label", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"), F.col("norm").alias("norm_a"),
+    )
+    b = emb.select(
+        "label", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("v_b"), F.col("norm").alias("norm_b"),
+    )
+    denom = F.col("norm_a") * F.col("norm_b")
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+        .withColumn(
+            "cosine",
+            F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                dot_expr(F.col("v_a"), F.col("v_b")) / denom
+            ),
+        )
         .filter(F.col("cosine") >= 0.40)
         .select("label", "id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("label", "id_a", "id_b")
