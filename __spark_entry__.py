@@ -25,16 +25,22 @@ from dbt_maxcompute_spark.suite import (
     tpch2,
 )
 
+# Suite order is driver-visible: the driver's CORRECTNESS gate checks the
+# FIRST 50 ``queries()`` entries only. Round 1 proved every relational/TPC-H
+# query green, so those rotate to the back; the DML / pipeline / events /
+# functions suites (unchecked in round 1) plus the two type-fixed queries
+# (decimal_fidelity in relational2, tpch_q12 in tpch2) now sit inside the
+# 50-entry window.
 _SUITES = [
-    relational,
-    relational2,
-    relational3,
-    tpch,
-    tpch2,
-    functions_suite,
     dml_suite,
     pipeline_suite,
     events_suite,
+    functions_suite,
+    relational2,
+    tpch2,
+    relational3,
+    relational,
+    tpch,
 ]
 
 

@@ -223,9 +223,13 @@ def q_decimal_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sum(d).cast("decimal(38,4)").alias("sum_price"),
+            # Decimal math internally; DOUBLE at the output boundary so the
+            # driver's pandas-level value hash sees float64 on both sides
+            # (DuckDB surfaces every DECIMAL as float64 via .df()).
+            F.sum(d).cast("decimal(38,4)").cast("double").alias("sum_price"),
             F.sum(d * (F.lit(1).cast("decimal(18,4)") - disc))
             .cast("decimal(38,8)")
+            .cast("double")
             .alias("sum_disc_price"),
             F.min(d).alias("min_price"),
             F.max(d).alias("max_price"),
@@ -236,10 +240,10 @@ def q_decimal_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DECIMAL = """
 SELECT l_returnflag,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-            AS DECIMAL(38,8)) AS sum_disc_price,
+            AS DECIMAL(38,8)) AS DOUBLE) AS sum_disc_price,
        CAST(min(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS min_price,
        CAST(max(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS max_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag

@@ -253,10 +253,10 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q12 = """
 SELECT l_returnflag,
-       sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
-                 AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS late_high_count,
-       sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
-                 AND o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS late_low_count,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                 AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS late_high_count,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                 AND o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS late_low_count,
        count(*) AS line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'

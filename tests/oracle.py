@@ -1,6 +1,20 @@
-"""DuckDB-oracle comparison mimicking the driver's CORRECTNESS check:
-row-count + schema + order-insensitive value compare (we compare the
-actual values, which is stricter than a hash)."""
+"""DuckDB-oracle comparison mirroring the driver's CORRECTNESS check.
+
+The driver compares Spark output against DuckDB at the *pandas* level with a
+type-strict order-insensitive value hash.  That means:
+
+- DuckDB surfaces HUGEINT (``sum`` over integers) and EVERY DECIMAL as
+  float64 through ``.df()`` — an oracle emitting HUGEINT against a Spark
+  BIGINT column fails the hash even when values are identical (round-1
+  lesson: tpch_q12, decimal_fidelity).
+- int vs float is a hash-visible difference; we must NOT canonicalize
+  Decimal/int/float into one another beyond what pandas itself does.
+
+So this comparator feeds BOTH sides through the same pandas surface the
+driver sees (``spark_df.toPandas()`` / ``duckdb .df()``) and compares
+values exactly (floats bitwise, ints as ints).  Local green here is meant
+to predict driver green.
+"""
 
 from __future__ import annotations
 
@@ -10,6 +24,8 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from dbt_maxcompute_spark.sources.registry import TABLES, table_path
 
@@ -24,47 +40,64 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
-    if v is None:
+    """Canonicalize one pandas-level cell. int stays int, float stays float
+    (bitwise), Decimal→float (both pandas surfaces do this for numerics the
+    driver hashes), temporal→ISO string, containers recurse."""
+    if v is None or v is pd.NaT or v is getattr(pd, "NA", object()):
         return None
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, (bool,)):
+        return v
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        f = float(v)
+        return "NaN" if math.isnan(f) else f
     if isinstance(v, Decimal):
         return float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
+    if isinstance(v, pd.Timestamp):
+        return v.tz_localize(None).to_pydatetime().isoformat() if v.tzinfo else v.to_pydatetime().isoformat()
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
-        return v.isoformat()
+        # date and midnight-timestamp compare equal: DuckDB's .df() widens
+        # DATE to datetime64 while Spark keeps datetime.date objects.
+        return datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, np.ndarray):
+        return tuple(_canon(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
     return v
 
 
-def _rows_canon(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(_canon(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
-    return out
+def _pdf_canon(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    rows = [tuple(_canon(v) for v in tup) for tup in pdf[cols].itertuples(index=False, name=None)]
+    rows.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return cols, rows
 
 
 def compare_to_oracle(spark_df, oracle_query: str, sf_dir: str) -> None:
     con = duckdb_connection(sf_dir)
     try:
-        want_rel = con.execute(oracle_query)
-        want_cols = [d[0] for d in want_rel.description]
-        want = want_rel.fetchall()
+        want_pdf = con.execute(oracle_query).df()
     finally:
-        pass
-    got_cols = spark_df.columns
-    got = [tuple(r) for r in spark_df.collect()]
-    con.close()
+        con.close()
+    got_pdf = spark_df.toPandas()
 
-    assert sorted(got_cols) == sorted(want_cols), (
-        f"column mismatch: spark={sorted(got_cols)} oracle={sorted(want_cols)}"
+    got_cols, got = _pdf_canon(got_pdf)
+    want_cols, want = _pdf_canon(want_pdf)
+
+    assert got_cols == want_cols, (
+        f"column mismatch: spark={got_cols} oracle={want_cols}"
     )
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
-    g = _rows_canon(got, got_cols)
-    w = _rows_canon(want, want_cols)
-    mismatches = [(a, b) for a, b in zip(g, w) if a != b]
+    mismatches = [(a, b) for a, b in zip(got, want) if a != b]
     assert not mismatches, f"{len(mismatches)} value mismatches; first 3: {mismatches[:3]}"
