@@ -79,6 +79,35 @@ def _partition_filter(pt_cols: list[str], parts: list[dict]) -> Column:
     return cond
 
 
+# Above this many affected partitions the literal OR-chain bloats the
+# Catalyst plan/codegen; switch to a broadcast left-semi join on the
+# partition tuple instead (the tuple list itself is still metadata-sized).
+_PARTITION_FILTER_MAX_LITERALS = 100
+
+
+def _scope_to_partitions(df: DataFrame, pt_cols: list[str], parts: list[dict]) -> DataFrame:
+    """Restrict `df` to the given partition tuples.
+
+    Small sets become a literal predicate (partition-prunable at the
+    scan); large sets become a broadcast semi-join so a merge touching
+    tens of thousands of partitions doesn't compile an OR-chain of the
+    same size into the plan.
+    """
+    if len(parts) <= _PARTITION_FILTER_MAX_LITERALS:
+        return df.filter(_partition_filter(pt_cols, parts))
+    spark = df.sparkSession
+    ptf = spark.createDataFrame(
+        [tuple(p[c] for c in pt_cols) for p in parts],
+        df.select(*pt_cols).schema,
+    )
+    renamed = ptf.select(*[F.col(c).alias(f"__pt_{c}") for c in pt_cols])
+    cond = None
+    for c in pt_cols:
+        this = df[c].eqNullSafe(renamed[f"__pt_{c}"])
+        cond = this if cond is None else cond & this
+    return df.join(F.broadcast(renamed), cond, "left_semi")
+
+
 def _stage_and_swap(
     catalog: EngineCatalog,
     name: str,
@@ -194,6 +223,11 @@ def merge(
     UPDATE (no row movement across partitions for matched rows).
 
     No unique_key -> degenerate append (reference merge.sql:53-57).
+
+    Duplicate keys in the source are an error: SQL MERGE (and the
+    MaxCompute engine behind the reference's merge.sql) raises when one
+    target row matches multiple source rows; a silent full-outer fan-out
+    would duplicate matched target rows instead.
     """
     if not unique_key:
         append(catalog, name, source)
@@ -203,6 +237,7 @@ def merge(
     tgt = catalog.read(name)
     src = _derive_auto(meta, source)
     src = _align_columns(src, tgt)
+    _assert_unique_source_keys(src, keys)
 
     pt_cols = meta.all_partition_cols()
     update_cols = _update_set(meta, tgt.columns, keys, merge_update_columns, merge_exclude_columns)
@@ -214,7 +249,7 @@ def merge(
         # excluded from UPDATE), so target rows outside source
         # partitions cannot change.
         replace_parts = _affected_partitions(src, pt_cols)
-        tgt = tgt.filter(_partition_filter(pt_cols, replace_parts))
+        tgt = _scope_to_partitions(tgt, pt_cols, replace_parts)
 
     t = tgt.withColumn(_T, F.lit(True))
     s = src.withColumn(_S, F.lit(True))
@@ -244,6 +279,24 @@ def merge(
         new_parts = {tuple(p[c] for c in pt_cols) for p in replace_parts}
         replace_parts = [dict(zip(pt_cols, t_)) for t_ in new_parts]
     _stage_and_swap(catalog, name, meta, result, replace_parts)
+
+
+def _assert_unique_source_keys(src: DataFrame, keys: list[str]) -> None:
+    """One map-side-combinable agg over the (incremental-sized) source;
+    surfaces the first offending key tuple in the error."""
+    dup = (
+        src.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        bad = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"merge source has duplicate rows for unique_key {keys}: first duplicate {bad} "
+            "(SQL MERGE rejects multi-match; deduplicate the source or use delete+insert)"
+        )
 
 
 def _update_set(
@@ -287,7 +340,7 @@ def delete_insert(
     survivors_outside = None
     if pt_cols:
         replace_parts = _affected_partitions(src, pt_cols)
-        tgt_scope = tgt.filter(_partition_filter(pt_cols, replace_parts))
+        tgt_scope = _scope_to_partitions(tgt, pt_cols, replace_parts)
     else:
         tgt_scope = tgt
 
@@ -323,7 +376,7 @@ def insert_overwrite(
     src = _derive_auto(meta, source)
     src = _align_columns(src, catalog.read(name))
     if partitions is not None:
-        src = src.filter(_partition_filter(pt_cols, partitions))
+        src = _scope_to_partitions(src, pt_cols, partitions)
         replace = partitions
     else:
         replace = _affected_partitions(src, pt_cols)

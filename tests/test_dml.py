@@ -251,3 +251,38 @@ class TestRunIncremental:
         catalog.create_table("ri5", seed_df(spark, BASE))
         run_incremental(catalog, "ri5", seed_df(spark, INCR), full_refresh=True)
         assert len(rows_of(catalog, "ri5")) == 2
+
+
+def test_merge_rejects_duplicate_source_keys(spark, catalog):
+    """SQL MERGE errors when a target row matches multiple source rows;
+    a silent full-outer fan-out would duplicate matched rows instead."""
+    catalog.create_table("t", seed_df(spark, BASE))
+    dup_src = seed_df(spark, [(2, "B", "p1"), (2, "B2", "p1"), (4, "d", "p3")])
+    with pytest.raises(ValueError, match="duplicate rows for unique_key"):
+        dml.merge(catalog, "t", dup_src, unique_key="id")
+    # target untouched
+    assert rows_of(catalog, "t") == sorted(BASE)
+
+
+def test_partition_scope_semi_join_above_threshold(spark, catalog):
+    """>100 affected partitions: the scope filter switches from a
+    literal OR-chain to a broadcast semi-join (plan-size guard), with
+    identical semantics."""
+    df = spark.range(0, 300).select(
+        F.col("id"), F.concat(F.lit("p"), F.col("id") % 150).alias("pt")
+    )
+    parts = [{"pt": f"p{i}"} for i in range(120)]
+    scoped = dml._scope_to_partitions(df, ["pt"], parts)
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    got = sorted(r["id"] for r in scoped.collect())
+    want = sorted(i for i in range(300) if (i % 150) < 120)
+    assert got == want
+
+    # small sets stay a literal predicate (partition-prunable at the scan)
+    small = dml._scope_to_partitions(df, ["pt"], parts[:3])
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in small_plan
+    assert sorted(r["id"] for r in small.collect()) == sorted(
+        i for i in range(300) if (i % 150) < 3
+    )
