@@ -29,6 +29,7 @@ import os
 import re
 import shutil
 import time
+import uuid
 from dataclasses import asdict, dataclass, field
 from typing import Any
 
@@ -77,6 +78,7 @@ class TableMeta:
     column_comments: dict[str, str] = field(default_factory=dict)
     view_sql: str | None = None  # views + MV defining query
     mv_config: dict[str, Any] | None = None  # lifecycle/build_deferred/... for MVs
+    contract: dict[str, Any] | None = None  # model contract (re-enforced on DML)
     schema_json: str | None = None  # authoritative schema (survives empty tables)
     created_at: float = 0.0
     grants: dict[str, list[str]] = field(default_factory=dict)  # recorded, no-op executor
@@ -227,6 +229,7 @@ class EngineCatalog:
         lifecycle: int | None = None,
         tblproperties: dict[str, str] | None = None,
         comment: str | None = None,
+        contract: dict[str, Any] | None = None,
         mode: str = "error",
     ) -> TableMeta:
         """CREATE TABLE + INSERT (reference table/create.sql:13-76 is a
@@ -235,9 +238,21 @@ class EngineCatalog:
         transactional=True records the delta-table contract
         (primary-key upsert target, reference create.sql:2-4,44-49);
         the DML planner uses primary_keys for its merge rewrite.
+
+        An enforced `contract` (reference create.sql:22-26 +
+        impl.py:69-75) asserts declared==inferred columns before any
+        write, then stages the data and validates not_null constraints
+        against the STAGED parquet (model query runs once); a violation
+        aborts and leaves any existing relation untouched.
         """
+        from dbt_maxcompute_spark import contracts as _contracts
+
         if self.exists(name) and mode == "error":
             raise ValueError(f"table {name} already exists")
+        contract_obj = _contracts.ModelContract.parse(contract) if contract else None
+        if contract_obj and contract_obj.enforced:
+            _contracts.assert_columns_equivalent(contract_obj, df)
+            _contracts.warn_unsupported_constraints(contract_obj)
         meta = TableMeta(
             name=name,
             partition_by=list(partition_by or []),
@@ -248,6 +263,7 @@ class EngineCatalog:
             lifecycle=lifecycle,
             tblproperties=dict(tblproperties or {}),
             comment=comment,
+            contract=contract_obj.to_dict() if contract_obj else None,
             created_at=time.time(),
         )
         if transactional and not meta.primary_keys:
@@ -260,12 +276,36 @@ class EngineCatalog:
         if missing:
             raise ValueError(f"partition columns {missing} not in dataframe")
         path = self.table_dir(name)
-        if self.exists(name) and mode == "overwrite":
-            self.drop(name)
-        writer = cluster_for_write(out, pt_cols).write.mode("overwrite")
-        if pt_cols:
-            writer = writer.partitionBy(*pt_cols)
-        writer.parquet(path)
+        nn_cols = (
+            contract_obj.not_null_columns()
+            if contract_obj and contract_obj.enforced
+            else []
+        )
+        if nn_cols:
+            # stage -> validate staged files -> swap (rollback parity:
+            # the old relation survives a constraint violation)
+            staging = f"{path}__contract_stage_{uuid.uuid4().hex[:8]}"
+            w = cluster_for_write(out, pt_cols).write.mode("overwrite")
+            if pt_cols:
+                w = w.partitionBy(*pt_cols)
+            w.parquet(staging)
+            try:
+                _contracts.validate_not_null(
+                    self.spark.read.parquet(staging), nn_cols
+                )
+            except Exception:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            if self.exists(name) and mode == "overwrite":
+                self.drop(name)
+            os.replace(staging, path)
+        else:
+            if self.exists(name) and mode == "overwrite":
+                self.drop(name)
+            writer = cluster_for_write(out, pt_cols).write.mode("overwrite")
+            if pt_cols:
+                writer = writer.partitionBy(*pt_cols)
+            writer.parquet(path)
         meta.schema_json = out.schema.json()
         self._write_meta(name, meta)
         return meta

@@ -108,6 +108,19 @@ def run_incremental(
 
     model = apply_schema_change(catalog, name, model, on_schema_change)
 
+    # Insert-time constraint enforcement (reference: the warehouse rejects
+    # NULLs in NOT NULL columns on every insert, not just at create):
+    # re-validate the incremental batch against the table's stored contract.
+    meta = catalog.meta(name)
+    if meta.contract:
+        from dbt_maxcompute_spark import contracts as _contracts
+
+        c = _contracts.ModelContract.parse(meta.contract)
+        if c.enforced:
+            _contracts.validate_not_null(
+                model, [col for col in c.not_null_columns() if col in model.columns]
+            )
+
     if strategy == "append":
         dml.append(catalog, name, model)
     elif strategy == "merge":

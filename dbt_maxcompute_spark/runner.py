@@ -48,6 +48,7 @@ _TABLE_OPTS = (
     "lifecycle",
     "tblproperties",
     "comment",
+    "contract",
 )
 
 

@@ -342,6 +342,57 @@ ORDER BY id
 """
 
 
+# ---------------------------------------------------------------------------
+# model contract: not_null ENFORCED end-to-end (reference impl.py:69-75 +
+# test_constraints.py rollback shapes). A violating batch is rejected and
+# must leave the table untouched — if enforcement failed, the zeroed
+# balances from the bad batch would surface in the final state and the
+# oracle hash would catch it.
+# ---------------------------------------------------------------------------
+
+_CUSTOMER_CONTRACT = {
+    "enforced": True,
+    "columns": [
+        {"name": "c_custkey", "data_type": "bigint", "constraints": ["not_null"]},
+        {"name": "c_name", "data_type": "string"},
+        {"name": "c_acctbal", "data_type": "double", "constraints": ["not_null"]},
+    ],
+}
+
+
+def q_contracts_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_maxcompute_spark.contracts import ConstraintViolation
+
+    cat = _wh(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    base = cust.filter(F.col("c_custkey") % 3 != 0)
+    run_incremental(
+        cat, "tgt", base, strategy="merge", unique_key="c_custkey",
+        contract=_CUSTOMER_CONTRACT,
+    )
+    # bad batch: NULL keys + zeroed balances — must be rejected atomically
+    bad = cust.withColumn(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(F.col("c_custkey")),
+    ).withColumn("c_acctbal", F.lit(0.0))
+    try:
+        run_incremental(cat, "tgt", bad, strategy="merge", unique_key="c_custkey")
+        raise AssertionError("not_null violation was not enforced")
+    except ConstraintViolation:
+        pass
+    # good batch: the remaining customers — merges cleanly
+    good = cust.filter(F.col("c_custkey") % 3 == 0)
+    run_incremental(cat, "tgt", good, strategy="merge", unique_key="c_custkey")
+    return cat.read("tgt").orderBy("c_custkey")
+
+
+# final state == all customers with ORIGINAL balances: the create kept
+# %3!=0, the good batch added %3==0, the zero-balance batch was rejected.
+ORACLE_CONTRACTS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "incr_merge_orders": q_incr_merge_orders,
     "incr_append_partitioned": q_incr_append_partitioned,
@@ -351,6 +402,7 @@ QUERIES = {
     "scd2_snapshot_orders": q_scd2_snapshot_orders,
     "mv_returnflag_rollup": q_mv_returnflag_rollup,
     "seed_roundtrip": q_seed_roundtrip,
+    "contracts_not_null": q_contracts_not_null,
 }
 
 ORACLES = {
@@ -362,4 +414,5 @@ ORACLES = {
     "scd2_snapshot_orders": ORACLE_SCD2,
     "mv_returnflag_rollup": ORACLE_MV,
     "seed_roundtrip": ORACLE_SEED,
+    "contracts_not_null": ORACLE_CONTRACTS,
 }
