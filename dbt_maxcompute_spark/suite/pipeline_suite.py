@@ -330,14 +330,32 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # mapInPandas stub decode + frame sampling — rows-only check.
-    # spread: the fixture is one file split; the Arrow decode batches
-    # must fan out across cores (at scale the size-balanced
-    # repartition_by_size plays this role).
+    # REAL codec path: synthesize genuine BMP/PPM/WAV bytes per document
+    # (deterministic in doc_id + utf8 length), then parse them back with
+    # the pure-numpy decoders — header walk, row-padding strip, RIFF
+    # chunk scan all exercised. The oracle predicts every feature from
+    # the generation formula, so a decode bug (e.g. counting BMP padding
+    # bytes in the mean) breaks the hash. spread: the fixture is one
+    # file split; the Arrow decode batches must fan out across cores.
     docs = dedup.spread(load_table(spark, sf_dir, "documents"))
-    media = multimodal.attach_fake_payload(docs, "text", "doc_id")
-    feats = multimodal.decode_media(media, fake=True)
-    return multimodal.frame_sample(feats, every_n=8)
+    media = multimodal.synthesize_media_payload(docs, "text", "doc_id")
+    return multimodal.decode_media(media)
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+WITH base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS format,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 8 + doc_id % 24 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 8 + (doc_id // 7) % 24 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 500 + doc_id % 1000 ELSE 1 END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN abs((n % 1000) - 500)
+                 ELSE (n % 240) + 8 END AS DOUBLE) AS mean_intensity
+FROM base
+"""
 
 
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,4 +455,5 @@ ORACLES = {
     "text_langid": ORACLE_TEXT_LANGID,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "multimodal_metadata": ORACLE_MULTIMODAL_META,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }

@@ -94,24 +94,67 @@ def test_lsh_topk_subset_of_corpus(spark, sf_dir):
     assert all(r.query_id != r.neighbor_id for r in out)
 
 
-def test_multimodal_decode_stub_raises_without_fake(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(5)
-    media = multimodal.attach_fake_payload(docs, "text", "doc_id")
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
-        multimodal.decode_media(media, fake=False).collect()
+def test_multimodal_unsupported_codec_raises_or_skips(spark, sf_dir):
+    # a JPEG payload has no pure-numpy codec: error by default, droppable
+    # with on_unsupported="skip" (the 100 TB crawl posture)
+    jpeg = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg"))],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="no codec|PythonException"):
+        multimodal.decode_media(jpeg).collect()
+    assert multimodal.decode_media(jpeg, on_unsupported="skip").count() == 0
 
 
-def test_multimodal_feature_pipeline_shape(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_fake_payload(docs, "text", "doc_id")
+def test_codec_bmp_golden():
+    # 3x2, fill 100: stride pads 9 -> 12 bytes/row; padding must not
+    # dilute the mean
+    b = multimodal._encode_bmp(3, 2, 100)
+    w, h, mean = multimodal._decode_bmp(b)
+    assert (w, h, mean) == (3, 2, 100.0)
+    assert len(b) == 14 + 40 + 12 * 2
+    # top-down variant (negative height) decodes identically
+    import struct
+
+    neg = bytearray(b)
+    struct.pack_into("<i", neg, 22, -2)
+    assert multimodal._decode_bmp(bytes(neg)) == (3, 2, 100.0)
+
+
+def test_codec_ppm_golden():
+    b = multimodal._encode_ppm(4, 3, 7)
+    assert multimodal._decode_ppm(b) == (4, 3, 7.0)
+    # comment already embedded by the encoder; malformed magic raises
+    with pytest.raises(ValueError):
+        multimodal._decode_ppm(b"P5 1 1 255 x")
+
+
+def test_codec_wav_golden():
+    b = multimodal._encode_wav(-123, 50)
+    ch, bits, n, mean = multimodal._decode_wav(b)
+    assert (ch, bits, n, mean) == (1, 16, 50, 123.0)
+    # the LIST chunk between fmt and data exercises real chunk walking
+    assert b"LIST" in b
+
+
+def test_multimodal_feature_pipeline_real(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = multimodal.synthesize_media_payload(docs, "text", "doc_id")
     n_media = media.count()
-    feats = multimodal.decode_media(media, fake=True)
-    assert feats.count() == n_media
-    sampled = multimodal.frame_sample(feats, every_n=8)
-    # videos explode to >= 1 frames, others exactly 1
-    assert sampled.count() >= n_media
-    videos = feats.filter(F.col("kind") == "video")
-    assert videos.filter(F.col("n_frames") > 1).count() > 0
+    feats = multimodal.decode_media(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == n_media
+    docs_rows = docs.select("doc_id", "text").collect()
+    for d in docs_rows:
+        i, n = d["doc_id"], len(d["text"].encode("utf-8"))
+        r = rows[i]
+        if i % 3 == 2:
+            assert r["format"] == "wav" and r["n_frames"] == 500 + i % 1000
+            assert r["mean_intensity"] == abs((n % 1000) - 500)
+        else:
+            assert r["format"] == ("bmp" if i % 3 == 0 else "ppm")
+            assert (r["width"], r["height"]) == (8 + i % 24, 8 + (i // 7) % 24)
+            assert r["mean_intensity"] == (n % 240) + 8
 
 
 def test_repartition_by_size_balances(spark, sf_dir):
