@@ -117,6 +117,25 @@ def cluster_for_write(df: DataFrame, pt_cols: list[str]) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in pt_cols])
 
 
+_STRING_FAMILY_RX = re.compile(r"^(?:string|text|(?:varchar|char)\s*\(\s*(\d+)\s*\))$")
+
+
+def _string_size(t: str) -> float | None:
+    """None = not string-family; inf = unbounded string; n = varchar/char(n)."""
+    m = _STRING_FAMILY_RX.match(t.strip().lower())
+    if not m:
+        return None
+    return float(m.group(1)) if m.group(1) else float("inf")
+
+
+def can_expand_to(cur_type: str, new_type: str) -> bool:
+    """Reference column.py:78-80: a column may expand only within the
+    string family (varchar/char/string); additionally the new size must
+    not narrow (varchar(10)->varchar(5) would truncate)."""
+    cur, new = _string_size(cur_type), _string_size(new_type)
+    return cur is not None and new is not None and new >= cur
+
+
 def _has_data_files(path: str) -> bool:
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -472,11 +491,24 @@ class EngineCatalog:
             df = df.drop(col)
         self._rewrite(name, df, meta)
 
-    def alter_column_type(self, name: str, column: str, new_type: str) -> None:
-        """CHANGE COLUMN type (reference columns.sql:1-3); string
-        expansion always allowed (column.py:78-80)."""
+    def alter_column_type(
+        self, name: str, column: str, new_type: str, force: bool = False
+    ) -> None:
+        """CHANGE COLUMN type (reference columns.sql:1-3). Only string
+        EXPANSION is allowed (reference column.py:78-80 can_expand_to:
+        both sides string-family, no size narrowing); any other retype
+        needs force=True — it silently truncates/nulls at scale."""
         meta = self.meta(name)
         df = self.spark.read.parquet(self.table_dir(name))
+        cur_type = dict(self.columns(name)).get(column)
+        if cur_type is None:
+            raise ValueError(f"column {column!r} not found in {name}")
+        if not force and not can_expand_to(cur_type, new_type):
+            raise ValueError(
+                f"cannot alter {name}.{column} from {cur_type!r} to {new_type!r}: "
+                "only string-family expansion is allowed (pass force=True to "
+                "override — non-expanding casts can truncate or null out data)"
+            )
         df = df.withColumn(column, F.col(column).cast(new_type))
         self._rewrite(name, df, meta)
 

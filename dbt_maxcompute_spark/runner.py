@@ -70,6 +70,8 @@ def run_model(
     if mat not in MATERIALIZATIONS:
         raise ValueError(f"unknown materialization {mat!r} (have {MATERIALIZATIONS})")
 
+    _swap_relation_type(catalog, name, mat)
+
     if mat == "table":
         opts = {k: cfg.pop(k) for k in list(cfg) if k in _TABLE_OPTS}
         _reject_extra(cfg)
@@ -122,3 +124,28 @@ def run_model(
 def _reject_extra(cfg: dict[str, Any]) -> None:
     if cfg:
         raise ValueError(f"unsupported config keys: {sorted(cfg)}")
+
+
+# relation type each materialization produces (None = never a stored relation)
+_TYPE_OF_MAT = {
+    "table": "table",
+    "view": "view",
+    "materialized_view": "materialized_view",
+    "incremental": "table",
+    "snapshot": "table",
+    "seed": "table",
+    "clone": "table",
+}
+
+
+def _swap_relation_type(catalog: EngineCatalog, name: str, mat: str) -> None:
+    """table/view/MV are replaceable relations (reference
+    relation.py:42-50, tests/functional/adapter/test_relations.py): when
+    an existing name changes materialization type, the old relation is
+    dropped so the new one can be created — without this, a view's meta
+    would overwrite a table's while its parquet files leak on disk."""
+    target = _TYPE_OF_MAT.get(mat)
+    if target is None or not catalog.exists(name):
+        return
+    if catalog.meta(name).table_type != target:
+        catalog.drop(name)

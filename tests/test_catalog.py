@@ -75,9 +75,32 @@ def test_schema_evolution_add_remove(spark, catalog, base):
     assert df.filter(df.score.isNull()).count() == 2
 
 
-def test_alter_column_type(spark, catalog, base):
-    catalog.alter_column_type("base", "id", "string")
+def test_alter_column_type_forced_retype(spark, catalog, base):
+    # bigint->string is not a string-family expansion: rejected unless forced
+    with pytest.raises(ValueError, match="only string-family expansion"):
+        catalog.alter_column_type("base", "id", "string")
+    catalog.alter_column_type("base", "id", "string", force=True)
     assert dict(catalog.columns("base"))["id"] == "string"
+
+
+def test_alter_column_type_string_widening(spark, catalog, base):
+    # string-family widening allowed without force (reference
+    # column.py:78-80 can_expand_to)
+    catalog.alter_column_type("base", "name", "string")
+    assert dict(catalog.columns("base"))["name"] == "string"
+
+
+def test_can_expand_to_rules():
+    from dbt_maxcompute_spark.catalog import can_expand_to
+
+    assert can_expand_to("varchar(5)", "varchar(10)")
+    assert can_expand_to("varchar(5)", "string")
+    assert can_expand_to("char(3)", "varchar(3)")
+    assert can_expand_to("string", "string")
+    assert not can_expand_to("varchar(10)", "varchar(5)")  # narrowing
+    assert not can_expand_to("string", "varchar(99)")  # unbounded -> bounded
+    assert not can_expand_to("bigint", "string")  # cross-family
+    assert not can_expand_to("string", "bigint")
 
 
 def test_comments_idempotent(spark, catalog, base):

@@ -206,3 +206,65 @@ def test_run_model_ephemeral_returns_dataframe(spark, cat):
     )
     assert df.collect()[0].id == 1
     assert not cat.exists("e")
+
+
+# ---------------------------------------------------------------------------
+# relation-type swap (reference relation.py:42-50 replaceable_relations,
+# tests/functional/adapter/test_relations.py)
+# ---------------------------------------------------------------------------
+
+
+class TestRelationTypeSwap:
+    @pytest.fixture()
+    def catalog(self, spark, tmp_path):
+        cat = EngineCatalog(spark, str(tmp_path / "wh"))
+        src = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+        cat.create_table("src", src)
+        return cat
+
+    def test_table_to_view_swap(self, spark, catalog):
+        df = catalog.read("src")
+        run_model(catalog, {"name": "m", "materialized": "table"}, df)
+        assert catalog.meta("m").table_type == "table"
+        run_model(catalog, {"name": "m", "materialized": "view"}, "SELECT id FROM src")
+        assert catalog.meta("m").table_type == "view"
+        # the table's parquet files must be gone (no orphaned data)
+        import os
+        leftovers = [
+            f for f in os.listdir(catalog.table_dir("m")) if f.endswith(".parquet")
+        ]
+        assert leftovers == []
+        assert sorted(r["id"] for r in catalog.read("m").collect()) == [1, 2]
+
+    def test_view_to_table_swap(self, spark, catalog):
+        run_model(catalog, {"name": "m", "materialized": "view"}, "SELECT id FROM src")
+        run_model(catalog, {"name": "m", "materialized": "table"}, catalog.read("src"))
+        assert catalog.meta("m").table_type == "table"
+        assert catalog.read("m").count() == 2
+
+    def test_table_to_materialized_view_swap(self, spark, catalog):
+        run_model(catalog, {"name": "m", "materialized": "table"}, catalog.read("src"))
+        run_model(
+            catalog,
+            {"name": "m", "materialized": "materialized_view"},
+            "SELECT id FROM src",
+        )
+        assert catalog.meta("m").table_type == "materialized_view"
+
+    def test_view_to_incremental_swap(self, spark, catalog):
+        run_model(catalog, {"name": "m", "materialized": "view"}, "SELECT id FROM src")
+        run_model(
+            catalog,
+            {"name": "m", "materialized": "incremental", "strategy": "append"},
+            catalog.read("src"),
+        )
+        assert catalog.meta("m").table_type == "table"
+        assert catalog.read("m").count() == 2
+
+    def test_same_type_no_swap(self, spark, catalog):
+        run_model(catalog, {"name": "m", "materialized": "table"}, catalog.read("src"))
+        created = catalog.meta("m").created_at
+        # same-type rebuild goes through the normal overwrite path
+        run_model(catalog, {"name": "m", "materialized": "table"}, catalog.read("src"))
+        assert catalog.meta("m").table_type == "table"
+        assert catalog.meta("m").created_at >= created
