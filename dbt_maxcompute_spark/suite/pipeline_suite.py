@@ -71,6 +71,28 @@ WHERE round(CAST(icnt AS DOUBLE) / CAST(ucnt AS DOUBLE), 6) >= 0.8
 """
 
 
+def q_dedup_lsh_recall_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH quality pin with a HARD oracle: at b=16/r=2 a pair with
+    # jaccard >= 0.8 collides in some band with prob 1-(1-0.8^2)^16
+    # ~ 1-8e-8 (deterministic here: fixed xxhash64 seeds), and
+    # verification is the exact measure, so the verified pair set on
+    # the bounded subset must EQUAL the exact all-pairs answer —
+    # recall pinned at 1.0 via rows/hash match, false positives
+    # impossible by construction. threshold passed 0.79 then the same
+    # round-to-6-then-filter as the exact query, so boundary pairs
+    # can't straddle the rounding.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=32, bands=16, shingle_n=1, jaccard_threshold=0.79,
+    )
+    return (
+        pairs.withColumn("jaccard", F.round("jaccard", 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate — rows-only check (no SQL-expressible oracle).
     docs = load_table(spark, sf_dir, "documents")
@@ -429,6 +451,7 @@ FROM b GROUP BY 1 ORDER BY 1
 QUERIES = {
     "dedup_exact_documents": q_dedup_exact,
     "dedup_token_jaccard_pairs": q_dedup_token_jaccard,
+    "dedup_lsh_recall_pinned": q_dedup_lsh_recall_pinned,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_brute_force_cosine": q_ann_brute_force,
@@ -449,6 +472,9 @@ ORACLES = {
     "hash_split_counts": ORACLE_HASH_SPLIT,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_token_jaccard_pairs": ORACLE_DEDUP_JACCARD,
+    # the recall pin shares the exact-measure oracle: LSH-verified pairs
+    # must equal the exact all-pairs set at the same threshold
+    "dedup_lsh_recall_pinned": ORACLE_DEDUP_JACCARD,
     "ann_brute_force_cosine": ORACLE_ANN_BRUTE,
     "emb_cosine_exact_pairs": ORACLE_EMB_EXACT,
     "text_stats": ORACLE_TEXT_STATS,
