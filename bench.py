@@ -63,6 +63,23 @@ def main() -> None:
         spark.range(par * 8, numPartitions=par).select(_warm("id")).write.format(
             "noop"
         ).mode("overwrite").save()
+
+        # the array<long> Arrow path (minhash signatures) has its own
+        # first-touch codegen cost — warm it on a 64-row literal frame
+        from pyspark.sql import functions as F
+
+        from dbt_maxcompute_spark.operators.dedup import (
+            minhash_signature_fast,
+            shingles,
+            tokens,
+        )
+
+        tiny = spark.range(64, numPartitions=par).select(
+            F.concat(F.lit("warm doc text number "), F.col("id").cast("string")).alias("text")
+        )
+        tiny.select(
+            minhash_signature_fast(shingles(tokens(F.col("text")), 3), 16)
+        ).write.format("noop").mode("overwrite").save()
     except Exception as exc:
         print(f"# python-worker warmup failed: {exc}", file=sys.stderr)
 

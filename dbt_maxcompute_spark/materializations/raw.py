@@ -67,15 +67,46 @@ def split_statements(script: str) -> list[str]:
     return out
 
 
+def render_query_comment(meta: "dict | str | None") -> str:
+    """dbt's query-comment block rendered as a SQL block comment
+    (reference tests/functional/adapter/test_query_comment.py — dbt-core
+    prepends `/* {json} */` with app/dbt_version/node_id). Dict metadata
+    is JSON-encoded; `*/` inside the payload is defanged so it cannot
+    terminate the comment early."""
+    import json
+
+    if not meta:
+        return ""
+    body = meta if isinstance(meta, str) else json.dumps(meta, sort_keys=True)
+    return "/* " + body.replace("*/", "* /") + " */"
+
+
+def inject_query_comment(
+    sql: str, meta: "dict | str | None", append: bool = False
+) -> str:
+    """Prepend (default) or append the rendered comment to one
+    statement — dbt's `query-comment: {comment: ..., append: ...}`."""
+    comment = render_query_comment(meta)
+    if not comment:
+        return sql
+    return f"{sql}\n{comment}" if append else f"{comment}\n{sql}"
+
+
 def run_raw(
-    spark: SparkSession, script: str
+    spark: SparkSession,
+    script: str,
+    query_comment: "dict | str | None" = None,
+    comment_append: bool = False,
 ) -> tuple[DataFrame | None, dict[str, str], list[str]]:
     """Execute a raw script. Returns (last statement's DataFrame or
-    None for an empty script, recorded inert hints, parse errors)."""
+    None for an empty script, recorded inert hints, parse errors).
+    `query_comment` is injected into every executed statement (the
+    statement splitter and Spark's parser both tolerate it — the
+    reference's query-comment contract)."""
     parsed = parse_set_preamble(script)
     apply, record = split_hints(parsed.settings)
     last: DataFrame | None = None
     with scoped_confs(spark, apply):
         for stmt in split_statements(parsed.remaining_query):
-            last = spark.sql(stmt)
+            last = spark.sql(inject_query_comment(stmt, query_comment, comment_append))
     return last, record, parsed.errors

@@ -79,3 +79,40 @@ def test_no_accidental_cartesian(spark, sf_dir, name):
     df = fn(spark, sf_dir)
     plan = plan_of(spark, df, "simple")
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_lsh_bucket_cap_is_broadcast_anti_join(spark, sf_dir):
+    # the oversized-bucket quarantine must be a broadcast ANTI join on
+    # (band, bh) — a window-count rewrite would sort-shuffle every
+    # banded row just to tag the rare overflow
+    from dbt_maxcompute_spark.operators import dedup
+    from dbt_maxcompute_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 50")
+    df = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+    plan = plan_of(spark, df, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Window" not in plan
+
+
+def test_cluster_for_write_one_file_per_partition(spark, tmp_path):
+    # the explicit-N repartition on partition cols must yield exactly ONE
+    # parquet file per hive partition — without it a 32-task input onto a
+    # 24-partition target writes up to 768 small files
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 10_000).select(
+        F.col("id"), F.concat(F.lit("p"), F.col("id") % 24).alias("pt")
+    )
+    cat.create_table("t", df, partition_by=["pt"])
+    base = cat.table_dir("t")
+    for d in sorted(os.listdir(base)):
+        if not d.startswith("pt="):
+            continue
+        files = [f for f in os.listdir(os.path.join(base, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d} has {len(files)} files (want exactly 1)"

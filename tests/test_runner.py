@@ -268,3 +268,46 @@ class TestRelationTypeSwap:
         run_model(catalog, {"name": "m", "materialized": "table"}, catalog.read("src"))
         assert catalog.meta("m").table_type == "table"
         assert catalog.meta("m").created_at >= created
+
+
+# ---------------------------------------------------------------------------
+# query-comment injection (reference test_query_comment.py: comments are
+# injected into every executed statement and never break execution)
+# ---------------------------------------------------------------------------
+
+
+class TestQueryComment:
+    def test_render_and_inject(self):
+        from dbt_maxcompute_spark.materializations.raw import (
+            inject_query_comment,
+            render_query_comment,
+        )
+
+        c = render_query_comment({"app": "dbt", "node_id": "model.x"})
+        assert c.startswith("/*") and c.endswith("*/") and '"app": "dbt"' in c
+        assert render_query_comment(None) == ""
+        assert inject_query_comment("select 1", None) == "select 1"
+        assert inject_query_comment("select 1", "hi").startswith("/* hi */")
+        assert inject_query_comment("select 1", "hi", append=True).endswith("/* hi */")
+        # a payload containing */ must not terminate the comment early
+        assert "*/ x" not in render_query_comment("evil */ x")[3:-3]
+
+    def test_comment_survives_execution(self, spark):
+        from dbt_maxcompute_spark.materializations.raw import run_raw
+
+        df, hints, errors = run_raw(
+            spark,
+            "set odps.sql.x=1;\nselect 1 as a;\nselect 2 as a",
+            query_comment={"app": "dbt", "node_id": "model.m"},
+        )
+        assert not errors
+        assert [r["a"] for r in df.collect()] == [2]
+
+    def test_macro_style_string_comment_appended(self, spark):
+        from dbt_maxcompute_spark.materializations.raw import run_raw
+
+        df, _, _ = run_raw(
+            spark, "select 42 as v", query_comment="executed-by-engine",
+            comment_append=True,
+        )
+        assert df.collect()[0]["v"] == 42
