@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbt_maxcompute_spark.operators import dedup, multimodal, similarity, textanalysis as ta
+from dbt_maxcompute_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textanalysis as ta,
+    training,
+)
 from dbt_maxcompute_spark.sources.registry import load_table
 
 # ---------------------------------------------------------------------------
@@ -448,6 +454,80 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# training-set preparation (operators/training.py)
+# ---------------------------------------------------------------------------
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed prefix sum: bucketed offsets + K-way partitioned
+    # window — the oracle's global `sum() OVER (ORDER BY)` is the
+    # semantics, NOT the plan (that would be a one-task sort at scale)
+    docs = load_table(spark, sf_dir, "documents")
+    return training.pack_sequences(docs, "doc_id", "text", capacity=512)
+
+
+ORACLE_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(start_token AS BIGINT) AS start_token,
+       CAST(start_token // 512 AS BIGINT) AS seq_id,
+       start_token // 512 != (start_token + n_tokens - 1) // 512 AS spans_boundary
+FROM c
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return training.repetition_profile(docs, "doc_id", "text")
+
+
+ORACLE_REPETITION = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), m AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens
+  FROM t
+), bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+), bc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+), bt AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM bc GROUP BY doc_id
+)
+SELECT m.doc_id, n_tokens, n_unique_tokens,
+       round(1 - CAST(n_unique_tokens AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
+       round(COALESCE(CAST(top_c AS DOUBLE) / tot, 0), 6) AS top_bigram_frac
+FROM m LEFT JOIN bt USING (doc_id)
+"""
+
+
+def q_train_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return training.training_order(docs, "doc_id", seed=42)
+
+
+ORACLE_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id, md5(concat(CAST(doc_id AS VARCHAR), '-42')) AS h FROM documents
+)
+SELECT doc_id, substr(h, 1, 2) AS shard,
+       CAST(row_number() OVER (PARTITION BY substr(h, 1, 2) ORDER BY h, doc_id)
+            AS BIGINT) AS shuffle_rank
+FROM k
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": q_dedup_exact,
     "dedup_token_jaccard_pairs": q_dedup_token_jaccard,
@@ -458,6 +538,9 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
     "emb_cosine_exact_pairs": q_emb_cosine_exact_pairs,
+    "pack_sequences": q_pack_sequences,
+    "text_repetition": q_text_repetition,
+    "train_shuffle_order": q_train_shuffle_order,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -482,4 +565,7 @@ ORACLES = {
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "multimodal_metadata": ORACLE_MULTIMODAL_META,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "pack_sequences": ORACLE_PACK,
+    "text_repetition": ORACLE_REPETITION,
+    "train_shuffle_order": ORACLE_SHUFFLE,
 }

@@ -197,3 +197,61 @@ def test_hash_split_weights_validation(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         sampling.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_pack_sequences_boundary_semantics(spark):
+    from dbt_maxcompute_spark.operators import training
+
+    # 3 docs x 4 tokens, capacity 6: doc0 [0,4) seq0; doc1 [4,8) spans
+    # the 6-boundary; doc2 [8,12) stays in seq1
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "e f g h"), (2, "i j k l")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in training.pack_sequences(df, "doc_id", "text", capacity=6).collect()
+    }
+    assert (rows[0]["start_token"], rows[0]["seq_id"], rows[0]["spans_boundary"]) == (0, 0, False)
+    assert (rows[1]["start_token"], rows[1]["seq_id"], rows[1]["spans_boundary"]) == (4, 0, True)
+    assert (rows[2]["start_token"], rows[2]["seq_id"], rows[2]["spans_boundary"]) == (8, 1, False)
+
+
+def test_pack_sequences_window_is_bucket_partitioned(spark, sf_dir):
+    # the prefix sum must never be a single-partition global window
+    from dbt_maxcompute_spark.operators import training
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = training.pack_sequences(docs, "doc_id", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__b" in plan, "window not partitioned by bucket"
+
+
+def test_repetition_profile_crafted(spark):
+    from dbt_maxcompute_spark.operators import training
+
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "a b c d")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in training.repetition_profile(df, "doc_id", "text").collect()}
+    # doc1: 4 tokens, 2 unique -> dup 0.5; bigrams [x x, x x, x y] -> top 2/3
+    assert rows[1]["dup_token_ratio"] == 0.5
+    assert rows[1]["top_bigram_frac"] == round(2 / 3, 6)
+    assert rows[2]["dup_token_ratio"] == 0.0 and rows[2]["top_bigram_frac"] == round(1 / 3, 6)
+
+
+def test_training_order_deterministic_and_sharded(spark, sf_dir):
+    from dbt_maxcompute_spark.operators import training
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = training.training_order(docs, "doc_id", seed=7).collect()
+    b = training.training_order(docs.repartition(13), "doc_id", seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-independent
+    c = training.training_order(docs, "doc_id", seed=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed changes order
+    # ranks within each shard are 1..n dense
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r["shard"]].append(r["shuffle_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_shard.values())
