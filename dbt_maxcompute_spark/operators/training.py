@@ -105,8 +105,14 @@ def pack_sequences(
 def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style intra-document repetition signals: duplicate-token
     ratio and the fraction of all bigrams taken by the most frequent
-    bigram. Explode + two hash aggregates (map-side combinable) — the
-    per-doc token arrays never sort globally."""
+    bigram.
+
+    SHUFFLE-FREE: the top-bigram count is the longest equal run in the
+    per-row SORTED bigram array (an `aggregate` higher-order fold), so
+    the whole profile is one narrow projection over one scan — an
+    explode + groupBy formulation would shuffle every bigram in the
+    corpus (token-count-sized exchange at 100 TB) for a per-document
+    statistic that never needed to leave its row."""
     toks = _ws_tokens(F.col(text_col))
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -114,32 +120,35 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         toks.alias("__toks"),
     )
-    bigrams = base.select(
-        "__id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(__toks) - 2), "
-                "i -> concat(__toks[i], ' ', __toks[i+1]))"
-            )
-        ).alias("bigram"),
+    # guard size<2: sequence(0, -1) descends instead of being empty
+    bigrams_sorted = F.expr(
+        "CASE WHEN size(__toks) < 2 THEN array() ELSE "
+        "array_sort(transform(sequence(0, size(__toks) - 2), "
+        "i -> concat(__toks[i], ' ', __toks[i+1]))) END"
     )
-    top = (
-        bigrams.groupBy("__id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("__id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot"))
+    max_run = F.expr(
+        "aggregate(__bg, "
+        "struct(cast(null as string) as prev, cast(0 as bigint) as run, "
+        "       cast(0 as bigint) as best), "
+        "(a, x) -> struct(x as prev, "
+        "  if(a.prev is not null and x = a.prev, a.run + 1, cast(1 as bigint)) as run, "
+        "  greatest(a.best, if(a.prev is not null and x = a.prev, a.run + 1, "
+        "           cast(1 as bigint))) as best), "
+        "a -> a.best)"
     )
-    joined = base.drop("__toks").join(top, "__id", "left")
-    return joined.select(
+    return base.withColumn("__bg", bigrams_sorted).select(
         F.col("__id").alias(id_col),
         "n_tokens",
         "n_unique_tokens",
         F.round(
             F.lit(1) - F.col("n_unique_tokens") / F.col("n_tokens"), 6
         ).alias("dup_token_ratio"),
-        F.round(
-            F.coalesce(F.col("top_c") / F.col("tot"), F.lit(0.0)), 6
-        ).alias("top_bigram_frac"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.round(max_run / (F.col("n_tokens") - 1), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
     )
 
 

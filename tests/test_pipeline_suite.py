@@ -255,3 +255,12 @@ def test_training_order_deterministic_and_sharded(spark, sf_dir):
     for r in a:
         by_shard[r["shard"]].append(r["shuffle_rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_shard.values())
+
+
+def test_repetition_profile_single_token_doc(spark):
+    from dbt_maxcompute_spark.operators import training
+
+    df = spark.createDataFrame([(1, "solo"), (2, "a a")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in training.repetition_profile(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 1 and rows[1]["top_bigram_frac"] == 0.0
+    assert rows[2]["dup_token_ratio"] == 0.5 and rows[2]["top_bigram_frac"] == 1.0

@@ -116,3 +116,17 @@ def test_cluster_for_write_one_file_per_partition(spark, tmp_path):
             continue
         files = [f for f in os.listdir(os.path.join(base, d)) if f.endswith(".parquet")]
         assert len(files) == 1, f"{d} has {len(files)} files (want exactly 1)"
+
+
+def test_repetition_profile_is_shuffle_free(spark, sf_dir):
+    # per-document statistics must never shuffle the corpus: one scan,
+    # zero exchanges (the top-bigram count folds over the sorted per-row
+    # array instead of exploding into a token-count-sized groupBy)
+    from dbt_maxcompute_spark.operators import training
+    from dbt_maxcompute_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = training.repetition_profile(docs, "doc_id", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1
+    assert "Exchange" not in plan
