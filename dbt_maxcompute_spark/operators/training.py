@@ -56,7 +56,10 @@ def pack_sequences(
     window boundary and will be split).
     """
     n_tok = F.size(_ws_tokens(F.col(text_col))).cast("long")
-    base = df.select(F.col(id_col).alias("__id"), n_tok.alias("n_tokens"))
+    # persist the (id, n_tokens) projection (16 B/row): three consumers
+    # below (id-range probe, bucket sums, final window) would otherwise
+    # each re-scan and re-tokenize the text column
+    base = df.select(F.col(id_col).alias("__id"), n_tok.alias("n_tokens")).persist()
 
     # contiguous id buckets from the observed id range: pure per-row
     # expression once lo/hi are driver literals (metadata-sized probe)
