@@ -16,6 +16,7 @@ from dbt_maxcompute_spark.session import apply_session_defaults
 from dbt_maxcompute_spark.suite import (
     dml_suite,
     events_suite,
+    extras_suite,
     functions_suite,
     pipeline_suite,
     relational,
@@ -41,6 +42,7 @@ _SUITES = [
     relational3,
     relational,
     tpch,
+    extras_suite,  # rows-only iterative algorithms — past the window by design
 ]
 
 
