@@ -64,6 +64,14 @@ def pack_sequences(
     # contiguous id buckets from the observed id range: pure per-row
     # expression once lo/hi are driver literals (metadata-sized probe)
     lo, hi = base.agg(F.min("__id"), F.max("__id")).first()
+    if lo is None:  # empty input: empty output with the full schema
+        return base.select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.lit(0).cast("long").alias("start_token"),
+            F.lit(0).cast("long").alias("seq_id"),
+            F.lit(False).alias("spans_boundary"),
+        )
     span = max(int(hi) - int(lo) + 1, 1)
     k = min(num_buckets, span)
     bucket = ((F.col("__id") - F.lit(int(lo))) * k / span).cast("long")

@@ -264,3 +264,12 @@ def test_repetition_profile_single_token_doc(spark):
     rows = {r["doc_id"]: r for r in training.repetition_profile(df, "doc_id", "text").collect()}
     assert rows[1]["n_tokens"] == 1 and rows[1]["top_bigram_frac"] == 0.0
     assert rows[2]["dup_token_ratio"] == 0.5 and rows[2]["top_bigram_frac"] == 1.0
+
+
+def test_training_ops_empty_input(spark):
+    from dbt_maxcompute_spark.operators import training
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert training.pack_sequences(empty, "doc_id", "text").count() == 0
+    assert training.repetition_profile(empty, "doc_id", "text").count() == 0
+    assert training.training_order(empty, "doc_id").count() == 0
