@@ -8,20 +8,24 @@ Spark-first iteration shape — each Lloyd step is:
 
 1. centroids live on the DRIVER as plain lists (K x dim doubles —
    metadata-sized; 1024 x 768 floats is ~3 MB);
-2. assignment is a pure-Catalyst expression: the centroid array is a
-   broadcast literal, the argmin over K squared distances runs inside
-   whole-stage codegen (zip_with/aggregate folds — no Python, no UDF,
-   no shuffle);
-3. the update is ONE map-side-combinable aggregate: groupBy(cluster)
-   over per-dimension sums + counts — a K-row result collected to the
-   driver.
+2. assignment is ONE pure-Catalyst expression: the centroid matrix is
+   a single 2-D array literal and the argmin is a nested
+   transform/aggregate fold — one lambda instantiation regardless of
+   K, so the codegen'd expression stays small (an unrolled
+   per-centroid formulation compiles K copies of the distance fold and
+   dominates wall time). No Python, no UDF, no shuffle;
+3. the update is posexplode(vector) -> groupBy(cluster, dim) — ONE
+   map-side-combinable aggregate with a 2-column key yielding K x dim
+   rows, collected to the driver. Works at any dimensionality without
+   widening the aggregate schema.
 
-Total per iteration: one corpus scan, one K-row shuffle. Nothing
+Total per iteration: one corpus scan, one K*dim-row shuffle. Nothing
 materializes on the driver except the K x dim centroid matrix itself.
 Deterministic throughout: init picks the first K vectors in id order,
-ties in argmin break toward the lower cluster index, and the update
-sums accumulate in decimal(28,12) so the fit is identical under any
-partition layout (double sums are addition-order dependent).
+ties in argmin break toward the lower cluster index (array_position
+returns the FIRST minimum), and the update sums accumulate in
+decimal(28,12) so the fit is identical under any partition layout
+(double sums are addition-order dependent).
 """
 
 from __future__ import annotations
@@ -30,14 +34,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance to a driver-side centroid as a codegen'd
-    fold: sum((v_j - c_j)^2) with the centroid inlined as literals."""
-    arr = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, arr, lambda v, c: (v.cast("double") - c) * (v.cast("double") - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _centroid_matrix(centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def _dists_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of squared L2 distances to every centroid — one
+    nested fold, not K unrolled copies."""
+    return F.transform(
+        _centroid_matrix(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda v, cj: (v.cast("double") - cj) * (v.cast("double") - cj)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
@@ -45,15 +57,12 @@ def assign_clusters(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
     """Attach `cluster` = argmin_k ||vec - centroid_k||^2 (ties to the
-    lower index). Pure projection — no shuffle, safe to chain into a
-    partitioned-by-cluster write at scale."""
-    dists = [_sq_dist_to_literal(F.col(vec_col), c) for c in centroids]
-    best_d, best_k = dists[0], F.lit(0)
-    for k, d in enumerate(dists[1:], start=1):
-        is_better = d < best_d
-        best_k = F.when(is_better, F.lit(k)).otherwise(best_k)
-        best_d = F.when(is_better, d).otherwise(best_d)
-    return df.withColumn("cluster", best_k.cast("long"))
+    lower index — array_position finds the first minimum). Pure
+    projection — no shuffle, safe to chain into a partitioned-by-
+    cluster write at scale."""
+    dists = _dists_expr(F.col(vec_col), centroids)
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+    return df.withColumn("cluster", cluster)
 
 
 def kmeans_fit(
@@ -77,33 +86,24 @@ def kmeans_fit(
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     dim = len(centroids[0])
 
+    src = df.select(F.col(vec_col).alias("__v"))
     for it in range(1, max_iter + 1):
-        assigned = assign_clusters(df.select(F.col(vec_col).alias("__v")), "__v", centroids)
-        # per-dimension sums via ONE aggregate: sum of vectors is a
-        # zip_with fold accumulated per cluster (map-side combinable)
+        assigned = assign_clusters(src, "__v", centroids)
+        # K x dim sums via posexplode + 2-key hash agg (map-side
+        # combinable); decimal accumulation keeps the fit layout-
+        # independent
         sums = (
-            assigned.groupBy("cluster")
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                # decimal detour: double sums are partition-order
-                # dependent; decimal(28,12) accumulation keeps the fit
-                # deterministic under any layout (same trick as the
-                # suite's _dsum)
-                *[
-                    F.sum(
-                        F.element_at(F.col("__v"), j + 1).cast("decimal(28,12)")
-                    )
-                    .cast("double")
-                    .alias(f"s{j}")
-                    for j in range(dim)
-                ],
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("s"),
             )
             .collect()
         )
         new_centroids = [list(c) for c in centroids]  # empty clusters keep position
         for r in sums:
-            kidx = int(r["cluster"])
-            new_centroids[kidx] = [r[f"s{j}"] / r["n"] for j in range(dim)]
+            new_centroids[int(r["cluster"])][int(r["pos"])] = r["s"] / r["n"]
         shift = max(
             sum((a - b) ** 2 for a, b in zip(old, new))
             for old, new in zip(centroids, new_centroids)
@@ -120,13 +120,12 @@ def kmeans_cluster_profile(
     """Fit + assign + per-cluster profile (size, mean within-cluster
     squared distance). The driver-visible shape of the operator."""
     centroids, _ = kmeans_fit(df, id_col, vec_col, k=k, max_iter=max_iter)
-    assigned = assign_clusters(df, vec_col, centroids)
-    dists = [_sq_dist_to_literal(F.col(vec_col), c) for c in centroids]
-    expr = dists[-1]
-    for kidx in range(len(centroids) - 2, -1, -1):
-        expr = F.when(F.col("cluster") == kidx, dists[kidx]).otherwise(expr)
+    dists = _dists_expr(F.col(vec_col), centroids)
     return (
-        assigned.withColumn("__d2", expr)
+        df.withColumn("__d2", F.array_min(dists))
+        .withColumn(
+            "cluster", (F.array_position(dists, F.col("__d2")) - 1).cast("long")
+        )
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
