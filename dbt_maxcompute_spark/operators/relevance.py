@@ -1,0 +1,68 @@
+"""TF-IDF term relevance over a document corpus.
+
+No counterpart in the reference (extension per BASELINE.json). Corpus
+curation uses TF-IDF for keyword extraction, near-topic filtering, and
+quality heuristics; the operator shape (term stats via two
+map-side-combinable aggregations + a broadcast of the term table's
+small summary, then a per-doc top-k window) is the standard
+at-scale formulation:
+
+- tokenize + explode once; both the per-doc term frequencies and the
+  document frequencies aggregate from that single pass (Spark reuses
+  the exchange where possible, and both aggs are partial/map-side);
+- N (corpus size) joins in as a broadcast 1-row frame — no driver
+  round-trip, the plan stays lazy;
+- idf uses the LOG-FREE inverse-frequency ratio (N+1)/(df+1): within
+  a fixed corpus log() is a monotone transform, so per-doc term
+  RANKINGS are identical, and products/quotients of integer-valued
+  doubles are correctly-rounded IEEE — bit-identical across engines,
+  which log() (libm-dependent) is not. Swap in log1p for
+  cross-corpus-comparable magnitudes;
+- top-k per doc = row_number window partitioned by doc — one shuffle
+  on doc_id, bounded output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.operators.textanalysis import tokens
+
+
+def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — one row per distinct term per doc."""
+    return (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tf_idf_top_terms(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k most TF-IDF-relevant terms per document. Deterministic:
+    score is rounded to 6 places BEFORE ranking and ties break on the
+    term string, so any engine computing the same formula ranks
+    identically."""
+    tf = term_frequencies(docs, id_col, text_col)
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

@@ -45,3 +45,33 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float]) -> DataFra
     # float rounding could leave the last bucket unlabeled; close it
     last = list(weights)[-1]
     return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def stratified_sample(
+    df: DataFrame, strata_cols: list[str], id_col: str, num: int, denom: int
+) -> DataFrame:
+    """Exact per-stratum sample: the ceil(n * num/denom) rows of each
+    stratum that rank first by md5(id). The fraction is a RATIONAL
+    (num/denom) and the keep rule is pure integer arithmetic
+    (rn * denom <= n * num + (denom-1) -- i.e. rn <= ceil(n*num/denom))
+    so every engine selects the identical rows: no float fraction, no
+    engine-specific ceil-of-double edge cases.
+
+    Cost: one shuffle on the strata key; the per-stratum sort is the
+    rank's window sort. For mega-strata where even that sort hurts,
+    `hash_sample` (threshold on the hash, no sort) gives the same
+    determinism with only approximate per-stratum counts.
+    """
+    if not 0 < num <= denom:
+        raise ValueError(f"need 0 < num <= denom, got {num}/{denom}")
+    from pyspark.sql import Window
+
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
+    wn = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter((F.col("__rn") - 1) * denom < F.col("__n") * num)
+        .drop("__rn", "__n")
+    )

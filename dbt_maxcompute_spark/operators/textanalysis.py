@@ -127,3 +127,33 @@ def fingerprint(text: Column) -> Column:
     (bag fingerprinting); pair with exact dedup for strict identity."""
     toks = F.array_sort(F.array_distinct(tokens(text)))
     return F.md5(F.concat_ws(" ", toks))
+
+
+# PII patterns — deliberately RE2-compatible (no backrefs/lookaround)
+# so the same pattern string runs in Spark (Java regex), DuckDB (RE2),
+# and any other engine auditing the corpus. Swap in fuller lexicons
+# (intl phone formats, IBANs, ...) for production; the operator shape
+# (ordered global regexp_replace chain + per-kind match counts) is the
+# point.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3,4}-\d{4}\b",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """How many matches of one PII kind appear in the text."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder. Order matters
+    and is fixed (email -> ipv4 -> phone): emails are redacted before
+    the ipv4 pass so a digit-heavy mail domain can't be half-eaten, and
+    phone runs last. Pure Catalyst (regexp_replace is global in Spark),
+    single pass per pattern — a 100 TB scrub stays codegen'd."""
+    out = text
+    for kind in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

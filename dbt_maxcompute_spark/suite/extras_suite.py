@@ -7,14 +7,29 @@ driver_sim, and they can rotate into the window next round.
 - k-means profile: rows-only by nature (iterative, no SQL oracle) —
   pinned against a NumPy reference in tests/test_clustering.py.
 - as-of join / range join: oracle-paired (DuckDB native ASOF JOIN and
-  an inequality join respectively)."""
+  an inequality join respectively).
+- dedup clusters (connected components), decontamination, PII
+  redaction, stratified sampling, TF-IDF: oracle-paired (the
+  components oracle is a DuckDB recursive-CTE transitive closure).
+- HLL distinct / quantile sketches: approximate by construction —
+  rows-only, pinned within error bounds by pytest, with an exact
+  oracle-paired companion on the same grouping."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbt_maxcompute_spark.operators import clustering, temporal
+from dbt_maxcompute_spark.operators import (
+    clustering,
+    decontam,
+    graph,
+    relevance,
+    sampling,
+    sketches,
+    temporal,
+)
+from dbt_maxcompute_spark.operators import textanalysis as ta
 from dbt_maxcompute_spark.sources.registry import load_table
 
 
@@ -100,13 +115,238 @@ GROUP BY e.event_id, e.user_id, e.ts
 """
 
 
+def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-dup PAIRS -> duplicate CLUSTERS via distributed min-label
+    # propagation; the oracle rebuilds the same clusters with a
+    # recursive-CTE transitive closure. Edges = the oracle-checked
+    # exact cosine pairs, so the whole chain pairs -> components is
+    # driver-verifiable end to end.
+    from dbt_maxcompute_spark.suite.pipeline_suite import q_emb_cosine_exact_pairs
+
+    pairs = q_emb_cosine_exact_pairs(spark, sf_dir).select("id_a", "id_b")
+    return graph.dedup_clusters(pairs, "id_a", "id_b").orderBy("representative")
+
+
+ORACLE_COMPONENTS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        >= 0.40
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+), closure AS (
+  SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM sym
+), comp AS (
+  SELECT a AS node, min(b) AS comp FROM closure GROUP BY a
+)
+SELECT comp AS representative,
+       CAST(count(*) AS BIGINT) AS n_members,
+       list_sort(list(node)) AS members
+FROM comp GROUP BY comp ORDER BY representative
+"""
+
+
+def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination audit: eval set = every 29th doc,
+    # train = the rest; count distinct word 3-grams each training doc
+    # shares with the eval set (3-grams because the fixture's ~30-word
+    # vocab makes 8-grams vanishingly rare; production uses 8-13).
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 29 == 0)
+    return decontam.contamination_counts(
+        train, eval_df, "doc_id", "text", n=3
+    ).orderBy("doc_id")
+
+
+ORACLE_DECONTAM = """
+WITH tr AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE doc_id % 29 != 0
+), ev AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE doc_id % 29 = 0
+), tg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tr)
+), eg AS (
+  SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS gram
+  FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM ev)
+), hits AS (
+  SELECT tg.doc_id, count(*) AS n FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id
+)
+SELECT tr.doc_id,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_shared_ngrams,
+       coalesce(hits.n, 0) > 0 AS contaminated
+FROM tr LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fixture corpus carries no PII, so both sides append the SAME
+    # deterministic synthetic contacts (email / IPv4 / phone derived
+    # from doc_id) before scrubbing — the redaction chain and counters
+    # then run on text that actually exercises every pattern.
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    synth = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("contact user"), d.cast("string"), F.lit("@example.com")),
+        F.concat(
+            F.lit("ip 10."), (d % 200).cast("string"),
+            F.lit(".0."), (d % 250).cast("string"),
+        ),
+        F.concat(F.lit("tel 555-010-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+    )
+    return docs.select(
+        "doc_id",
+        ta.pii_count(synth, "email").alias("n_emails"),
+        ta.pii_count(synth, "ipv4").alias("n_ips"),
+        ta.pii_count(synth, "phone").alias("n_phones"),
+        F.md5(ta.redact_pii(synth)).alias("redacted_md5"),
+    )
+
+
+ORACLE_PII = """
+WITH synth AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+                   'contact user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                   'ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                       || '.0.' || CAST(doc_id % 250 AS VARCHAR),
+                   'tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ) AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS n_emails,
+       len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0)) AS n_ips,
+       len(regexp_extract_all(t, '\\b\\d{3}-\\d{3,4}-\\d{4}\\b', 0)) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+             '\\b\\d{3}-\\d{3,4}-\\d{4}\\b', '<PHONE>', 'g')) AS redacted_md5
+FROM synth
+"""
+
+
+def q_sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact 1/5 per-language sample, engine-reproducible: rank by
+    # md5(doc_id), keep rank <= ceil(n * 1/5) via pure integer
+    # arithmetic (no float fraction).
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, ["lang"], "doc_id", num=1, denom=5
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_STRATIFIED = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY (row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) * 5
+        < count(*) OVER (PARTITION BY lang) * 1
+"""
+
+
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relevance.tf_idf_top_terms(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+
+
+ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, term, tf, df,
+       round(tf * (n_docs + 1.0) / (df + 1.0), 6) AS tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY round(tf * (n_docs + 1.0) / (df + 1.0), 6) DESC,
+                                        term) AS BIGINT) AS rank
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+QUALIFY rank <= 3
+"""
+
+
+def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL++ distinct estimate — approximate, rows-only for the driver;
+    # pytest pins it within rsd bounds of `exact_distinct_users` below.
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.approx_distinct(ev, ["event_type"], "user_id", rsd=0.02).orderBy(
+        "event_type"
+    )
+
+
+def q_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact oracle-checked companion to the HLL sketch above.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EXACT_DISTINCT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantile sketch (rank error <= 1/accuracy) — rows-only; pytest
+    # pins each estimate's rank against the exact sorted column.
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.approx_quantiles(
+        ev, ["event_type"], "value", probs=(0.5, 0.9, 0.99), accuracy=10_000
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "emb_kmeans_profile": q_emb_kmeans_profile,
     "events_asof_last_purchase": q_events_asof_last_purchase,
     "events_range_click_error": q_events_range_click_error,
+    "dedup_cluster_components": q_dedup_cluster_components,
+    "decontam_ngram_overlap": q_decontam_ngram_overlap,
+    "text_pii_redaction": q_text_pii_redaction,
+    "sample_stratified_lang": q_sample_stratified_lang,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "sketch_distinct_users": q_sketch_distinct_users,
+    "exact_distinct_users": q_exact_distinct_users,
+    "sketch_value_quantiles": q_sketch_value_quantiles,
 }
 
 ORACLES: dict[str, str] = {
     "events_asof_last_purchase": ORACLE_ASOF,
     "events_range_click_error": ORACLE_RANGE,
+    "dedup_cluster_components": ORACLE_COMPONENTS,
+    "decontam_ngram_overlap": ORACLE_DECONTAM,
+    "text_pii_redaction": ORACLE_PII,
+    "sample_stratified_lang": ORACLE_STRATIFIED,
+    "text_tfidf_top_terms": ORACLE_TFIDF,
+    "exact_distinct_users": ORACLE_EXACT_DISTINCT,
 }
