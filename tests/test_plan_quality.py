@@ -130,3 +130,40 @@ def test_repetition_profile_is_shuffle_free(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 1
     assert "Exchange" not in plan
+
+
+def test_decontam_broadcasts_hashed_eval_grams(spark, sf_dir):
+    # the eval-gram probe must be a BROADCAST join keyed on xxhash64
+    # longs — shuffling raw gram strings (or the corpus) is the 100 TB
+    # failure mode this operator exists to avoid
+    from dbt_maxcompute_spark.suite.extras_suite import q_decontam_ngram_overlap
+
+    plan = plan_of(spark, q_decontam_ngram_overlap(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "xxhash64" in plan
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    # rank window + per-stratum count window must share ONE exchange on
+    # the strata key — a second shuffle would double the operator's cost
+    from dbt_maxcompute_spark.operators import sampling
+    from dbt_maxcompute_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = sampling.stratified_sample(docs, ["lang"], "doc_id", 1, 5)
+    plan = plan_of(spark, df, "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_tfidf_scans_prune_to_id_and_text(spark, sf_dir):
+    # both passes over documents (term stats + corpus count) must prune
+    # to doc_id/text — dragging lang/source/n_chars through the explode
+    # multiplies scan volume at 100 TB
+    import re
+
+    from dbt_maxcompute_spark.suite.extras_suite import q_text_tfidf_top_terms
+
+    plan = plan_of(spark, q_text_tfidf_top_terms(spark, sf_dir))
+    for cols in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        got = {c.split(":")[0] for c in cols.split(",") if c}
+        assert got <= {"doc_id", "text"}, got
