@@ -326,6 +326,84 @@ def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Symmetric per-vector int8 quantization — the 4x storage trade for
+    # a 100 TB embedding store. Codes are bit-identical across engines
+    # (correctly-rounded IEEE steps + half-away-from-zero round on
+    # DOUBLE in both Spark and DuckDB), so even the reconstruction
+    # error column oracle-checks exactly.
+    from dbt_maxcompute_spark.operators import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize.quantize_embeddings(emb, "vec_id", "embedding")
+
+
+ORACLE_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding,
+             x -> CAST(CASE WHEN scale = 0 THEN 0
+                            ELSE round(CAST(x AS DOUBLE) / scale, 0) END AS TINYINT)
+         ) AS codes
+  FROM s
+)
+SELECT vec_id, scale, codes,
+       list_max(list_transform(list_zip(codes, embedding),
+                p -> abs(CAST(p[1] AS DOUBLE) * scale - CAST(p[2] AS DOUBLE)))) AS max_abs_err
+FROM q
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered funnel view -> click -> purchase: each stage is the min
+    # event time strictly after the previous stage, per user. Three
+    # groupBys + two joins, ALL keyed on user_id — one partitioning
+    # reused across every stage (no re-shuffle at 100 TB), then three
+    # 1-row counts broadcast-joined into the summary row.
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return nv.join(F.broadcast(nc)).join(F.broadcast(np_))
+
+
+ORACLE_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+"""
+
+
 QUERIES = {
     "emb_kmeans_profile": q_emb_kmeans_profile,
     "events_asof_last_purchase": q_events_asof_last_purchase,
@@ -338,6 +416,8 @@ QUERIES = {
     "sketch_distinct_users": q_sketch_distinct_users,
     "exact_distinct_users": q_exact_distinct_users,
     "sketch_value_quantiles": q_sketch_value_quantiles,
+    "emb_quantize_int8": q_emb_quantize_int8,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -349,4 +429,6 @@ ORACLES: dict[str, str] = {
     "sample_stratified_lang": ORACLE_STRATIFIED,
     "text_tfidf_top_terms": ORACLE_TFIDF,
     "exact_distinct_users": ORACLE_EXACT_DISTINCT,
+    "emb_quantize_int8": ORACLE_QUANTIZE,
+    "events_funnel": ORACLE_FUNNEL,
 }
