@@ -75,3 +75,27 @@ def test_concurrent_materializations_one_session(spark, sf_dir, tmp_path):
         counts = list(ex.map(build, range(8)))
     assert sum(counts[:4]) == nation.count()
     assert counts[:4] == counts[4:]  # same filters -> same counts
+
+
+def test_dedup_stream_drops_replayed_file(spark, sf_dir, tmp_path):
+    """At-least-once delivery simulated by listing the SAME events file
+    twice: two micro-batches, every event delivered twice. The
+    watermark-scoped dedup must emit each event_id exactly once."""
+    stream_dir = tmp_path / "dup"
+    stream_dir.mkdir()
+    (stream_dir / "a.parquet").symlink_to(table_path(sf_dir, "events"))
+    (stream_dir / "b.parquet").symlink_to(table_path(sf_dir, "events"))
+    stream = sw.read_events_stream(spark, str(stream_dir), max_files_per_trigger=1)
+    q = (
+        stateful.dedup_stream(stream, keys=("event_id",), watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_dedup")
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n_events
+    assert got.select("event_id").distinct().count() == n_events
