@@ -29,27 +29,44 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dbt_maxcompute_spark.operators.textanalysis import tokens
+from dbt_maxcompute_spark.operators.textanalysis import tokens, with_tokens
+
+
+def _starts(toks: Column, n: int) -> Column:
+    return F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
 
 
 def word_ngrams(text: Column, n: int) -> Column:
     """array<string> of space-joined word n-grams of lowercased,
     whitespace-tokenized text; docs shorter than n tokens yield an
-    empty array."""
-    toks = tokens(text)
-    starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    empty array. Tokenization is lambda-bound (with_tokens) so it runs
+    once per row, not once per gram position — the re-split variant is
+    7x slower at sf0.1."""
+    return with_tokens(
+        text,
+        lambda t: F.transform(
+            _starts(t, n), lambda i: F.array_join(F.slice(t, i, n), " ")
+        ),
+    )
+
+
+def word_ngram_hashes(text: Column, n: int) -> Column:
+    """array<bigint> of xxhash64'd n-grams — the join-side form."""
+    return with_tokens(
+        text,
+        lambda t: F.transform(
+            _starts(t, n), lambda i: F.xxhash64(F.array_join(F.slice(t, i, n), " "))
+        ),
+    )
 
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return df.select(
         F.col(id_col),
         F.explode_outer(
-            F.array_distinct(
-                F.transform(word_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
-            )
+            F.array_distinct(word_ngram_hashes(F.col(text_col), n))
         ).alias("gram_hash"),
     )
 

@@ -52,22 +52,37 @@ def stopword_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(words)))
 
 
+def with_tokens(text: Column, fn) -> Column:
+    """Bind the token array ONCE per row as a lambda variable and
+    evaluate fn over it. Higher-order functions are interpreted
+    (CodegenFallback), so codegen subexpression elimination never
+    dedupes a `tokens(text)` referenced by several HOF calls — each
+    reference re-splits the text. Routing the metrics through one
+    transform-over-singleton-array makes the tokenization cost O(1)
+    per row regardless of how many token-level metrics consume it
+    (measured 7x on the 3-gram hasher at sf0.1)."""
+    return F.get(F.transform(F.array(tokens(text)), fn), 0)
+
+
 def lang_id(text: Column) -> Column:
     """Argmax of per-language stopword hits; ties break lexicographically
     by language code; zero hits everywhere -> 'und'."""
-    toks = tokens(text)
-    best = None
-    for code in sorted(STOPWORDS):
-        cand = F.struct(
-            stopword_hits(toks, code).alias("hits"), F.lit(code).alias("code")
-        )
-        if best is None:
-            best = cand
-        else:
-            # strictly-greater keeps the earlier (lexicographically
-            # smaller) code on ties
-            best = F.when(cand["hits"] > best["hits"], cand).otherwise(best)
-    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+    def best_lang(toks: Column) -> Column:
+        best = None
+        for code in sorted(STOPWORDS):
+            cand = F.struct(
+                stopword_hits(toks, code).alias("hits"), F.lit(code).alias("code")
+            )
+            if best is None:
+                best = cand
+            else:
+                # strictly-greater keeps the earlier (lexicographically
+                # smaller) code on ties
+                best = F.when(cand["hits"] > best["hits"], cand).otherwise(best)
+        return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+    return with_tokens(text, best_lang)
 
 
 def alpha_ratio(text: Column) -> Column:
@@ -83,13 +98,16 @@ def punct_ratio(text: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
 
 
-def stopword_ratio(text: Column) -> Column:
-    """Fraction of whitespace tokens that are (any-language) stopwords."""
-    toks = tokens(text)
+def _stopword_ratio_t(toks: Column) -> Column:
     all_words = sorted({w for ws in STOPWORDS.values() for w in ws})
     hits = F.size(F.filter(toks, lambda t: t.isin(all_words)))
     n = F.size(toks)
     return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are (any-language) stopwords."""
+    return with_tokens(text, _stopword_ratio_t)
 
 
 def quality_score(text: Column) -> Column:
@@ -97,13 +115,20 @@ def quality_score(text: Column) -> Column:
       0.35*alpha_ratio + 0.25*min(stopword_ratio*4, 1)
       + 0.25*(1 - min(punct_ratio*5, 1)) + 0.15*min(token_count/100, 1)
     Weights/caps are the operator's parameters, mirrored exactly in the
-    oracle SQL."""
-    length_score = F.least(token_count(text).cast("double") / 100.0, F.lit(1.0))
-    sw = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
-    pu = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
-    return (
-        0.35 * alpha_ratio(text) + 0.25 * sw + 0.25 * pu + 0.15 * length_score
-    )
+    oracle SQL. The whole formula evaluates inside ONE with_tokens
+    binding (token terms see the bound array; char terms reference the
+    outer text column) so tokenization runs once per row, and the
+    SUMMATION ORDER matches the oracle exactly — float addition is not
+    associative, so regrouping the weighted terms would flip
+    round(...,6) hashes."""
+
+    def score(toks: Column) -> Column:
+        length_score = F.least(F.size(toks).cast("double") / 100.0, F.lit(1.0))
+        sw = F.least(_stopword_ratio_t(toks) * 4.0, F.lit(1.0))
+        pu = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+        return 0.35 * alpha_ratio(text) + 0.25 * sw + 0.25 * pu + 0.15 * length_score
+
+    return with_tokens(text, score)
 
 
 def chunk_starts(toks: Column, chunk_size: int, overlap: int) -> Column:
