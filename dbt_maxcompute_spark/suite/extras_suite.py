@@ -1,8 +1,7 @@
-"""Extras suite: operators added after the driver's 50-query
-correctness window filled. Deliberately LAST in the suite order — the
-window is packed with this round's previously-unchecked queries; these
-still run in the bench, their oracles are enforced by pytest and
-driver_sim, and they can rotate into the window next round.
+"""Extras suite: operators added in round 2 beyond the original
+pipeline suites. Inside the driver's 50-query correctness window (see
+``_PRIORITY`` in ``__spark_entry__.py``) — every oracle-paired query
+here gets a hard driver CORRECTNESS row.
 
 - k-means profile: rows-only by nature (iterative, no SQL oracle) —
   pinned against a NumPy reference in tests/test_clustering.py.
