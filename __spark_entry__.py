@@ -16,6 +16,7 @@ from dbt_maxcompute_spark.session import apply_session_defaults
 from dbt_maxcompute_spark.suite import (
     dml_suite,
     events_suite,
+    extras2_suite,
     extras_suite,
     functions_suite,
     pipeline_suite,
@@ -31,6 +32,7 @@ _SUITES = [
     pipeline_suite,
     events_suite,
     extras_suite,
+    extras2_suite,
     functions_suite,
     relational2,
     tpch2,
@@ -46,6 +48,8 @@ _SUITES = [
 # suites (never driver-checked) plus the two queries whose output types
 # were realigned after round 1 (decimal_fidelity, tpch_q12) and the one
 # functions query that fell just past round 1's window (fn_array_ops).
+# That's 48; the first two extras2_suite queries ride the last 2 slots
+# (the remainder after the priority pop keeps _SUITES order).
 _PRIORITY = [
     *dml_suite.QUERIES,
     *pipeline_suite.QUERIES,

@@ -39,6 +39,41 @@ def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def corpus_term_profile(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Corpus-level Zipf profile: the top-k terms by total occurrence
+    count, with rank and cumulative share of ALL token occurrences.
+
+    Shape at 100 TB: explode + groupBy(term) is map-side combinable
+    (the shuffle carries one row per distinct term per map task, not
+    one per token); the global total aggregates from the term counts
+    (never re-scans the corpus) and broadcasts as a 1-row frame; top-k
+    is TakeOrderedAndProject (bounded, no full sort); the running-sum
+    window then runs on k rows — a single partition by construction,
+    and deliberately so (k is tiny).
+
+    Determinism: count ties rank by term string; cumulative share
+    divides exact BIGINT sums, rounded to 6 places.
+    """
+    tf = term_frequencies(docs, id_col, text_col)
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("n"))
+    total = counts.agg(F.sum("n").alias("total_tokens"))
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term"))))
+        .withColumn(
+            "cum_share",
+            F.round(F.sum("n").over(w) / F.col("total_tokens"), 6),
+        )
+        .select("rank", "term", "n", "cum_share")
+    )
+
+
 def tf_idf_top_terms(
     docs: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -47,6 +47,34 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float]) -> DataFra
     return df.withColumn("split", expr.otherwise(F.lit(last)))
 
 
+def quota_cap(
+    df: DataFrame, group_cols: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Cap each group at ``cap`` rows — the domain-quota op corpus
+    curation runs so one mega-domain can't dominate the training mix.
+    Keeps the ``cap`` rows ranking first by md5(id) (deterministic,
+    engine-neutral; any engine keeps the identical rows).
+
+    Cost: one shuffle on the group key; the per-group sort is the
+    window's. A domain with billions of docs makes that sort the
+    bottleneck — there, pre-filter with ``hash_sample`` at a fraction
+    that overshoots the cap (e.g. 3x cap / est_count) first, so the
+    exact window only ranks a few-times-cap candidate set per group.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_cols: list[str], id_col: str, num: int, denom: int
 ) -> DataFrame:

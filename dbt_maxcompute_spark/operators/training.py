@@ -163,6 +163,47 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def next_event_examples(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    context: int = 2,
+) -> DataFrame:
+    """Sliding-window next-event-prediction examples from an event log:
+    for every event with >= ``context`` predecessors in its user's
+    timeline, emit the ordered context event types and the event's own
+    type as the label — the (context, label) pairs a behavioral
+    sequence model trains on.
+
+    One shuffle on the user key; both windows (the ROWS-frame
+    collect_list and the row_number completeness filter) share the
+    same partitioning + ordering, so Catalyst plans a single exchange
+    and a single sort. Order inside the context array follows the
+    window order (ts, then id as tiebreak) — deterministic on any
+    engine with ordered window list aggregation.
+    """
+    if context < 1:
+        raise ValueError(f"context must be >= 1, got {context}")
+    order = [F.col(ts_col), F.col(id_col)]
+    wctx = (
+        Window.partitionBy(user_col).orderBy(*order).rowsBetween(-context, -1)
+    )
+    wrn = Window.partitionBy(user_col).orderBy(*order)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(user_col),
+            F.collect_list(type_col).over(wctx).alias("context"),
+            F.col(type_col).alias("label"),
+            F.row_number().over(wrn).alias("__rn"),
+        )
+        .filter(F.col("__rn") > context)
+        .drop("__rn")
+    )
+
+
 def training_order(
     df: DataFrame, id_col: str, seed: int = 42, shard_chars: int = 2
 ) -> DataFrame:

@@ -1,0 +1,146 @@
+"""Second extras suite (round 2, post-window): domain quota capping,
+corpus Zipf profile, document length histogram, next-event training
+examples. All oracle-paired; the driver's 50-entry window is already
+full of this round's previously-unchecked queries, so the first two
+here ride the remaining slots and the rest rotate in next round.
+pytest + driver_sim enforce every oracle regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.operators import relevance, sampling, training
+from dbt_maxcompute_spark.operators import textanalysis as ta
+from dbt_maxcompute_spark.sources.registry import load_table
+
+
+def q_sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cap every source domain at 120 docs (deterministic md5-ranked
+    # keep set), then report per-source kept counts + how many the cap
+    # dropped — the audit row a curation run logs per domain.
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.quota_cap(docs, ["source"], "doc_id", cap=120)
+    n_all = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    n_kept = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        n_all.join(n_kept, "source")
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOMAIN_QUOTA = """
+WITH kept AS (
+  SELECT source FROM documents
+  QUALIFY row_number() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 120
+), k AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY source
+), a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY source
+)
+SELECT a.source, a.n_total, k.n_kept, a.n_total - k.n_kept AS n_dropped
+FROM a JOIN k USING (source) ORDER BY source
+"""
+
+
+def q_corpus_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relevance.corpus_term_profile(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=20
+    )
+
+
+ORACLE_ZIPF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term
+), total AS (
+  SELECT sum(n) AS total_tokens FROM counts
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS rank,
+       term, n,
+       round(sum(n) OVER (ORDER BY n DESC, term
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(total_tokens AS DOUBLE), 6) AS cum_share
+FROM counts CROSS JOIN total
+ORDER BY rank LIMIT 20
+"""
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-count histogram in width-8 buckets: corpus shape at a
+    # glance (truncation risk, short-doc mass). Single map-side-
+    # combinable agg over one pruned scan — no window, no second pass.
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = ta.token_count(F.col("text")).cast("long")
+    bucket = (F.floor(n_tok / 8) * 8).cast("long")
+    return (
+        docs.select(bucket.alias("bucket_start"), n_tok.alias("__n"))
+        .groupBy("bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.min("__n").alias("min_tokens"),
+            F.max("__n").alias("max_tokens"),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+ORACLE_LENGTH_HIST = """
+WITH n AS (
+  SELECT CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT (n_tok // 8) * 8 AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(n_tok) AS min_tokens,
+       max(n_tok) AS max_tokens
+FROM n GROUP BY bucket_start ORDER BY bucket_start
+"""
+
+
+def q_train_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (context, label) pairs for next-event prediction: 2 preceding
+    # event types -> current type, per user timeline.
+    ev = load_table(spark, sf_dir, "events")
+    return training.next_event_examples(
+        ev, "user_id", "ts", "event_type", "event_id", context=2
+    )
+
+
+ORACLE_NEXT_EVENT = """
+SELECT event_id, user_id, context, label FROM (
+  SELECT event_id, user_id,
+         list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS context,
+         event_type AS label,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn > 2
+"""
+
+
+QUERIES = {
+    "sample_domain_quota": q_sample_domain_quota,
+    "corpus_zipf_profile": q_corpus_zipf_profile,
+    "doc_length_histogram": q_doc_length_histogram,
+    "train_next_event_examples": q_train_next_event_examples,
+}
+
+ORACLES: dict[str, str] = {
+    "sample_domain_quota": ORACLE_DOMAIN_QUOTA,
+    "corpus_zipf_profile": ORACLE_ZIPF,
+    "doc_length_histogram": ORACLE_LENGTH_HIST,
+    "train_next_event_examples": ORACLE_NEXT_EVENT,
+}
