@@ -75,6 +75,33 @@ def quota_cap(
     )
 
 
+def quota_cap_audit(
+    df: DataFrame, group_cols: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Per-group audit of what ``quota_cap`` would keep/drop — in ONE
+    pass: rank inside the same window quota_cap uses, then aggregate
+    kept/total counts on the group key. The groupBy reuses the
+    window's hash partitioning, so the plan is one scan + one
+    exchange; materializing the kept set and re-scanning for totals
+    would read the corpus twice."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(*group_cols, F.row_number().over(w).alias("__rn"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("__rn") <= cap, 1)).alias("n_kept"),
+        )
+        .withColumn("n_dropped", F.col("n_total") - F.col("n_kept"))
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_cols: list[str], id_col: str, num: int, denom: int
 ) -> DataFrame:

@@ -18,21 +18,12 @@ from dbt_maxcompute_spark.sources.registry import load_table
 
 def q_sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cap every source domain at 120 docs (deterministic md5-ranked
-    # keep set), then report per-source kept counts + how many the cap
-    # dropped — the audit row a curation run logs per domain.
+    # keep set), then report per-source kept/dropped counts — the audit
+    # row a curation run logs per domain. Single scan: the audit ranks
+    # and aggregates in one pass (quota_cap itself produces the rows).
     docs = load_table(spark, sf_dir, "documents")
-    kept = sampling.quota_cap(docs, ["source"], "doc_id", cap=120)
-    n_all = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    n_kept = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
-    return (
-        n_all.join(n_kept, "source")
-        .select(
-            "source",
-            "n_total",
-            "n_kept",
-            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
-        )
-        .orderBy("source")
+    return sampling.quota_cap_audit(docs, ["source"], "doc_id", cap=120).orderBy(
+        "source"
     )
 
 

@@ -155,6 +155,37 @@ def test_stratified_sample_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_quota_audit_single_scan_single_exchange(spark, sf_dir):
+    # the kept/dropped audit must rank + aggregate in ONE pass: one
+    # documents scan, one exchange (groupBy reuses the window's hash
+    # partitioning on the group key)
+    from dbt_maxcompute_spark.suite.extras2_suite import q_sample_domain_quota
+
+    df = q_sample_domain_quota(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1
+    # one hash exchange for the window/groupBy + one range for orderBy
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_zipf_topk_is_bounded_not_global_sort(spark, sf_dir):
+    # top-k terms must be TakeOrderedAndProject over the term counts —
+    # a global sort of the whole distinct-term table is the 100 TB trap
+    from dbt_maxcompute_spark.suite.extras2_suite import q_corpus_zipf_profile
+
+    plan = plan_of(spark, q_corpus_zipf_profile(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_next_event_examples_single_exchange(spark, sf_dir):
+    # context window + completeness rank share one (user_id) exchange
+    # and one sort — the operator's whole cost at scale
+    from dbt_maxcompute_spark.suite.extras2_suite import q_train_next_event_examples
+
+    plan = plan_of(spark, q_train_next_event_examples(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_tfidf_scans_prune_to_id_and_text(spark, sf_dir):
     # both passes over documents (term stats + corpus count) must prune
     # to doc_id/text — dragging lang/source/n_chars through the explode
