@@ -123,15 +123,21 @@ def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
 
 
 def minhash_signature_fast(sh: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature, Arrow fast path — bit-identical to
+    """MinHash signature via Arrow — bit-identical to
     :func:`minhash_signature` (same two-base-hash family h1 XOR
-    rot_k(h2), same signed-long min) but ~3x faster: the shingle
-    hashing stays JVM-side (xxhash64 in whole-stage codegen); only the
-    two long arrays cross to Python, where numpy vectorizes the
-    k-rotations and the min.  The pure-Catalyst fold evaluates a
-    num_hashes-wide interpreted zip_with per shingle; profiled 4.3 s vs
-    1.4 s at sf0.1 (5k docs x ~2k shingles).  Equality is pinned by
-    test_minhash_fast_matches_fold."""
+    rot_k(h2), same signed-long min): the shingle hashing stays
+    JVM-side (xxhash64 in whole-stage codegen); only the two long
+    arrays cross to Python, where numpy vectorizes the k-rotations and
+    the min.  Equality is pinned by test_minhash_fast_matches_fold.
+
+    NO LONGER the default: when the LSH pipeline started projecting
+    the signature into a named column once (instead of re-evaluating
+    it per band), the fold's former 3x penalty vanished — re-profiled
+    at sf0.1 the fold wins both single-shot (9.2 s vs 13.6 s full
+    dedup; the Arrow array<long> serializer pays a heavy first-touch)
+    and warm (0.4 s vs 1.1 s signature-only).  Kept as the reference
+    Arrow-batched pattern for engines/workloads where the per-shingle
+    fold is the bottleneck (e.g. much wider signatures)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -193,7 +199,7 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     src = spread(df)
     sh = shingles(tokens(F.col(text_col)), shingle_n)
-    sig = minhash_signature_fast(sh, num_hashes)
+    sig = minhash_signature(sh, num_hashes)
 
     # Band rows carry ONLY (id, band, bh): the shingle sets (wide
     # arrays) never enter the bucket shuffle — they re-attach to the

@@ -122,11 +122,91 @@ SELECT event_id, user_id, context, label FROM (
 """
 
 
+def q_curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The audit row every corpus-curation run logs: how many documents
+    # survive each successive quality gate (length -> composite quality
+    # -> repetition). ONE scan, conditional aggregation — no per-stage
+    # pass, no shuffle beyond the single-row agg. Gates compare on
+    # round(...,6) values whose formulas the oracle mirrors exactly
+    # (quality_score summation order is pinned; dup ratio divides exact
+    # integer-valued doubles), so the float thresholds are engine-safe.
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = ta.tokens(t)
+    n_tok = F.size(toks)
+    quality = F.round(ta.quality_score(t), 6)
+    dup_ratio = F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok, 6)
+    staged = docs.select(
+        (n_tok >= 30).alias("p_len"),
+        quality.alias("q"),
+        dup_ratio.alias("d"),
+    ).select(
+        "p_len",
+        (F.col("p_len") & (F.col("q") >= 0.60)).alias("p_qual"),
+        (F.col("p_len") & (F.col("q") >= 0.60) & (F.col("d") <= 0.55)).alias("p_rep"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("p_len"), 1)).alias("n_pass_length"),
+        F.count(F.when(F.col("p_qual"), 1)).alias("n_pass_quality"),
+        F.count(F.when(F.col("p_rep"), 1)).alias("n_pass_repetition"),
+    ).select(
+        "n_total",
+        "n_pass_length",
+        "n_pass_quality",
+        "n_pass_repetition",
+        F.round(F.col("n_pass_repetition") / F.col("n_total"), 6).alias("kept_share"),
+    )
+
+
+_SW_ALL = sorted({w for ws in ta.STOPWORDS.values() for w in ws})
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _SW_ALL) + "]"
+
+ORACLE_FUNNEL2 = f"""
+WITH t AS (
+  SELECT text, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+), m AS (
+  SELECT len(toks) AS n_tokens,
+         CASE WHEN n_chars = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars
+         END AS alpha_ratio,
+         CASE WHEN n_chars = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / n_chars
+         END AS punct_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x)))
+                        AS DOUBLE) / len(toks)
+         END AS sw_ratio,
+         round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_ratio
+  FROM t
+), g AS (
+  SELECT n_tokens >= 30 AS p_len,
+         round(0.35 * alpha_ratio
+               + 0.25 * least(sw_ratio * 4.0, 1.0)
+               + 0.25 * (1.0 - least(punct_ratio * 5.0, 1.0))
+               + 0.15 * least(n_tokens / 100.0, 1.0), 6) AS q,
+         dup_ratio AS d
+  FROM m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(CASE WHEN p_len THEN 1 END) AS BIGINT) AS n_pass_length,
+       CAST(count(CASE WHEN p_len AND q >= 0.60 THEN 1 END) AS BIGINT) AS n_pass_quality,
+       CAST(count(CASE WHEN p_len AND q >= 0.60 AND d <= 0.55 THEN 1 END) AS BIGINT)
+            AS n_pass_repetition,
+       round(count(CASE WHEN p_len AND q >= 0.60 AND d <= 0.55 THEN 1 END)
+             / CAST(count(*) AS DOUBLE), 6) AS kept_share
+FROM g
+"""
+
+
 QUERIES = {
     "sample_domain_quota": q_sample_domain_quota,
     "corpus_zipf_profile": q_corpus_zipf_profile,
     "doc_length_histogram": q_doc_length_histogram,
     "train_next_event_examples": q_train_next_event_examples,
+    "curation_filter_funnel": q_curation_filter_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -134,4 +214,5 @@ ORACLES: dict[str, str] = {
     "corpus_zipf_profile": ORACLE_ZIPF,
     "doc_length_histogram": ORACLE_LENGTH_HIST,
     "train_next_event_examples": ORACLE_NEXT_EVENT,
+    "curation_filter_funnel": ORACLE_FUNNEL2,
 }
