@@ -72,6 +72,7 @@ class TableMeta:
     primary_keys: list[str] = field(default_factory=list)
     transactional: bool = False
     bucket_num: int = 16
+    bucket_by: list[str] = field(default_factory=list)  # real bucketed layout
     lifecycle: int | None = None  # days; TTL metadata (reference create.sql:57-61)
     tblproperties: dict[str, str] = field(default_factory=dict)
     comment: str | None = None
@@ -328,6 +329,97 @@ class EngineCatalog:
         meta.schema_json = out.schema.json()
         self._write_meta(name, meta)
         return meta
+
+    # -- bucketed tables ------------------------------------------------------
+
+    def _bucket_reg_name(self, name: str) -> str:
+        """Spark-session-catalog registration name for a bucketed table
+        (mangled into the default database; idents are pre-validated)."""
+        schema, table = self._split(name)
+        return f"{schema}__{table}__bkt"
+
+    def create_bucketed_table(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_by: list[str],
+        bucket_num: int = 16,
+        sort_by: list[str] | None = None,
+        mode: str = "error",
+    ) -> TableMeta:
+        """REAL hash-bucketed table (the reference's `write.bucket.num`
+        tblproperty, create.sql:44-49 — there metadata for the remote
+        warehouse; here an actual pre-shuffled layout).
+
+        Files are written hash-bucketed on ``bucket_by`` (bucket id in
+        the file name) and the spec is registered in the Spark session
+        catalog — parquet files carry no bucket info, the catalog does.
+        Reads via :meth:`read_bucketed` then report
+        ``outputPartitioning = hash(bucket_by, n)``, so an equi-join or
+        aggregation on the bucket key between co-bucketed tables plans
+        with ZERO exchanges: at 100 TB that converts every repeated
+        fact-to-fact join on the same key from two full shuffles into a
+        co-located bucket-pair read — the storage layout IS the shuffle,
+        paid once at write time. ``sort_by`` additionally pre-sorts
+        within buckets (sort-merge joins skip their sort).
+        """
+        if not bucket_by:
+            raise ValueError("bucket_by requires at least one column")
+        if bucket_num < 1:
+            raise ValueError(f"bucket_num must be >= 1, got {bucket_num}")
+        if self.exists(name) and mode == "error":
+            raise ValueError(f"table {name} already exists")
+        missing = [c for c in list(bucket_by) + list(sort_by or []) if c not in df.columns]
+        if missing:
+            raise ValueError(f"bucket/sort columns {missing} not in dataframe")
+        path = self.table_dir(name)
+        reg = self._bucket_reg_name(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {reg}")
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        writer = (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .option("path", path)
+            .bucketBy(bucket_num, *bucket_by)
+        )
+        if sort_by:
+            writer = writer.sortBy(*sort_by)
+        writer.saveAsTable(reg)
+        meta = TableMeta(
+            name=name,
+            bucket_num=bucket_num,
+            bucket_by=list(bucket_by),
+            schema_json=df.schema.json(),
+            created_at=time.time(),
+        )
+        self._write_meta(name, meta)
+        return meta
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed table WITH its bucket spec. The spec lives in
+        the Spark session catalog; on a fresh session it is re-registered
+        from the metadata sidecar (CREATE TABLE ... CLUSTERED BY ...
+        LOCATION), so the layout survives restarts even though the
+        session catalog itself is in-memory."""
+        meta = self.meta(name)
+        if not meta.bucket_by:
+            raise ValueError(f"table {name} is not bucketed")
+        reg = self._bucket_reg_name(name)
+        if not self.spark.catalog.tableExists(reg):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(meta.schema_json))
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            bcols = ", ".join(f"`{c}`" for c in meta.bucket_by)
+            self.spark.sql(
+                f"CREATE TABLE {reg} ({cols}) USING parquet "
+                f"CLUSTERED BY ({bcols}) INTO {meta.bucket_num} BUCKETS "
+                f"LOCATION '{self.table_dir(name)}'"
+            )
+        return self.spark.table(reg)
 
     def create_view(self, name: str, sql: str, comment: str | None = None) -> TableMeta:
         """CREATE OR REPLACE VIEW (reference view/create.sql:1-14)."""

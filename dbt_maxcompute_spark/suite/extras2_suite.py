@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from dbt_maxcompute_spark.operators import relevance, sampling, training
 from dbt_maxcompute_spark.operators import textanalysis as ta
 from dbt_maxcompute_spark.sources.registry import load_table
+from dbt_maxcompute_spark.suite.relational import _dsum
 
 
 def q_sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,12 +202,59 @@ FROM g
 """
 
 
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL bucketed tables: orders and customer co-bucketed on the
+    # customer key, so the equi-join plans with zero exchanges on the
+    # fact sides — the storage layout is the shuffle, paid once at
+    # write time (the plan pin asserts no Exchange feeds the join).
+    # The post-join rollup to mktsegment is the only (5-row) shuffle.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="bkt_wh_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cat.create_bucketed_table(
+        "orders_b", orders, bucket_by=["o_custkey"], bucket_num=8,
+        sort_by=["o_custkey"], mode="overwrite",
+    )
+    cat.create_bucketed_table(
+        "customer_b", cust, bucket_by=["c_custkey"], bucket_num=8,
+        sort_by=["c_custkey"], mode="overwrite",
+    )
+    ob, cb = cat.read_bucketed("orders_b"), cat.read_bucketed("customer_b")
+    j = ob.join(cb, ob["o_custkey"] == cb["c_custkey"])
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "sample_domain_quota": q_sample_domain_quota,
     "corpus_zipf_profile": q_corpus_zipf_profile,
     "doc_length_histogram": q_doc_length_histogram,
     "train_next_event_examples": q_train_next_event_examples,
     "curation_filter_funnel": q_curation_filter_funnel,
+    "bucketed_colocated_join": q_bucketed_colocated_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -215,4 +263,5 @@ ORACLES: dict[str, str] = {
     "doc_length_histogram": ORACLE_LENGTH_HIST,
     "train_next_event_examples": ORACLE_NEXT_EVENT,
     "curation_filter_funnel": ORACLE_FUNNEL2,
+    "bucketed_colocated_join": ORACLE_BUCKETED_JOIN,
 }

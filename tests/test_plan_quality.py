@@ -186,6 +186,22 @@ def test_next_event_examples_single_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_bucketed_join_query_single_exchange(spark, sf_dir):
+    # with broadcast disabled, the co-bucketed orders x customer join
+    # must be exchange-free: the only hash exchange in the whole query
+    # is the 5-row mktsegment rollup after the join
+    from dbt_maxcompute_spark.suite.extras2_suite import q_bucketed_colocated_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_bucketed_colocated_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_tfidf_scans_prune_to_id_and_text(spark, sf_dir):
     # both passes over documents (term stats + corpus count) must prune
     # to doc_id/text — dragging lang/source/n_chars through the explode
