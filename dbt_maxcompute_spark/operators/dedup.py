@@ -279,6 +279,39 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_against_store(
+    new_df: DataFrame,
+    store_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental (cross-batch) dedup: drop new documents whose exact
+    text hash OR order-insensitive token-bag fingerprint already exists
+    in the corpus store — the production shape for growing a corpus
+    batch by batch without re-deduplicating history.
+
+    Scale posture: both anti-joins key on a 32-hex digest, never the
+    payload (the store side reduces to DISTINCT digests before the
+    join — at 100 TB the store's fingerprint table is what you persist
+    between crawls, not the text). Digest keys are uniform by
+    construction, so the shuffle has no skew; when the store's digest
+    table fits, Spark's AQE broadcasts it and the batch never shuffles
+    at all.
+    """
+    from dbt_maxcompute_spark.operators.textanalysis import fingerprint
+
+    exact = F.md5(F.col(text_col))
+    bag = fingerprint(F.col(text_col))
+    store_keys = store_df.select(
+        exact.alias("__h"), bag.alias("__fp")
+    )
+    batch = new_df.withColumn("__h", exact).withColumn("__fp", bag)
+    out = batch.join(
+        store_keys.select("__h").distinct(), "__h", "left_anti"
+    ).join(store_keys.select("__fp").distinct(), "__fp", "left_anti")
+    return out.drop("__h", "__fp")
+
+
 def minhash_lsh_dedup(
     df: DataFrame, id_col: str, text_col: str, **kwargs
 ) -> DataFrame:

@@ -102,6 +102,24 @@ def quota_cap_audit(
     )
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight: Column) -> DataFrame:
+    """Deterministic importance sampling: keep each row with
+    probability = clamp(weight, 0, 1), decided by comparing a uniform
+    md5-derived u(id) in [0,1) against the row's weight — the
+    quality-weighted mixing step of corpus curation (upsample good
+    documents, downsample junk) without RNG state.
+
+    Pure per-row expression: no shuffle, no state, reproducible on any
+    engine with md5 (u = first 6 md5 hex digits / 16^6, ~24 bits of
+    resolution). E[kept] = sum(weights) exactly.
+    """
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast(
+        "double"
+    ) / float(16**6)
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(u < w)
+
+
 def stratified_sample(
     df: DataFrame, strata_cols: list[str], id_col: str, num: int, denom: int
 ) -> DataFrame:

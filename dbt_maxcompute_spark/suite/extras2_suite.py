@@ -248,6 +248,76 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Importance sampling by quality: each doc kept with probability =
+    # its composite quality score, decided by a deterministic md5
+    # uniform — the quality-weighted mixing step of corpus curation,
+    # RNG-free and engine-reproducible. Single scan, no shuffle.
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(ta.quality_score(F.col("text")), 6)
+    return sampling.weighted_sample(docs, "doc_id", q).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_ORACLE_QUALITY_EXPR = f"""round(0.35 * (CASE WHEN length(text) = 0 THEN 0.0
+               ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE) END)
+       + 0.25 * least((CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+                    / len(string_split_regex(lower(trim(text)), '\\s+')) END) * 4.0, 1.0)
+       + 0.25 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+               ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE) END) * 5.0, 1.0))
+       + 0.15 * least(len(string_split_regex(lower(trim(text)), '\\s+')) / 100.0, 1.0), 6)"""
+
+ORACLE_QUALITY_WEIGHTED = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+      / CAST(16777216 AS DOUBLE)
+      < least(greatest({_ORACLE_QUALITY_EXPR}, 0.0), 1.0)
+"""
+
+
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # New crawl batch (every 10th doc) vs the corpus store (the rest):
+    # drop batch docs whose exact text hash OR token-bag fingerprint
+    # already exists in the store — cross-batch dedup keyed on digests,
+    # the op a growing corpus runs per ingest.
+    docs = load_table(spark, sf_dir, "documents")
+    store = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    from dbt_maxcompute_spark.operators import dedup
+
+    return (
+        dedup.dedup_against_store(batch, store, "doc_id", "text")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_INCR_DEDUP = """
+WITH fp AS (
+  SELECT doc_id, md5(text) AS h,
+         md5(array_to_string(
+               list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))),
+               ' ')) AS f
+  FROM documents
+), store AS (
+  SELECT h, f FROM fp WHERE doc_id % 10 != 0
+), batch AS (
+  SELECT doc_id, h, f FROM fp WHERE doc_id % 10 = 0
+)
+SELECT d.doc_id, d.lang, d.source
+FROM batch b JOIN documents d USING (doc_id)
+WHERE b.h NOT IN (SELECT h FROM store)
+  AND b.f NOT IN (SELECT f FROM store)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "sample_domain_quota": q_sample_domain_quota,
     "corpus_zipf_profile": q_corpus_zipf_profile,
@@ -255,6 +325,8 @@ QUERIES = {
     "train_next_event_examples": q_train_next_event_examples,
     "curation_filter_funnel": q_curation_filter_funnel,
     "bucketed_colocated_join": q_bucketed_colocated_join,
+    "sample_quality_weighted": q_sample_quality_weighted,
+    "dedup_incremental_batch": q_dedup_incremental_batch,
 }
 
 ORACLES: dict[str, str] = {
@@ -264,4 +336,6 @@ ORACLES: dict[str, str] = {
     "train_next_event_examples": ORACLE_NEXT_EVENT,
     "curation_filter_funnel": ORACLE_FUNNEL2,
     "bucketed_colocated_join": ORACLE_BUCKETED_JOIN,
+    "sample_quality_weighted": ORACLE_QUALITY_WEIGHTED,
+    "dedup_incremental_batch": ORACLE_INCR_DEDUP,
 }
