@@ -282,7 +282,6 @@ def minhash_lsh_pairs(
 def dedup_against_store(
     new_df: DataFrame,
     store_df: DataFrame,
-    id_col: str,
     text_col: str,
 ) -> DataFrame:
     """Incremental (cross-batch) dedup: drop new documents whose exact
@@ -302,7 +301,11 @@ def dedup_against_store(
 
     exact = F.md5(F.col(text_col))
     bag = fingerprint(F.col(text_col))
-    store_keys = store_df.select(
+    # NULL-text store rows yield NULL digests; drop them so the anti-join
+    # keeps the documented "digest already seen" semantics (a NULL store
+    # key must not match anything, unlike SQL NOT IN which would nuke the
+    # whole batch).
+    store_keys = store_df.filter(F.col(text_col).isNotNull()).select(
         exact.alias("__h"), bag.alias("__fp")
     )
     batch = new_df.withColumn("__h", exact).withColumn("__fp", bag)
@@ -352,7 +355,29 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(toks: Column, bits: int = 64) -> Column:
+def token_hash_expr(t: Column, family: str = "xxhash64") -> Column:
+    """64-bit token hash for SimHash, selectable family.
+
+    - ``xxhash64``: cheapest (one codegen'd hash call) — the production
+      default.
+    - ``md5``: lower 64 bits of md5(token), assembled from two 32-bit
+      hex chunks so ``conv`` stays inside signed-long range. Slower,
+      but reproducible in any engine with md5 — the DuckDB oracle
+      computes the identical value via
+      ``('0x' || substr(md5(t), 17, 16))::UBIGINT``, which is what
+      makes the SimHash suite query driver-hash-checkable.
+    """
+    if family == "xxhash64":
+        return F.xxhash64(t)
+    if family == "md5":
+        hx = F.md5(t)
+        hi = F.conv(F.substring(hx, 17, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 25, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    raise ValueError(f"unknown token-hash family: {family!r}")
+
+
+def simhash(toks: Column, bits: int = 64, hash_family: str = "xxhash64") -> Column:
     """64-bit SimHash from token hashes, pure Catalyst: for each bit
     position, sum ±1 over token hash bits, take the sign. Expressed as
     an aggregate fold over the token array (no Python).
@@ -367,7 +392,7 @@ def simhash(toks: Column, bits: int = 64) -> Column:
     # per-bit CASE WHEN chains cost ~3× the plain add), and derives the
     # majority sign at the end: bit i set iff 2*ones > n.
     ones = F.aggregate(
-        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.transform(toks, lambda t: token_hash_expr(t, hash_family)),
         F.array_repeat(F.lit(0).cast("long"), 64),
         lambda acc, h: F.zip_with(
             acc,
@@ -388,7 +413,7 @@ def simhash(toks: Column, bits: int = 64) -> Column:
     return fp
 
 
-def simhash_fast(toks: Column) -> Column:
+def simhash_fast(toks: Column, hash_family: str = "xxhash64") -> Column:
     """SimHash fingerprint, Arrow fast path: token hashing stays
     JVM-side (xxhash64 inside whole-stage codegen); only the 64-bit
     majority vote crosses to Python, where numpy unpackbits/packbits
@@ -418,7 +443,7 @@ def simhash_fast(toks: Column) -> Column:
     _majority.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
     _majority = pandas_udf(_majority, "long")
 
-    return _majority(F.transform(toks, lambda t: F.xxhash64(t)))
+    return _majority(F.transform(toks, lambda t: token_hash_expr(t, hash_family)))
 
 
 def simhash_pairs(
@@ -427,12 +452,18 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into
     `chunks` 16-bit blocks (pigeonhole: hamming<=chunks-1 guarantees an
     exact block match), bucket-join on matching blocks, verify true
-    hamming distance via bit_count(xor)."""
-    fp = simhash_fast(tokens(F.col(text_col)))
+    hamming distance via bit_count(xor).
+
+    Pigeonhole makes the pair set EXHAUSTIVE for hamming <= chunks-1,
+    so with the md5 hash family the output is fully oracle-checkable:
+    it equals the all-pairs hamming filter an independent engine
+    computes from the same md5-derived token hashes."""
+    fp = simhash_fast(tokens(F.col(text_col)), hash_family)
     # The fingerprint table is 16 bytes/doc — persist it so the
     # self-join's two sides consume one computation of the 64-way
     # SimHash fold instead of re-evaluating it per side (exchange
@@ -485,20 +516,52 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     planes: int = 16,
     seed: int = 42,
+    tables: int = 1,
 ) -> DataFrame:
     """Near-identical vectors via random-hyperplane LSH buckets + exact
-    cosine verification. See similarity.py for the signing path."""
+    cosine verification. See similarity.py for the signing path.
+
+    OR-amplification: `tables` independent plane sets; a pair is a
+    candidate if it collides in ANY table. Per-pair recall at cosine c
+    is 1-(1-(1-θ/π)^planes)^tables (θ = arccos c) — fewer planes +
+    more tables trades candidate volume for recall. Exact cosine
+    verification keeps precision at 1.0 regardless. The candidate
+    shuffle carries (table, sig, id) only; vectors re-attach per
+    bucket via the persisted signature frame."""
     from dbt_maxcompute_spark.operators.similarity import (
         cosine_expr,
         hyperplane_signature,
     )
 
     base = spread(df).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_signature(F.col("__v"), planes, seed + t).alias("sig"),
+            )
+            for t in range(tables)
+        ]
+    )
     # persisted: both self-join sides reuse one signature computation
-    signed = base.withColumn("__sig", hyperplane_signature(F.col("__v"), planes, seed)).persist()
-    a = signed.select(F.col("__sig"), F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
-    b = signed.select(F.col("__sig"), F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
-    cand = a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b"))
+    signed = (
+        base.withColumn("__s", F.explode(sigs))
+        .select(
+            "__id", "__v", F.col("__s.t").alias("__t"), F.col("__s.sig").alias("__sig")
+        )
+        .persist()
+    )
+    a = signed.select(
+        "__t", "__sig", F.col("__id").alias("id_a"), F.col("__v").alias("v_a")
+    )
+    b = signed.select(
+        "__t", "__sig", F.col("__id").alias("id_b"), F.col("__v").alias("v_b")
+    )
+    cand = (
+        a.join(b, ["__t", "__sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cos = cosine_expr(F.col("v_a"), F.col("v_b"))
     return cand.withColumn("cosine", cos).filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"

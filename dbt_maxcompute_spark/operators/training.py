@@ -186,6 +186,11 @@ def next_event_examples(
     """
     if context < 1:
         raise ValueError(f"context must be >= 1, got {context}")
+    # NULL-typed rows are excluded from the timeline up front:
+    # collect_list silently drops NULL elements from contexts while
+    # row_number would still count the row, desynchronizing context
+    # length from the completeness filter.
+    df = df.filter(F.col(type_col).isNotNull())
     order = [F.col(ts_col), F.col(id_col)]
     wctx = (
         Window.partitionBy(user_col).orderBy(*order).rowsBetween(-context, -1)

@@ -45,16 +45,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name!r} (have {TABLES})")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it
-        # as long (spark.sql.legacy.parquet.nanosAsLong) — convert to a
-        # microsecond timestamp, matching DuckDB's truncation.
-        from pyspark.sql.types import LongType
+    # The fixture's timestamp physical types have varied across driver
+    # generations: TIMESTAMP(NANOS) (read as long via
+    # spark.sql.legacy.parquet.nanosAsLong), tz-adjusted µs, and
+    # tz-naive µs (read as TIMESTAMP_NTZ in Spark 4). Normalize every
+    # variant to plain TIMESTAMP: the session tz is pinned UTC, so the
+    # NTZ→TIMESTAMP cast preserves wall-clock values and keeps epoch
+    # arithmetic (cast to long / unix_micros) legal downstream.
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer division: ns values exceed 2^53, float division
-            # would round the microseconds
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer division: ns values exceed 2^53, float division
+        # would round the microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -28,9 +28,12 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# The fixture parquet stores TIMESTAMP(NANOS); with the session's
-# nanosAsLong conf the raw read yields a long — converted to a
-# microsecond timestamp below (same rule as sources.registry).
+# The fixture's ts physical type has varied across driver generations
+# (TIMESTAMP(NANOS) read as long, tz-adjusted µs, tz-naive µs); the
+# stream reader sniffs the directory's current schema with a one-off
+# batch metadata read and normalizes to TIMESTAMP exactly like
+# sources.registry (a production stream knows its schema a priori —
+# the sniff is fixture-compat only).
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -52,12 +55,25 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over a directory of event parquet files.
     `path` must be a directory (Spark's file stream source lists it)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    sniffed = spark.read.parquet(path).schema
+    ts_type = sniffed["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(sniffed)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

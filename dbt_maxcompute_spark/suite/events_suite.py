@@ -75,7 +75,8 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SLIDING = """
 WITH exploded AS (
-  SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS window_start,
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT))
+              AS TIMESTAMP) AS window_start,
          value
   FROM events, unnest([0, 1800]) AS t(off)
 )
@@ -98,7 +99,8 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     )
     sess = with_break.withColumn(
-        "session_seq", F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, 0))
+        "session_seq",
+        F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
     )
     return (
         sess.groupBy("user_id", "session_seq")
@@ -125,7 +127,7 @@ WITH g AS (
                               ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM g
 )
-SELECT user_id, session_seq, count(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
 FROM s GROUP BY 1, 2 ORDER BY 1, 2

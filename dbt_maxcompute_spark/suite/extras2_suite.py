@@ -106,19 +106,21 @@ def q_train_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (context, label) pairs for next-event prediction: 2 preceding
     # event types -> current type, per user timeline.
     ev = load_table(spark, sf_dir, "events")
+    # context stays an array in the operator; JSON at the output
+    # boundary (the driver's hasher cannot hash list cells).
     return training.next_event_examples(
         ev, "user_id", "ts", "event_type", "event_id", context=2
-    )
+    ).withColumn("context", F.to_json("context"))
 
 
 ORACLE_NEXT_EVENT = """
-SELECT event_id, user_id, context, label FROM (
+SELECT event_id, user_id, CAST(to_json(context) AS VARCHAR) AS context, label FROM (
   SELECT event_id, user_id,
          list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS context,
          event_type AS label,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
+  FROM events WHERE event_type IS NOT NULL
 ) WHERE rn > 2
 """
 
@@ -292,7 +294,7 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_maxcompute_spark.operators import dedup
 
     return (
-        dedup.dedup_against_store(batch, store, "doc_id", "text")
+        dedup.dedup_against_store(batch, store, "text")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )

@@ -123,7 +123,13 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_maxcompute_spark.suite.pipeline_suite import q_emb_cosine_exact_pairs
 
     pairs = q_emb_cosine_exact_pairs(spark, sf_dir).select("id_a", "id_b")
-    return graph.dedup_clusters(pairs, "id_a", "id_b").orderBy("representative")
+    # members stays an array inside the operator; JSON at the output
+    # boundary (the driver's hasher cannot hash list cells).
+    return (
+        graph.dedup_clusters(pairs, "id_a", "id_b")
+        .withColumn("members", F.to_json("members"))
+        .orderBy("representative")
+    )
 
 
 ORACLE_COMPONENTS = """
@@ -149,7 +155,7 @@ WITH RECURSIVE pairs AS (
 )
 SELECT comp AS representative,
        CAST(count(*) AS BIGINT) AS n_members,
-       list_sort(list(node)) AS members
+       CAST(to_json(list_sort(list(node))) AS VARCHAR) AS members
 FROM comp GROUP BY comp ORDER BY representative
 """
 
@@ -334,7 +340,11 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_maxcompute_spark.operators import quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize.quantize_embeddings(emb, "vec_id", "embedding")
+    # codes stays array<tinyint> in the operator (the stored form);
+    # JSON at the output boundary for the driver's hasher.
+    return quantize.quantize_embeddings(emb, "vec_id", "embedding").withColumn(
+        "codes", F.to_json("codes")
+    )
 
 
 ORACLE_QUANTIZE = """
@@ -350,7 +360,7 @@ WITH s AS (
          ) AS codes
   FROM s
 )
-SELECT vec_id, scale, codes,
+SELECT vec_id, scale, CAST(to_json(codes) AS VARCHAR) AS codes,
        list_max(list_transform(list_zip(codes, embedding),
                 p -> abs(CAST(p[1] AS DOUBLE) * scale - CAST(p[2] AS DOUBLE)))) AS max_abs_err
 FROM q

@@ -165,10 +165,12 @@ def q_fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended = fn.array_append(base, F.col("l_suppkey"))
     full = fn.array_concat(appended, fn.array_construct([F.col("l_linenumber").cast("bigint")]))
     empty = fn.array_construct([], "bigint")
+    # Array kept internal; JSON-stringified at the output boundary — the
+    # driver's pandas-level hasher cannot hash list cells.
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        full.alias("keys_arr"),
+        F.to_json(full).alias("keys_arr"),
         F.size(full).alias("arr_len"),
         F.element_at(full, 3).alias("third"),
         F.size(empty).alias("empty_len"),
@@ -177,7 +179,7 @@ def q_fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_FN_ARRAY = """
 SELECT l_orderkey, l_linenumber,
-       [l_orderkey, l_partkey, l_suppkey, CAST(l_linenumber AS BIGINT)] AS keys_arr,
+       CAST(to_json([l_orderkey, l_partkey, l_suppkey, CAST(l_linenumber AS BIGINT)]) AS VARCHAR) AS keys_arr,
        4 AS arr_len,
        l_suppkey AS third,
        0 AS empty_len

@@ -100,17 +100,81 @@ def q_dedup_lsh_recall_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Approximate — rows-only check (no SQL-expressible oracle).
+    # Full-corpus MinHash-LSH dedup with a HARD oracle: at b=16/r=2 a
+    # pair with jaccard >= 0.8 collides in some band with prob
+    # 1-(1-0.8^2)^16 ~ 1-8e-8 (deterministic fixed-seed hashes), and
+    # candidate verification applies the EXACT shingle-set Jaccard.
+    # The surviving-doc set therefore equals the exact O(n^2) jaccard
+    # dedup the oracle computes — recall pinned through the driver
+    # hash, false drops impossible by construction.
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_dedup(
-        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.8
+        docs, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.8
     ).select("doc_id", "lang", "n_chars")
 
 
+ORACLE_MINHASH_DEDUP = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+         END AS s
+  FROM base
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS icnt,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS ucnt
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), losers AS (
+  SELECT DISTINCT id_b FROM pairs
+  WHERE CAST(icnt AS DOUBLE) / CAST(ucnt AS DOUBLE) >= 0.8
+)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
+"""
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Approximate — rows-only check.
+    # Exhaustive-by-pigeonhole: 4 blocks of 16 bits guarantee every
+    # pair with hamming <= 3 shares an exact block, so the bucketed
+    # pair set equals the all-pairs hamming filter. The md5 token-hash
+    # family makes the fingerprints engine-reproducible — the oracle
+    # recomputes the identical 64-bit SimHash in DuckDB from
+    # ('0x' || substr(md5(token), 17, 16))::UBIGINT.
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3, hash_family="md5"
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+ORACLE_SIMHASH = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(t.tok), 17, 16))::UBIGINT AS h
+  FROM base, unnest(toks) AS t(tok)
+), bits AS (
+  SELECT doc_id, r.i AS i,
+         sum(CAST((h >> r.i) & 1 AS BIGINT)) AS ones,
+         count(*) AS n
+  FROM th, unnest(range(0, 64)) AS r(i)
+  GROUP BY doc_id, r.i
+), fp AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN 2 * ones > n THEN (1::UBIGINT << CAST(i AS INTEGER))
+                     ELSE 0::UBIGINT END) AS f
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -231,8 +231,8 @@ def q_decimal_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,8)")
             .cast("double")
             .alias("sum_disc_price"),
-            F.min(d).alias("min_price"),
-            F.max(d).alias("max_price"),
+            F.min(d).cast("double").alias("min_price"),
+            F.max(d).cast("double").alias("max_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -244,8 +244,8 @@ SELECT l_returnflag,
        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
             AS DECIMAL(38,8)) AS DOUBLE) AS sum_disc_price,
-       CAST(min(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS min_price,
-       CAST(max(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS max_price
+       CAST(min(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS min_price,
+       CAST(max(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

@@ -40,9 +40,22 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
-    """Canonicalize one pandas-level cell. int stays int, float stays float
-    (bitwise), Decimal→float (both pandas surfaces do this for numerics the
-    driver hashes), temporal→ISO string, containers recurse."""
+    """Canonicalize one pandas-level cell EXACTLY as strictly as the driver:
+
+    - Decimal stays Decimal (the driver does NOT fold it into float64; a
+      Spark decimal column vs a DuckDB DOUBLE hashed differently two rounds
+      running — decimal_fidelity);
+    - tz-aware timestamps keep their offset (DuckDB TIMESTAMPTZ vs Spark
+      naive timestamp is a driver schema/hash fail — events_sliding);
+    - list/ndarray/dict cells RAISE, mirroring the driver's pandas
+      ``sort_values`` crash (``TypeError: unhashable type: 'list'``);
+    - int stays int, float stays float bitwise (HUGEINT→float64 vs BIGINT
+      is hash-visible).
+
+    The one retained leniency: date widens to midnight-datetime, because
+    DuckDB's ``.df()`` itself widens DATE to datetime64 while Spark keeps
+    ``datetime.date`` — the driver sees those as equal (r01 date-output
+    queries were green)."""
     if v is None or v is pd.NaT or v is getattr(pd, "NA", object()):
         return None
     if isinstance(v, float) and math.isnan(v):
@@ -57,21 +70,19 @@ def _canon(v):
         f = float(v)
         return "NaN" if math.isnan(f) else f
     if isinstance(v, Decimal):
-        return float(v)
+        return v
     if isinstance(v, pd.Timestamp):
-        return v.tz_localize(None).to_pydatetime().isoformat() if v.tzinfo else v.to_pydatetime().isoformat()
+        return v.isoformat()
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return v.isoformat()
     if isinstance(v, date):
-        # date and midnight-timestamp compare equal: DuckDB's .df() widens
-        # DATE to datetime64 while Spark keeps datetime.date objects.
         return datetime(v.year, v.month, v.day).isoformat()
-    if isinstance(v, dict):
-        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
-    if isinstance(v, np.ndarray):
-        return tuple(_canon(x) for x in v.tolist())
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
+    if isinstance(v, (np.ndarray, list, tuple, dict)):
+        raise TypeError(
+            f"unhashable type: '{type(v).__name__}' — the driver's hasher "
+            "crashes on container cells; to_json/concat_ws the column at "
+            "the query output boundary"
+        )
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)
     return v
