@@ -42,22 +42,39 @@ _SUITES = [
 ]
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
-# FIRST 50 ``queries()`` entries only. Round 1 proved the relational /
-# TPC-H / core-functions queries green, so they rotate behind everything
-# that still needs a driver row: the DML / pipeline / events / extras
-# suites (never driver-checked) plus the two queries whose output types
-# were realigned after round 1 (decimal_fidelity, tpch_q12) and the one
-# functions query that fell just past round 1's window (fn_array_ops).
-# That's 48; the first two extras2_suite queries ride the last 2 slots
-# (the remainder after the priority pop keeps _SUITES order).
+# FIRST 50 ``queries()`` entries only. Rounds 1+2 proved 85/104 queries
+# green; round 3 leads with the 19 that have never had a green driver
+# row — the six extras2 queries that never entered a window, the six
+# whose output representation was realigned to the driver's hash
+# (DOUBLE casts, TIMESTAMP/BIGINT oracle casts, to_json on arrays), and
+# the seven former no-oracle approximate operators, now emitting
+# bounded-error verdicts a DuckDB oracle predicts. The remainder after
+# the priority pop keeps _SUITES order, so slots 20-50 re-confirm the
+# DML / pipeline / events / extras greens — worth re-checking because
+# the testdata fixtures switched to tz-naive timestamps this round.
 _PRIORITY = [
-    *dml_suite.QUERIES,
-    *pipeline_suite.QUERIES,
-    *events_suite.QUERIES,
-    *extras_suite.QUERIES,
-    "fn_array_ops",
+    # never entered a driver window (extras2)
+    "bucketed_colocated_join",
+    "curation_filter_funnel",
+    "dedup_incremental_batch",
+    "doc_length_histogram",
+    "sample_quality_weighted",
+    "train_next_event_examples",
+    # failed r01/r02 on output representation; realigned this round
     "decimal_fidelity",
-    "tpch_q12_lateness_priority",
+    "events_sliding_windows",
+    "events_sessionize",
+    "fn_array_ops",
+    "dedup_cluster_components",
+    "emb_quantize_int8",
+    # former no_oracle, reworked to bounded-error oracle-checkable form
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_ivf_topk",
+    "emb_cosine_dup_pairs",
+    "emb_kmeans_profile",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
 ]
 
 

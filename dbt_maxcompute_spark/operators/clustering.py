@@ -72,9 +72,18 @@ def kmeans_fit(
     k: int = 8,
     max_iter: int = 10,
     tol: float = 1e-6,
+    inertia_out: list[float] | None = None,
 ) -> tuple[list[list[float]], int]:
     """Lloyd iterations; returns (centroids, iterations_run). Converges
-    when no centroid moves more than sqrt(tol) in L2."""
+    when no centroid moves more than sqrt(tol) in L2.
+
+    If `inertia_out` is passed, appends the within-cluster sum of
+    squared distances (w.r.t. the centroids each iteration ASSIGNED
+    against) per iteration. Derived algebraically from the sums the
+    update step already aggregates — Σ||x-c||² = Σ||x||² - 2c·Σx +
+    n||c||² per cluster — so tracking it costs one extra aggregate
+    column, not a second corpus scan. Lloyd guarantees this sequence
+    is non-increasing; suites pin that as a driver-checkable boolean."""
     init_rows = (
         df.select(id_col, vec_col)
         .orderBy(id_col)
@@ -98,9 +107,18 @@ def kmeans_fit(
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("s"),
+                F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("ss"),
             )
             .collect()
         )
+        if inertia_out is not None:
+            inertia = 0.0
+            for r in sums:
+                c_kj = centroids[int(r["cluster"])][int(r["pos"])]
+                inertia += r["ss"] - 2.0 * c_kj * r["s"] + r["n"] * c_kj * c_kj
+            inertia_out.append(inertia)
         new_centroids = [list(c) for c in centroids]  # empty clusters keep position
         for r in sums:
             new_centroids[int(r["cluster"])][int(r["pos"])] = r["s"] / r["n"]

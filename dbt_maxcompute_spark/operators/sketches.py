@@ -39,6 +39,21 @@ def approx_distinct(
     )
 
 
+def approx_distinct_with_exact(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, rsd: float = 0.02
+) -> DataFrame:
+    """Sketch + exact distinct in ONE aggregate pass (Catalyst expands
+    the distinct alongside the HLL partials). The suite uses this to
+    emit the sketch's error bound as a driver-checkable boolean; at
+    100 TB you would drop the exact column and keep only the sketch —
+    the exact distinct is the shuffle the sketch exists to avoid."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(value_col).alias("n_users"),
+        F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct"),
+    )
+
+
 def approx_quantiles(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -33,14 +33,68 @@ from dbt_maxcompute_spark.sources.registry import load_table
 
 
 def q_emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Lloyd k-means over the embeddings fixture: per-cluster sizes +
-    # mean within-cluster squared distance. Deterministic (id-order
-    # init, decimal-accumulated updates) but 5 iterations of argmin are
-    # not SQL-expressible — pytest pins it against a NumPy reference.
+    # Lloyd k-means with a HARD driver-checkable surface. Five
+    # iterations of argmin are not SQL-expressible, but (a) the
+    # ITERATION-0 assignment is — the oracle independently recomputes
+    # the initial per-cluster sizes from the same deterministic init
+    # (first k vectors in id order) with its own distance fold + argmin
+    # tiebreak, hash-checking the distance math end-to-end; and (b)
+    # Lloyd's invariants are engine-verifiable booleans the oracle
+    # predicts: every final cluster nonempty on this fixture, and the
+    # within-cluster SSE non-increasing across iterations (tracked
+    # algebraically inside the fit — no extra corpus scan).
     emb = load_table(spark, sf_dir, "embeddings")
-    return clustering.kmeans_cluster_profile(
-        emb, "vec_id", "embedding", k=8, max_iter=5
+    k = 8
+    init_rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    init = [[float(x) for x in r["embedding"]] for r in init_rows]
+    inertia: list[float] = []
+    centroids, _ = clustering.kmeans_fit(
+        emb, "vec_id", "embedding", k=k, max_iter=5, inertia_out=inertia
     )
+    monotone = all(
+        b <= a * (1.0 + 1e-9) + 1e-9 for a, b in zip(inertia, inertia[1:])
+    )
+    vecs = emb.select(F.col("embedding").alias("__v"))
+    init_counts = (
+        clustering.assign_clusters(vecs, "__v", init)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_init"))
+    )
+    final_counts = (
+        clustering.assign_clusters(vecs, "__v", centroids)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_final"))
+    )
+    return (
+        init_counts.join(final_counts, "cluster", "left")
+        .select(
+            "cluster",
+            "n_init",
+            (F.coalesce("n_final", F.lit(0)) > 0).alias("final_nonempty"),
+            F.lit(monotone).alias("inertia_monotone"),
+        )
+        .orderBy("cluster")
+    )
+
+
+ORACLE_KMEANS = """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+), d AS (
+  SELECT e.vec_id, c.cluster,
+         list_sum(list_transform(list_zip(e.embedding, c.cvec),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+  FROM embeddings e CROSS JOIN c
+), a AS (
+  SELECT vec_id, cluster FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_init,
+       TRUE AS final_nonempty, TRUE AS inertia_monotone
+FROM a GROUP BY cluster ORDER BY cluster
+"""
 
 
 def q_events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,12 +347,35 @@ QUALIFY rank <= 3
 
 
 def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # HLL++ distinct estimate — approximate, rows-only for the driver;
-    # pytest pins it within rsd bounds of `exact_distinct_users` below.
+    # HLL++ estimate alongside the exact distinct in one query; the
+    # driver-checkable claim is the sketch's published error contract:
+    # |approx - exact| <= 3*rsd*exact (rsd=0.02 → 6%), emitted as a
+    # boolean the oracle predicts TRUE. Exact count + row count are
+    # hash-checked outright, so the surface stays substantive.
     ev = load_table(spark, sf_dir, "events")
-    return sketches.approx_distinct(ev, ["event_type"], "user_id", rsd=0.02).orderBy(
-        "event_type"
+    rsd = 0.02
+    return (
+        sketches.approx_distinct_with_exact(ev, ["event_type"], "user_id", rsd=rsd)
+        .select(
+            "event_type",
+            "n_rows",
+            "n_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_users"))
+                <= F.lit(3 * rsd) * F.col("n_users")
+            ).alias("hll_within_bounds"),
+        )
+        .orderBy("event_type")
     )
+
+
+ORACLE_SKETCH_DISTINCT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS hll_within_bounds
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 def q_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,12 +400,49 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Quantile sketch (rank error <= 1/accuracy) — rows-only; pytest
-    # pins each estimate's rank against the exact sorted column.
+    # Quantile sketch with its rank-error contract as the driver
+    # surface: for each estimate, recompute the EXACT rank of the
+    # returned value (one broadcast join back against the column — the
+    # sketch group is group-count-sized) and assert
+    # |rank/n - p| <= 1/accuracy + 2/n (sketch bound + discrete-step
+    # slack). Oracle predicts n_vals exactly and the booleans TRUE.
     ev = load_table(spark, sf_dir, "events")
-    return sketches.approx_quantiles(
-        ev, ["event_type"], "value", probs=(0.5, 0.9, 0.99), accuracy=10_000
+    probs = (0.5, 0.9, 0.99)
+    accuracy = 10_000
+    sk = sketches.approx_quantiles(
+        ev, ["event_type"], "value", probs=probs, accuracy=accuracy
+    )
+    names = [f"p{int(p * 100):02d}" for p in probs]
+    joined = (
+        ev.select("event_type", "value")
+        .where(F.col("value").isNotNull())
+        .join(F.broadcast(sk), "event_type")
+    )
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        *[
+            F.sum((F.col("value") <= F.col(nm)).cast("long")).alias(f"__r_{nm}")
+            for nm in names
+        ],
+    )
+    tol = F.lit(1.0 / accuracy) + F.lit(2.0) / F.col("n_vals")
+    return agg.select(
+        "event_type",
+        "n_vals",
+        *[
+            (
+                F.abs(F.col(f"__r_{nm}") / F.col("n_vals") - F.lit(p)) <= tol
+            ).alias(f"rank_ok_{nm}")
+            for nm, p in zip(names, probs)
+        ],
     ).orderBy("event_type")
+
+
+ORACLE_SKETCH_QUANTILES = """
+SELECT event_type, CAST(count(value) AS BIGINT) AS n_vals,
+       TRUE AS rank_ok_p50, TRUE AS rank_ok_p90, TRUE AS rank_ok_p99
+FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type
+"""
 
 
 def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,4 +554,7 @@ ORACLES: dict[str, str] = {
     "exact_distinct_users": ORACLE_EXACT_DISTINCT,
     "emb_quantize_int8": ORACLE_QUANTIZE,
     "events_funnel": ORACLE_FUNNEL,
+    "emb_kmeans_profile": ORACLE_KMEANS,
+    "sketch_distinct_users": ORACLE_SKETCH_DISTINCT,
+    "sketch_value_quantiles": ORACLE_SKETCH_QUANTILES,
 }
