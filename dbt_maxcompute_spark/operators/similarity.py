@@ -181,6 +181,30 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _unit_sims_expr(vec: Column, unit_mat: list[list[float]]) -> Column:
+    """array<double> of dot(vec, c_hat) for every UNIT-norm centroid —
+    one nested transform/aggregate fold (a single lambda regardless of
+    C, same shape as clustering._dists_expr). Because each c_hat has
+    norm 1 and ||vec|| is constant across centroids, argmax over these
+    dots equals argmax over cosine similarity."""
+    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in unit_mat])
+    return F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda v, cj: v.cast("double") * cj),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _unit(vs: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in vs))
+    return [x / n for x in vs] if n > 0 else [0.0] * len(vs)
+
+
 def ivf_assign(
     corpus: DataFrame, id_col: str, vec_col: str, num_centroids: int = 16, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:
@@ -188,26 +212,31 @@ def ivf_assign(
     with the smallest xxhash64(id, seed) — a uniform sample without RNG
     state), then assign every row to its nearest centroid by cosine.
 
+    The centroid matrix is metadata-sized (C x dim), so it lives on the
+    driver and the assignment is ONE pure-projection Catalyst fold per
+    row — no corpus shuffle at all (an earlier formulation exploded
+    corpus x C through a per-id window, which re-shuffled the full
+    corpus on id; at 100 TB that shuffle IS the job). Ties break to the
+    lowest centroid_id: the matrix is ordered by centroid_id and
+    array_position returns the first maximum.
+
     Returns (centroids, assigned) where assigned has a `centroid_id`
     column. At 100 TB: persist `assigned` partitioned by centroid_id so
     probes prune partitions; the assignment pass is the one full scan.
     """
-    from pyspark.sql import Window as W
-
     ranked = corpus.withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
     centroids = (
         ranked.orderBy("__r")
         .limit(num_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"))
     )
-    scored = corpus.join(F.broadcast(centroids)).withColumn(
-        "__sim", cosine_expr(F.col(vec_col), F.col("centroid_vec"))
-    )
-    win = W.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
-    assigned = (
-        scored.withColumn("__rk", F.row_number().over(win))
-        .filter(F.col("__rk") == 1)
-        .drop("__sim", "__rk", "centroid_vec")
+    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    ids = [r["centroid_id"] for r in cent]
+    unit_mat = [_unit([float(x) for x in r["centroid_vec"]]) for r in cent]
+    sims = _unit_sims_expr(F.col(vec_col), unit_mat)
+    idx = F.array_position(sims, F.array_max(sims))
+    assigned = corpus.withColumn(
+        "centroid_id", F.element_at(F.array(*[F.lit(i) for i in ids]), idx.cast("int"))
     )
     return centroids, assigned
 
@@ -230,15 +259,24 @@ def ivf_topk(
     from pyspark.sql import Window as W
 
     centroids, assigned = ivf_assign(corpus, id_col, vec_col, num_centroids, seed)
+    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    ids = [r["centroid_id"] for r in cent]
+    unit_mat = [_unit([float(x) for x in r["centroid_vec"]]) for r in cent]
+
+    # Probe selection is a pure projection too: per query, sort the
+    # (sim, centroid) array and slice the top nprobe — no window, no
+    # shuffle of the query set (struct sort is (sim desc, -id desc) =
+    # ties to the LOWEST centroid_id).
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    qc = q.join(F.broadcast(centroids)).withColumn(
-        "__sim", cosine_expr(F.col("__qv"), F.col("centroid_vec"))
+    sims = _unit_sims_expr(F.col("__qv"), unit_mat)
+    structs = F.zip_with(
+        sims,
+        F.array(*[F.lit(-i).cast("long") for i in ids]),
+        lambda s, nid: F.struct(s.alias("s"), nid.alias("nid")),
     )
-    cwin = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("centroid_id"))
     probes = (
-        qc.withColumn("__rk", F.row_number().over(cwin))
-        .filter(F.col("__rk") <= nprobe)
-        .select("query_id", "__qv", "centroid_id")
+        q.withColumn("__p", F.explode(F.slice(F.sort_array(structs, asc=False), 1, nprobe)))
+        .select("query_id", "__qv", (-F.col("__p.nid")).alias("centroid_id"))
     )
     cand = (
         assigned.select(
