@@ -73,6 +73,7 @@ class TableMeta:
     transactional: bool = False
     bucket_num: int = 16
     bucket_by: list[str] = field(default_factory=list)  # real bucketed layout
+    sort_by: list[str] = field(default_factory=list)  # in-bucket sort of the layout
     lifecycle: int | None = None  # days; TTL metadata (reference create.sql:57-61)
     tblproperties: dict[str, str] = field(default_factory=dict)
     comment: str | None = None
@@ -377,8 +378,16 @@ class EngineCatalog:
         self.spark.sql(f"DROP TABLE IF EXISTS {reg}")
         if os.path.isdir(path):
             shutil.rmtree(path)
+        # Align the write partitioning with the bucket hash (both are
+        # Murmur3 HashPartitioning) so every bucket is exactly ONE file:
+        # the write pays exactly one shuffle, and single-file buckets are
+        # what lets the scan report its SORTED BY ordering — Spark
+        # disables sorted-bucket scans when a bucket spans files, and
+        # sort-merge joins would silently re-sort. Size bucket_num so a
+        # single bucket file stays executor-memory-friendly at scale.
         writer = (
-            df.write.format("parquet")
+            df.repartition(bucket_num, *[F.col(c) for c in bucket_by])
+            .write.format("parquet")
             .mode("overwrite")
             .option("path", path)
             .bucketBy(bucket_num, *bucket_by)
@@ -390,6 +399,7 @@ class EngineCatalog:
             name=name,
             bucket_num=bucket_num,
             bucket_by=list(bucket_by),
+            sort_by=list(sort_by or []),
             schema_json=df.schema.json(),
             created_at=time.time(),
         )
@@ -414,9 +424,14 @@ class EngineCatalog:
                 f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
             )
             bcols = ", ".join(f"`{c}`" for c in meta.bucket_by)
+            sorted_clause = ""
+            if meta.sort_by:
+                scols = ", ".join(f"`{c}`" for c in meta.sort_by)
+                sorted_clause = f"SORTED BY ({scols}) "
             self.spark.sql(
                 f"CREATE TABLE {reg} ({cols}) USING parquet "
-                f"CLUSTERED BY ({bcols}) INTO {meta.bucket_num} BUCKETS "
+                f"CLUSTERED BY ({bcols}) {sorted_clause}"
+                f"INTO {meta.bucket_num} BUCKETS "
                 f"LOCATION '{self.table_dir(name)}'"
             )
         return self.spark.table(reg)
@@ -483,7 +498,20 @@ class EngineCatalog:
 
     # -- DDL: drop / rename / truncate / clone / comments ----------------------
 
+    def _drop_bucket_reg(self, name: str) -> None:
+        """Remove the session-catalog registration of a bucketed table's
+        layout (if any). Must run on drop/rename: the registration is an
+        external table pointing at the old LOCATION, and leaving it
+        behind serves deleted/moved files to the next read_bucketed."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._bucket_reg_name(name)}")
+
     def drop(self, name: str) -> None:
+        if self.exists(name):
+            try:
+                if self.meta(name).bucket_by:
+                    self._drop_bucket_reg(name)
+            except Exception:
+                pass  # sidecar unreadable — still remove the files
         p = self.table_dir(name)
         if os.path.exists(p):
             shutil.rmtree(p)
@@ -496,6 +524,12 @@ class EngineCatalog:
             raise ValueError("materialized views cannot be renamed (reference parity)")
         if self.exists(dst):
             raise ValueError(f"rename target {dst} exists")
+        if meta.bucket_by:
+            # both sides: src's reg points at the moved-away LOCATION and
+            # a stale dst reg (from an earlier drop) would shadow the new
+            # one; read_bucketed(dst) re-registers from the sidecar
+            self._drop_bucket_reg(src)
+            self._drop_bucket_reg(dst)
         meta.name = dst
         os.makedirs(os.path.dirname(self.table_dir(dst)), exist_ok=True)
         os.replace(self.table_dir(src), self.table_dir(dst))

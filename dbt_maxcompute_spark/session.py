@@ -49,6 +49,12 @@ def get_spark(
         # the events fixture stores TIMESTAMP(NANOS) which Spark rejects;
         # read as long and convert in the registry (DuckDB truncates to µs)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed tables are written single-file-per-bucket (catalog
+        # aligns the write partitioning with the bucket hash), which is
+        # the one case where reporting the SORTED BY ordering from the
+        # scan is sound — lets sort-merge joins on co-bucketed tables
+        # elide both sorts
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
@@ -78,4 +84,9 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass  # static in some deployments; AQE default-on in Spark 3.2+
+    try:
+        # sound because the catalog writes single-file buckets; see get_spark
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    except Exception:
+        pass
     return spark

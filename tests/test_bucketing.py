@@ -66,6 +66,43 @@ def test_bucket_spec_survives_session_catalog_drop(spark, cat):
     assert "Exchange" not in plan, plan
 
 
+def test_sort_spec_survives_session_catalog_drop(spark, cat):
+    # ADVICE r2: sort_by must persist in the sidecar — after a "restart"
+    # (session-catalog registration dropped), the re-registration DDL
+    # must carry SORTED BY, and a co-bucketed sort-merge join must elide
+    # BOTH of its sorts (single-file buckets + sorted spec = the scan
+    # itself reports the ordering).
+    _two_bucketed(spark, cat, n=2000)
+    spark.sql(f"DROP TABLE IF EXISTS {cat._bucket_reg_name('ta')}")
+    spark.sql(f"DROP TABLE IF EXISTS {cat._bucket_reg_name('tb')}")
+    assert cat.meta("ta").sort_by == ["k"]  # persisted, not session state
+    ta, tb = cat.read_bucketed("ta"), cat.read_bucketed("tb")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            ta.join(tb, ta["k"] == tb["k"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Sort " not in plan, f"sort not elided after re-registration:\n{plan}"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_drop_and_rename_clean_bucket_registration(spark, cat):
+    # ADVICE r2: drop/rename must not leave a session-catalog external
+    # table pointing at a deleted or moved LOCATION
+    _two_bucketed(spark, cat, n=100)
+    reg_ta = cat._bucket_reg_name("ta")
+    assert spark.catalog.tableExists(reg_ta)
+    cat.drop("ta")
+    assert not spark.catalog.tableExists(reg_ta)
+    cat.rename("tb", "tc")
+    assert not spark.catalog.tableExists(cat._bucket_reg_name("tb"))
+    assert cat.read_bucketed("tc").count() == 50  # re-registered at new path
+
+
 def test_read_bucketed_rejects_unbucketed(spark, cat):
     df = spark.range(10).select(F.col("id").alias("k"))
     cat.create_table("plain", df)
