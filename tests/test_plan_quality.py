@@ -132,6 +132,22 @@ def test_repetition_profile_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    # IVF corpus->centroid assignment must be a pure projection: the
+    # centroid matrix is a driver-side literal and the argmax is one
+    # nested fold — no corpus x C explode, no per-id window shuffle.
+    # At 100 TB the assignment is the single full pass that builds the
+    # index; a shuffle here would dominate the job.
+    from dbt_maxcompute_spark.operators import similarity
+    from dbt_maxcompute_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = similarity.ivf_assign(emb, "vec_id", "embedding", num_centroids=8)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
 def test_decontam_broadcasts_hashed_eval_grams(spark, sf_dir):
     # the eval-gram probe must be a BROADCAST join keyed on xxhash64
     # longs — shuffling raw gram strings (or the corpus) is the 100 TB
