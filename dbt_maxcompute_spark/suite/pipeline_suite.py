@@ -262,32 +262,53 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
 
 
 def q_emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Hyperplane-LSH near-dup pairs with a HARD oracle: 20 OR-amplified
-    # tables of 3 planes give per-pair recall >= 1-(1-0.27)^20 ~ 0.998
-    # at cosine 0.45 (deterministic fixed-seed planes; verified = exact
-    # cosine, so false positives are impossible). On this corpus the
-    # LSH pair set EQUALS the exact all-pairs answer, which is what the
-    # oracle computes — the same recall-pinning pattern as
-    # dedup_lsh_recall_pinned. The fixture has no true near-dups (max
-    # pairwise cosine ~ 0.51), so 0.45 is where matches exist at all.
+    # Hyperplane-LSH near-dup pairs at the operator's REAL operating
+    # point — near-identical vectors (cosine >= 0.98) — with a HARD
+    # oracle. The synthetic fixture has no true near-dups (max pairwise
+    # cosine ~0.5), so the query seeds them deterministically: every
+    # 10th vector gets a 1.5x-scaled copy (id + 10_000_000), built with
+    # the same double arithmetic in both engines. Positive scaling
+    # preserves every hyperplane sign bit, so original and copy land in
+    # the SAME bucket of EVERY table — recall at the threshold is
+    # structurally 1.0, not probabilistically ~1 — and exact-cosine
+    # verification keeps precision at 1.0. Unrelated pairs stay below
+    # ~0.5 cosine, far under the threshold, so the LSH pair set equals
+    # the predictable exact answer: one pair per seeded copy at
+    # round(cosine,4) = 1.0. An earlier formulation chased recall~1 at
+    # cosine 0.45 via 20 OR-tables x 3 planes; at theta=63 deg that is
+    # inherently near-quadratic (196 s at sf0.1) — a scale-killer, not
+    # an operating point.
     emb = load_table(spark, sf_dir, "embeddings")
+    seeded = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") * F.lit(1.5)
+            ).alias("embedding"),
+        )
+    )
     return dedup.embedding_cosine_pairs(
-        emb, "vec_id", "embedding", threshold=0.45, planes=3, tables=20
+        seeded, "vec_id", "embedding", threshold=0.98, planes=12, tables=2
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 ORACLE_EMB_DUP = """
-WITH pairs AS (
+WITH seeded AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
+  FROM embeddings WHERE vec_id % 10 = 0
+), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-           AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+  FROM seeded a JOIN seeded b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(cosine, 4) AS cosine
-FROM pairs WHERE cosine >= 0.45
+FROM pairs WHERE cosine >= 0.98
 """
 
 
