@@ -8,12 +8,12 @@ Spark-first iteration shape — each Lloyd step is:
 
 1. centroids live on the DRIVER as plain lists (K x dim doubles —
    metadata-sized; 1024 x 768 floats is ~3 MB);
-2. assignment is ONE pure-Catalyst expression: the centroid matrix is
-   a single 2-D array literal and the argmin is a nested
-   transform/aggregate fold — one lambda instantiation regardless of
-   K, so the codegen'd expression stays small (an unrolled
-   per-centroid formulation compiles K copies of the distance fold and
-   dominates wall time). No Python, no UDF, no shuffle;
+2. assignment is ONE pure-Catalyst expression: the centroid matrix
+   rides in as a broadcast single-row frame (one attribute reference
+   in the plan — a literal matrix would put K x dim Literal nodes in
+   every iteration's plan and analysis/codegen would dominate) and the
+   argmin is a nested transform/aggregate fold — one lambda
+   instantiation regardless of K. No Python, no UDF, no shuffle;
 3. the update is posexplode(vector) -> groupBy(cluster, dim) — ONE
    map-side-combinable aggregate with a 2-column key yielding K x dim
    rows, collected to the driver. Works at any dimensionality without
@@ -34,17 +34,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _centroid_matrix(centroids: list[list[float]]) -> Column:
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-
-
-def _dists_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<double> of squared L2 distances to every centroid — one
-    nested fold, not K unrolled copies."""
+def _dists_expr_col(vec: Column, mat: Column) -> Column:
+    """array<double> of squared L2 distances to every centroid row of
+    `mat` — one nested fold, not K unrolled copies."""
     return F.transform(
-        _centroid_matrix(centroids),
+        mat,
         lambda c: F.aggregate(
             F.zip_with(vec, c, lambda v, cj: (v.cast("double") - cj) * (v.cast("double") - cj)),
             F.lit(0.0),
@@ -53,16 +47,35 @@ def _dists_expr(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+def _with_matrix(df: DataFrame, centroids: list[list[float]]) -> tuple[DataFrame, str]:
+    """Attach the K x dim centroid matrix as ONE broadcast column.
+
+    Embedding the matrix as literals puts K*dim Literal nodes in the
+    plan; at K=8, dim=64 that is 512 nodes PER ITERATION, and Lloyd
+    re-plans every iteration with fresh values — analysis + codegen of
+    those trees dominates wall time on anything but huge inputs. A
+    broadcast single-row frame keeps the plan a single attribute
+    reference regardless of K and dim, and is also the right shape for
+    1024 x 768 matrices on a real cluster (3 MB broadcast vs a 786k-node
+    expression tree)."""
+    spark = df.sparkSession
+    mdf = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)], "__mat array<array<double>>"
+    )
+    return df.crossJoin(F.broadcast(mdf)), "__mat"
+
+
 def assign_clusters(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
     """Attach `cluster` = argmin_k ||vec - centroid_k||^2 (ties to the
-    lower index — array_position finds the first minimum). Pure
-    projection — no shuffle, safe to chain into a partitioned-by-
-    cluster write at scale."""
-    dists = _dists_expr(F.col(vec_col), centroids)
+    lower index — array_position finds the first minimum). No shuffle —
+    the only extra input is the broadcast centroid matrix — so it is
+    safe to chain into a partitioned-by-cluster write at scale."""
+    with_m, mcol = _with_matrix(df, centroids)
+    dists = _dists_expr_col(F.col(vec_col), F.col(mcol))
     cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
-    return df.withColumn("cluster", cluster)
+    return with_m.withColumn("cluster", cluster).drop(mcol)
 
 
 def kmeans_fit(
@@ -95,7 +108,23 @@ def kmeans_fit(
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     dim = len(centroids[0])
 
-    src = df.select(F.col(vec_col).alias("__v"))
+    # persisted across iterations: Lloyd re-scans the vectors every
+    # step; at fixture scale this skips repeated parquet decode, on a
+    # cluster it is the standard cache-the-training-set posture
+    src = df.select(F.col(vec_col).alias("__v")).persist()
+    try:
+        return _lloyd_loop(src, centroids, max_iter, tol, inertia_out)
+    finally:
+        src.unpersist()
+
+
+def _lloyd_loop(
+    src: DataFrame,
+    centroids: list[list[float]],
+    max_iter: int,
+    tol: float,
+    inertia_out: list[float] | None,
+) -> tuple[list[list[float]], int]:
     for it in range(1, max_iter + 1):
         assigned = assign_clusters(src, "__v", centroids)
         # K x dim sums via posexplode + 2-key hash agg (map-side
@@ -138,9 +167,10 @@ def kmeans_cluster_profile(
     """Fit + assign + per-cluster profile (size, mean within-cluster
     squared distance). The driver-visible shape of the operator."""
     centroids, _ = kmeans_fit(df, id_col, vec_col, k=k, max_iter=max_iter)
-    dists = _dists_expr(F.col(vec_col), centroids)
+    with_m, mcol = _with_matrix(df, centroids)
+    dists = _dists_expr_col(F.col(vec_col), F.col(mcol))
     return (
-        df.withColumn("__d2", F.array_min(dists))
+        with_m.withColumn("__d2", F.array_min(dists))
         .withColumn(
             "cluster", (F.array_position(dists, F.col("__d2")) - 1).cast("long")
         )
