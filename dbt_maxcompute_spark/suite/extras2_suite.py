@@ -218,6 +218,50 @@ FROM g
 """
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSONL is the interchange format training pipelines actually
+    # exchange; the query proves the full sink->source cycle: write the
+    # documents table as newline-delimited JSON (many-file, splittable),
+    # read it back with an EXPLICIT schema (no inference scan), and
+    # aggregate. The oracle computes the same aggregate from the parquet
+    # table, so any fidelity loss in the round trip (escaping, unicode,
+    # null handling, numeric widths) breaks the hash.
+    import os
+
+    from dbt_maxcompute_spark.sources import jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    out = os.path.join(_bucket_warehouse(sf_dir), "docs_jsonl")
+    jsonl.write_jsonl(docs, out)
+    back = jsonl.read_jsonl(
+        spark, out, "doc_id bigint, lang string, text string, n_chars bigint"
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_JSONL_ROUNDTRIP = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL bucketed tables: orders and customer co-bucketed on the
     # customer key, so the equi-join plans with zero exchanges on the
@@ -344,6 +388,7 @@ QUERIES = {
     "bucketed_colocated_join": q_bucketed_colocated_join,
     "sample_quality_weighted": q_sample_quality_weighted,
     "dedup_incremental_batch": q_dedup_incremental_batch,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -355,4 +400,5 @@ ORACLES: dict[str, str] = {
     "bucketed_colocated_join": ORACLE_BUCKETED_JOIN,
     "sample_quality_weighted": ORACLE_QUALITY_WEIGHTED,
     "dedup_incremental_batch": ORACLE_INCR_DEDUP,
+    "jsonl_roundtrip": ORACLE_JSONL_ROUNDTRIP,
 }
