@@ -569,6 +569,64 @@ class EngineCatalog:
         meta.name = dst
         self._write_meta(dst, meta)
 
+    def compact(
+        self, name: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict[str, Any]:
+        """Merge a fragmented table into right-sized files.
+
+        Incremental appends and microbatches each leave their own files;
+        at 100 TB the resulting small-file population degrades scan task
+        granularity and metadata listing long before it degrades total
+        bytes. Compaction is the standing repair: rewrite the data with
+        a file count sized off the ACTUAL on-disk bytes
+        (ceil(total / target_file_bytes) for unpartitioned tables; one
+        file per hive partition for partitioned ones — the same
+        clustering the original write used, so splitting an oversized
+        single partition stays the caller's partition-granularity
+        decision). Stage-then-swap, so a failed compaction leaves the
+        table untouched. Returns {files_before, files_after, bytes}.
+        """
+        meta = self.meta(name)
+        if meta.table_type != "table":
+            raise ValueError("compact supports tables only")
+        if meta.bucket_by:
+            raise ValueError(
+                "bucketed tables own their file layout (one file per "
+                "bucket); rewrite via create_bucketed_table instead"
+            )
+        path = self.table_dir(name)
+
+        def _data_files() -> list[str]:
+            return [
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+        before = _data_files()
+        total = sum(os.path.getsize(f) for f in before)
+        df = self.read(name)
+        pt = meta.all_partition_cols()
+        staging = f"{path}__compact_stage_{uuid.uuid4().hex[:8]}"
+        try:
+            if pt:
+                w = cluster_for_write(df, pt).write.mode("overwrite")
+                w.partitionBy(*pt).parquet(staging)
+            else:
+                n = max(1, -(-total // max(1, target_file_bytes)))
+                df.repartition(int(n)).write.mode("overwrite").parquet(staging)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        shutil.rmtree(path)
+        os.replace(staging, path)
+        self._write_meta(name, meta)
+        return {
+            "files_before": len(before),
+            "files_after": len(_data_files()),
+            "bytes": total,
+        }
+
     def set_comment(self, name: str, comment: str) -> None:
         """Idempotent-skip comment update (reference impl.py:629-669)."""
         meta = self.meta(name)

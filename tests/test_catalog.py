@@ -193,3 +193,59 @@ def test_relation_type_swap(spark, catalog):
     catalog.create_table("swapper", df)
     assert catalog.meta("swapper").table_type == "table"
     assert catalog.read("swapper").count() == 1
+
+
+def test_compact_unpartitioned_merges_files(spark, catalog):
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).repartition(40)  # 40 small files
+    catalog.create_table("frag", df)
+    path = catalog.table_dir("frag")
+    n_before = sum(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs)
+    assert n_before >= 30
+    stats = catalog.compact("frag")  # tiny table -> one right-sized file
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1
+    got = sorted(r["id"] for r in catalog.read("frag").collect())
+    assert got == list(range(10_000))
+
+
+def test_compact_partitioned_one_file_per_partition(spark, catalog):
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(3_000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("pt")
+    )
+    catalog.create_table("fragp", df, partition_by=["pt"])
+    # simulate fragmented appends: three more writes into the same dirs
+    for _ in range(3):
+        df.limit(300).write.mode("append").partitionBy("pt").parquet(
+            catalog.table_dir("fragp")
+        )
+    stats = catalog.compact("fragp")
+    assert stats["files_after"] == 3  # one per hive partition
+    assert catalog.read("fragp").count() == 3_000 + 3 * 300
+    # layout: exactly one parquet per partition dir
+    path = catalog.table_dir("fragp")
+    for d in os.listdir(path):
+        if d.startswith("pt="):
+            files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+
+
+def test_compact_rejects_views_and_bucketed(spark, catalog, base):
+    catalog.create_view("v1", "SELECT 1 AS x")
+    with pytest.raises(ValueError, match="tables only"):
+        catalog.compact("v1")
+    from pyspark.sql import functions as F
+
+    b = spark.range(100).select(F.col("id").alias("k"))
+    catalog.create_bucketed_table("bkt1", b, bucket_by=["k"], bucket_num=4)
+    with pytest.raises(ValueError, match="bucketed"):
+        catalog.compact("bkt1")
