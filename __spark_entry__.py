@@ -53,8 +53,10 @@ _SUITES = [
 # DML / pipeline / events / extras greens — worth re-checking because
 # the testdata fixtures switched to tz-naive timestamps this round.
 _PRIORITY = [
-    # never entered a driver window (extras2, incl. the new JSONL source)
+    # never entered a driver window (extras2, incl. the new JSONL and
+    # WebDataset-shard sources)
     "jsonl_roundtrip",
+    "webdataset_roundtrip",
     "bucketed_colocated_join",
     "curation_filter_funnel",
     "dedup_incremental_batch",

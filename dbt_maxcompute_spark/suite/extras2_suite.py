@@ -262,6 +262,45 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multimodal corpora ship as WebDataset tar shards. The query packs
+    # the documents table into shard-NNNNN.tar files (executors write
+    # shards directly — no driver funnel), reads them back through the
+    # binaryFile source + Arrow tar walk, joins members to the source
+    # table, and asserts byte-exact fidelity: n_exact counts members
+    # whose payload equals utf8(text). Shard assignment is
+    # content-stable xxhash, timestamps pinned, keys sorted — same
+    # corpus, same shard bytes.
+    import os
+
+    from dbt_maxcompute_spark.operators import webdataset
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(_bucket_warehouse(sf_dir), "wds")
+    webdataset.write_webdataset(docs, out, "doc_id", {"txt": "text"}, num_shards=8)
+    members = webdataset.read_webdataset(spark, out)
+    joined = members.join(
+        docs.select(F.col("doc_id").cast("string").alias("key"), "text"), "key"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("key").alias("n_keys"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.sum(
+            (F.col("payload") == F.encode(F.col("text"), "UTF-8")).cast("long")
+        ).alias("n_exact"),
+    )
+
+
+ORACLE_WEBDATASET = """
+SELECT CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(count(*) AS BIGINT) AS n_exact
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL bucketed tables: orders and customer co-bucketed on the
     # customer key, so the equi-join plans with zero exchanges on the
@@ -389,6 +428,7 @@ QUERIES = {
     "sample_quality_weighted": q_sample_quality_weighted,
     "dedup_incremental_batch": q_dedup_incremental_batch,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "webdataset_roundtrip": q_webdataset_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -401,4 +441,5 @@ ORACLES: dict[str, str] = {
     "sample_quality_weighted": ORACLE_QUALITY_WEIGHTED,
     "dedup_incremental_batch": ORACLE_INCR_DEDUP,
     "jsonl_roundtrip": ORACLE_JSONL_ROUNDTRIP,
+    "webdataset_roundtrip": ORACLE_WEBDATASET,
 }
