@@ -54,3 +54,25 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert back.count() == 10
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+
+
+def test_roundtrip_adversarial_content(spark, tmp_path):
+    # the content classes that break newline-delimited JSON if escaping
+    # is wrong: embedded newlines (incl. the JS line separators U+2028/9
+    # that are raw-legal in JSON but line-breaking in some writers),
+    # backslashes, quotes, empty strings, a 100k-char line
+    nasty = [
+        (1, "line1\nline2\r\nline3"),
+        (2, "unicode seps   and   inline"),
+        (3, 'back\\slash and "quotes" and \t tab'),
+        (4, ""),
+        (5, "x" * 100_000),
+        (6, None),
+        (7, "emoji \U0001f600 and cjk 漢字"),
+    ]
+    df = spark.createDataFrame(nasty, "id bigint, text string")
+    path = str(tmp_path / "nasty")
+    jsonl.write_jsonl(df, path)
+    back = jsonl.read_jsonl(spark, path, "id bigint, text string")
+    got = {r.id: r.text for r in back.collect()}
+    assert got == dict(nasty)

@@ -82,3 +82,22 @@ def test_samples_from_members(spark, tmp_path):
     assert samples.count() == 10
     r = samples.where("key = '3'").collect()[0]
     assert bytes(r.txt) == b"text for doc 3" and bytes(r.json) == b"meta3"
+
+
+def test_roundtrip_adversarial_payloads(spark, tmp_path):
+    # binary payloads that break naive container handling: empty,
+    # null bytes, tar-block-sized (512) and off-by-one payloads,
+    # 1 MiB blob
+    rows = [
+        ("a", b""),
+        ("b", b"\x00" * 512),
+        ("c", b"\xff" * 511),
+        ("d", b"\x01\x02" * 256 + b"\x03"),  # 513 bytes
+        ("e", bytes(range(256)) * 4096),  # 1 MiB
+    ]
+    df = spark.createDataFrame(rows, "k string, payload binary")
+    path = str(tmp_path / "nasty")
+    webdataset.write_webdataset(df, path, "k", {"bin": "payload"}, num_shards=2)
+    members = webdataset.read_webdataset(spark, path)
+    got = {r.key: bytes(r.payload) for r in members.collect()}
+    assert got == dict(rows)
