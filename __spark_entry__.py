@@ -57,6 +57,7 @@ _PRIORITY = [
     # WebDataset-shard sources)
     "jsonl_roundtrip",
     "webdataset_roundtrip",
+    "txn_time_travel",
     "bucketed_colocated_join",
     "curation_filter_funnel",
     "dedup_incremental_batch",

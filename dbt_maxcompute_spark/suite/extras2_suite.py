@@ -301,6 +301,59 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Transaction-log table (SURVEY §4.3 stretch, Delta-paper design in
+    # txnlog.py): three commits — create a third of orders, append
+    # another third, copy-on-write delete the finished ones — then read
+    # ALL THREE versions back via snapshot resolution and aggregate
+    # each. The oracle recomputes every version's expected state from
+    # the orders table, so log replay, atomic commit contents, and
+    # delete semantics are all value-hash-checked.
+    import os
+    import shutil
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_bucket_warehouse(sf_dir), "txn_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnTable(spark, path)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.delete_where("o_orderstatus = 'F'")
+    versions = [
+        t.read(v)
+        .agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        for v in (0, 1, 2)
+    ]
+    out = versions[0]
+    for v in versions[1:]:
+        out = out.unionByName(v)
+    return out.select("version", "n_rows", "total_price").orderBy("version")
+
+
+ORACLE_TXN = """
+SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 1, CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+FROM orders WHERE o_orderkey % 3 <= 1
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+FROM orders WHERE o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'
+ORDER BY version
+"""
+
+
 def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL bucketed tables: orders and customer co-bucketed on the
     # customer key, so the equi-join plans with zero exchanges on the
@@ -429,6 +482,7 @@ QUERIES = {
     "dedup_incremental_batch": q_dedup_incremental_batch,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "webdataset_roundtrip": q_webdataset_roundtrip,
+    "txn_time_travel": q_txn_time_travel,
 }
 
 ORACLES: dict[str, str] = {
@@ -442,4 +496,5 @@ ORACLES: dict[str, str] = {
     "dedup_incremental_batch": ORACLE_INCR_DEDUP,
     "jsonl_roundtrip": ORACLE_JSONL_ROUNDTRIP,
     "webdataset_roundtrip": ORACLE_WEBDATASET,
+    "txn_time_travel": ORACLE_TXN,
 }

@@ -1,0 +1,94 @@
+"""Transaction-log tables: atomic commits, snapshot isolation, time
+travel, checkpoints, conflict detection, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.txnlog import CommitConflict, TxnTable
+
+
+@pytest.fixture()
+def t(spark, tmp_path):
+    return TxnTable(spark, str(tmp_path / "txn"))
+
+
+def _r(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def test_create_append_overwrite_time_travel(spark, t):
+    assert t.create(_r(spark, 0, 100)) == 0
+    assert t.append(_r(spark, 100, 150)) == 1
+    assert t.overwrite(_r(spark, 0, 10)) == 2
+    assert t.read().count() == 10  # latest
+    assert t.read(version=0).count() == 100
+    assert t.read(version=1).count() == 150
+    assert sorted(r.id for r in t.read(1).collect()) == list(range(150))
+
+
+def test_delete_where_null_semantics(spark, t):
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50)], "id bigint, v bigint"
+    )
+    t.create(df)
+    t.delete_where("v > 10")
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [1, 2]  # NULL-condition row survives
+
+
+def test_commit_conflict_raises(spark, t):
+    t.create(_r(spark, 0, 10))
+    # a second writer racing to the same table dir loses exactly once
+    other = TxnTable(spark, t.path)
+    other.append(_r(spark, 10, 20))  # wins version 1
+    snap = t.snapshot(version=0)
+    files = [{"add": f} for f in snap.files]
+    with pytest.raises(CommitConflict):
+        t._commit(1, files, None)  # stale expected version
+    assert t.latest_version() == 1
+
+
+def test_readers_never_list_data_dir(spark, t):
+    t.create(_r(spark, 0, 100))
+    # an orphan parquet dropped into the dir must stay invisible
+    _r(spark, 900, 1000).limit(50).toPandas().to_parquet(
+        os.path.join(t.path, "part-orphan.parquet")
+    )
+    assert t.read().count() == 100
+
+
+def test_checkpoint_collapses_replay(spark, t):
+    t.create(_r(spark, 0, 10))
+    for i in range(1, 13):
+        t.append(_r(spark, 10 * i, 10 * i + 10))
+    # version 10 wrote a checkpoint
+    assert os.path.exists(t._checkpoint_path(10))
+    assert t.read().count() == 130
+    assert t.read(version=5).count() == 60  # pre-checkpoint time travel intact
+
+
+def test_vacuum_drops_dead_files_keeps_live(spark, t):
+    t.create(_r(spark, 0, 100))
+    t.overwrite(_r(spark, 0, 5))
+    n_files_before = sum(
+        f.endswith(".parquet") for f in os.listdir(t.path)
+    )
+    removed = t.vacuum(retain_versions=1)
+    assert removed  # v0's files are dead
+    assert t.read().count() == 5
+    n_files_after = sum(f.endswith(".parquet") for f in os.listdir(t.path))
+    assert n_files_after == n_files_before - len(removed)
+    with pytest.raises(Exception):
+        t.read(version=0).count()  # time travel beyond retention is gone
+
+
+def test_empty_overwrite_keeps_schema(spark, t):
+    t.create(_r(spark, 0, 10))
+    t.overwrite(_r(spark, 0, 0))
+    got = t.read()
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "v"}
