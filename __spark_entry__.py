@@ -58,6 +58,8 @@ _PRIORITY = [
     "jsonl_roundtrip",
     "webdataset_roundtrip",
     "txn_time_travel",
+    "stream_tumbling_hourly",
+    "stream_exactly_once_dedup",
     "bucketed_colocated_join",
     "curation_filter_funnel",
     "dedup_incremental_batch",

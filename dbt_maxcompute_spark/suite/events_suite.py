@@ -5,9 +5,10 @@ sessionization, JSON prop extraction).
 
 Batch (`F.window`) and Structured Streaming
 (`dbt_maxcompute_spark.streaming.windows`) share the same window
-semantics; the suite checks the batch form against DuckDB, the
-streaming form is covered by tests/test_streaming.py (same plan over
-readStream + AvailableNow).
+semantics; the suite checks the batch form against DuckDB, and
+`stream_tumbling_hourly` runs the REAL streaming pipeline (file-source
+micro-batches + AvailableNow drain) against the same batch oracle, so
+streaming/batch parity is itself driver-hash-checked.
 
 Scale: windowed aggs shuffle once on (window, key); sessionization
 shuffles once on user_id and sorts within partitions — both are the
@@ -169,11 +170,81 @@ FROM e GROUP BY 1 ORDER BY 1
 """
 
 
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SAME tumbling aggregation, executed by Structured Streaming:
+    # file-source stream (maxFilesPerTrigger bounds each micro-batch),
+    # watermarked window agg, AvailableNow drain into a memory sink;
+    # the finished table is returned and hash-compared to the BATCH
+    # oracle — streaming/batch parity is driver-checked, not
+    # self-declared. Deterministic: the source is bounded, complete
+    # output mode emits every window, and the watermark can drop
+    # nothing because aggregates are only finalized at drain end.
+    import os
+
+    from dbt_maxcompute_spark.sources.registry import table_path
+    from dbt_maxcompute_spark.streaming import windows as sw
+    from dbt_maxcompute_spark.suite.extras2_suite import _bucket_warehouse
+
+    d = os.path.join(_bucket_warehouse(sf_dir), "stream_events")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    stream = sw.read_events_stream(spark, d, max_files_per_trigger=2)
+    agg = sw.tumbling_hourly(stream)
+    name = "stream_tumbling_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sw.run_available_now(agg, name)
+    return spark.table(name).orderBy("hour_start", "event_type")
+
+
+def q_stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # At-least-once delivery simulated literally: the stream directory
+    # holds TWO copies of the events file, one micro-batch each
+    # (maxFilesPerTrigger=1), so every event arrives twice across
+    # batches. dropDuplicatesWithinWatermark on event_id restores
+    # exactly-once — the aggregate must equal the SINGLE-copy batch
+    # oracle, which is the whole claim. The generous watermark makes
+    # the dedup exhaustive (every duplicate inside the horizon), so the
+    # result is deterministic; production sets the horizon to the
+    # promised redelivery lag to bound state instead.
+    import os
+
+    from dbt_maxcompute_spark.sources.registry import table_path
+    from dbt_maxcompute_spark.streaming import stateful
+    from dbt_maxcompute_spark.streaming import windows as sw
+    from dbt_maxcompute_spark.suite.extras2_suite import _bucket_warehouse
+
+    d = os.path.join(_bucket_warehouse(sf_dir), "stream_events_dup")
+    os.makedirs(d, exist_ok=True)
+    for tag in ("a", "b"):
+        link = os.path.join(d, f"events_{tag}.parquet")
+        if not os.path.lexists(link):
+            os.symlink(table_path(sf_dir, "events"), link)
+    stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
+    deduped = stateful.dedup_stream(stream, keys=("event_id",), watermark="3650 days")
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+    name = "stream_dedup_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sw.run_available_now(agg, name)
+    return spark.table(name).orderBy("event_type")
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": q_events_tumbling_hourly,
     "events_sliding_windows": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
+    "stream_tumbling_hourly": q_stream_tumbling_hourly,
+    "stream_exactly_once_dedup": q_stream_exactly_once_dedup,
 }
 
 ORACLES = {
@@ -181,4 +252,8 @@ ORACLES = {
     "events_sliding_windows": ORACLE_SLIDING,
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_json_props": ORACLE_JSON_PROPS,
+    # the streaming form answers to the SAME batch oracle — that
+    # equality IS the streaming correctness claim
+    "stream_tumbling_hourly": ORACLE_TUMBLING,
+    "stream_exactly_once_dedup": ORACLE_STREAM_DEDUP,
 }
