@@ -60,6 +60,7 @@ _PRIORITY = [
     "txn_time_travel",
     "stream_tumbling_hourly",
     "stream_exactly_once_dedup",
+    "dedup_keep_canonical",
     "bucketed_colocated_join",
     "curation_filter_funnel",
     "dedup_incremental_batch",

@@ -77,6 +77,85 @@ WHERE round(CAST(icnt AS DOUBLE) / CAST(ucnt AS DOUBLE), 6) >= 0.8
 """
 
 
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The resolution step that turns dup DETECTION into a clean corpus:
+    # cluster the oracle-checked exact near-dup pairs (min-label
+    # propagation), then keep ONE canonical survivor per cluster —
+    # longest text, ties to the lowest doc_id (prefer-the-fullest-copy,
+    # the usual curation rule). Output is the per-cluster audit row:
+    # representative, survivor, survivor length, members, dropped.
+    # The oracle rebuilds clusters with a recursive-CTE closure and
+    # applies the same rule, so the whole pairs -> clusters -> keep
+    # decision chain is value-hash-checked.
+    from pyspark.sql import Window as W
+
+    from dbt_maxcompute_spark.operators import graph
+
+    pairs = q_dedup_token_jaccard(spark, sf_dir).select("id_a", "id_b")
+    labels = graph.connected_components(pairs, "id_a", "id_b")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), F.length("text").cast("long").alias("text_len")
+    )
+    ranked = labels.join(docs, "node")
+    win = W.partitionBy("comp").orderBy(F.col("text_len").desc(), F.col("node"))
+    return (
+        ranked.withColumn("rk", F.row_number().over(win))
+        .groupBy("comp")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("kept_doc_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("text_len"))).alias("kept_len"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            F.col("comp").alias("representative"),
+            "kept_doc_id",
+            "kept_len",
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("representative")
+    )
+
+
+ORACLE_KEEP_CANONICAL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE doc_id < 100
+), jp AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.tok, b.tok)) AS icnt,
+         len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS ucnt
+  FROM base a, base b WHERE a.id < b.id
+), jpairs AS (
+  SELECT id_a, id_b FROM jp
+  WHERE round(CAST(icnt AS DOUBLE) / CAST(ucnt AS DOUBLE), 6) >= 0.8
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs UNION SELECT id_b, id_a FROM jpairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+), closure AS (
+  SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM sym
+), comp AS (
+  SELECT a AS node, min(b) AS comp FROM closure GROUP BY a
+), m AS (
+  SELECT c.comp, c.node, CAST(length(d.text) AS BIGINT) AS text_len
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY comp ORDER BY text_len DESC, node) AS rk
+  FROM m
+)
+SELECT comp AS representative,
+       max(CASE WHEN rk = 1 THEN node END) AS kept_doc_id,
+       max(CASE WHEN rk = 1 THEN text_len END) AS kept_len,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM r GROUP BY comp ORDER BY representative
+"""
+
+
 def q_dedup_lsh_recall_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH quality pin with a HARD oracle: at b=16/r=2 a pair with
     # jaccard >= 0.8 collides in some band with prob 1-(1-0.8^2)^16
@@ -676,6 +755,7 @@ QUERIES = {
     "dedup_exact_documents": q_dedup_exact,
     "dedup_token_jaccard_pairs": q_dedup_token_jaccard,
     "dedup_lsh_recall_pinned": q_dedup_lsh_recall_pinned,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_brute_force_cosine": q_ann_brute_force,
@@ -702,6 +782,7 @@ ORACLES = {
     # the recall pin shares the exact-measure oracle: LSH-verified pairs
     # must equal the exact all-pairs set at the same threshold
     "dedup_lsh_recall_pinned": ORACLE_DEDUP_JACCARD,
+    "dedup_keep_canonical": ORACLE_KEEP_CANONICAL,
     "dedup_minhash_lsh": ORACLE_MINHASH_DEDUP,
     "dedup_simhash_pairs": ORACLE_SIMHASH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
