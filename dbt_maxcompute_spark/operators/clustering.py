@@ -86,9 +86,13 @@ def kmeans_fit(
     max_iter: int = 10,
     tol: float = 1e-6,
     inertia_out: list[float] | None = None,
+    init_centroids: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], int]:
     """Lloyd iterations; returns (centroids, iterations_run). Converges
     when no centroid moves more than sqrt(tol) in L2.
+
+    ``init_centroids`` skips the default id-order init collect when the
+    caller already holds the matrix (saves one driver job per fit).
 
     If `inertia_out` is passed, appends the within-cluster sum of
     squared distances (w.r.t. the centroids each iteration ASSIGNED
@@ -97,16 +101,20 @@ def kmeans_fit(
     n||c||² per cluster — so tracking it costs one extra aggregate
     column, not a second corpus scan. Lloyd guarantees this sequence
     is non-increasing; suites pin that as a driver-checkable boolean."""
-    init_rows = (
-        df.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(k)
-        .collect()
-    )
-    if len(init_rows) < k:
-        raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
-    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
-    dim = len(centroids[0])
+    if init_centroids is not None:
+        if len(init_centroids) != k:
+            raise ValueError(f"init_centroids has {len(init_centroids)} rows, k={k}")
+        centroids = [[float(x) for x in c] for c in init_centroids]
+    else:
+        init_rows = (
+            df.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(k)
+            .collect()
+        )
+        if len(init_rows) < k:
+            raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
+        centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
 
     # persisted across iterations: Lloyd re-scans the vectors every
     # step; at fixture scale this skips repeated parquet decode, on a

@@ -48,29 +48,35 @@ def q_emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     init_rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     init = [[float(x) for x in r["embedding"]] for r in init_rows]
     inertia: list[float] = []
+    # init is passed in, so the fit skips its own id-order collect
     centroids, _ = clustering.kmeans_fit(
-        emb, "vec_id", "embedding", k=k, max_iter=5, inertia_out=inertia
+        emb, "vec_id", "embedding", k=k, max_iter=5,
+        inertia_out=inertia, init_centroids=init,
     )
     monotone = all(
         b <= a * (1.0 + 1e-9) + 1e-9 for a, b in zip(inertia, inertia[1:])
     )
     vecs = emb.select(F.col("embedding").alias("__v"))
-    init_counts = (
+    # both assignment counts in ONE job: tag, union, conditional agg
+    both = (
         clustering.assign_clusters(vecs, "__v", init)
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_init"))
-    )
-    final_counts = (
-        clustering.assign_clusters(vecs, "__v", centroids)
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_final"))
+        .select(F.lit("i").alias("w"), "cluster")
+        .unionByName(
+            clustering.assign_clusters(vecs, "__v", centroids).select(
+                F.lit("f").alias("w"), "cluster"
+            )
+        )
     )
     return (
-        init_counts.join(final_counts, "cluster", "left")
+        both.groupBy("cluster")
+        .agg(
+            F.count(F.when(F.col("w") == "i", 1)).alias("n_init"),
+            F.count(F.when(F.col("w") == "f", 1)).alias("__n_final"),
+        )
         .select(
             "cluster",
             "n_init",
-            (F.coalesce("n_final", F.lit(0)) > 0).alias("final_nonempty"),
+            (F.col("__n_final") > 0).alias("final_nonempty"),
             F.lit(monotone).alias("inertia_monotone"),
         )
         .orderBy("cluster")
