@@ -61,6 +61,7 @@ _PRIORITY = [
     "stream_tumbling_hourly",
     "stream_exactly_once_dedup",
     "dedup_keep_canonical",
+    "group_split_leakage_safe",
     "bucketed_colocated_join",
     "curation_filter_funnel",
     "dedup_incremental_batch",

@@ -2,9 +2,11 @@
 dedup, similarity search, text analysis, multimodal plumbing — over the
 `documents` and `embeddings` fixture tables.
 
-Approximate operators (MinHash-LSH, SimHash, IVF/LSH ANN) have no
-DuckDB oracle (driver records rows-only); every exact operator pairs
-with an oracle that mirrors the formula term-by-term.
+Every operator here — including the approximate ones — pairs with a
+DuckDB oracle: exact operators mirror the formula term-by-term, and
+approximate operators (MinHash-LSH, SimHash, IVF/LSH ANN) emit
+deterministic bounded-error verdicts (recall floors vs exact baselines,
+structural-collision thresholds) the oracle predicts outright.
 """
 
 from __future__ import annotations
@@ -662,6 +664,58 @@ def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-safe splits: hash on the GROUP key (source domain), not
+    # the row id, so near-duplicate documents from one domain can never
+    # straddle train/valid/test — the split-contamination guard every
+    # eval pipeline needs. The audit emits per-split doc/source counts
+    # plus a global no_leakage boolean (sum of per-split distinct
+    # sources == total distinct sources, which can only hold when no
+    # source appears in two splits). Pure per-row md5 expression: no
+    # shuffle for the assignment itself, engine-reproducible.
+    from dbt_maxcompute_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        docs, "source", {"train": 0.9, "valid": 0.05, "test": 0.05}
+    )
+    per = split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    tot = split.groupBy().agg(F.countDistinct("source").alias("__tot"))
+    sums = per.groupBy().agg(F.sum("n_sources").alias("__sum"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "split",
+            "n_docs",
+            "n_sources",
+            (F.col("__sum") == F.col("__tot")).alias("no_leakage"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_GROUP_SPLIT = """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(source), 1, 6)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+), s AS (
+  SELECT CASE WHEN bucket < 9000 THEN 'train'
+              WHEN bucket < 9500 THEN 'valid'
+              ELSE 'test' END AS split, source
+  FROM b
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       TRUE AS no_leakage
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 ORACLE_HASH_SPLIT = """
 WITH b AS (
   SELECT doc_id,
@@ -772,11 +826,13 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "text_chunking": q_text_chunking,
     "hash_split_counts": q_hash_split_counts,
+    "group_split_leakage_safe": q_group_split_leakage_safe,
 }
 
 ORACLES = {
     "text_chunking": ORACLE_TEXT_CHUNKING,
     "hash_split_counts": ORACLE_HASH_SPLIT,
+    "group_split_leakage_safe": ORACLE_GROUP_SPLIT,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_token_jaccard_pairs": ORACLE_DEDUP_JACCARD,
     # the recall pin shares the exact-measure oracle: LSH-verified pairs
