@@ -83,6 +83,12 @@ _PRIORITY = [
     "emb_kmeans_profile",
     "sketch_distinct_users",
     "sketch_value_quantiles",
+    # timestamp-heavy r02 greens, re-confirmed because the fixture's
+    # timestamp encoding changed this round (tz-naive parquet); these
+    # would otherwise fall just past slot 50
+    "events_tumbling_hourly",
+    "events_asof_last_purchase",
+    "events_range_click_error",
 ]
 
 
