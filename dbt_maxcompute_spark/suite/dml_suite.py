@@ -393,6 +393,52 @@ SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey
 """
 
 
+def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delta maintenance for an additive rollup: the stored MV holds
+    # exact mergeable state (count + decimal sum); refresh merges the
+    # DELTA's aggregate instead of re-running over all history —
+    # rollup-cardinality work, not a fact-table rescan. Doubles are
+    # derived only at the read boundary. Oracle = full recompute over
+    # base+delta, so the merge math is value-hash-checked.
+    from dbt_maxcompute_spark.materializations.materialized_view import (
+        merge_additive_rollup,
+    )
+
+    cat = _wh(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias("qty_sum"),
+        )
+
+    cat.create_table("mv_store", rollup(li.filter(F.col("l_orderkey") % 2 == 0)))
+    delta = rollup(li.filter(F.col("l_orderkey") % 2 != 0))
+    merged = merge_additive_rollup(cat.read("mv_store"), delta, ["l_returnflag"])
+    # stage-then-swap: overwriting in place would delete the very files
+    # the (lazy) merged plan still reads from
+    cat.create_table("mv_store_next", merged)
+    cat.drop("mv_store")
+    cat.rename("mv_store_next", "mv_store")
+    return (
+        cat.read("mv_store")
+        .select(
+            "l_returnflag", "n", F.col("qty_sum").cast("double").alias("qty")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_MV_INCR = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "incr_merge_orders": q_incr_merge_orders,
     "incr_append_partitioned": q_incr_append_partitioned,
@@ -401,6 +447,7 @@ QUERIES = {
     "incr_microbatch_events": q_incr_microbatch_events,
     "scd2_snapshot_orders": q_scd2_snapshot_orders,
     "mv_returnflag_rollup": q_mv_returnflag_rollup,
+    "mv_incremental_refresh": q_mv_incremental_refresh,
     "seed_roundtrip": q_seed_roundtrip,
     "contracts_not_null": q_contracts_not_null,
 }
@@ -413,6 +460,7 @@ ORACLES = {
     "incr_microbatch_events": ORACLE_MICROBATCH,
     "scd2_snapshot_orders": ORACLE_SCD2,
     "mv_returnflag_rollup": ORACLE_MV,
+    "mv_incremental_refresh": ORACLE_MV_INCR,
     "seed_roundtrip": ORACLE_SEED,
     "contracts_not_null": ORACLE_CONTRACTS,
 }
