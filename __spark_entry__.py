@@ -43,15 +43,17 @@ _SUITES = [
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
 # FIRST 50 ``queries()`` entries only. Rounds 1+2 proved 85/104 queries
-# green; round 3 leads with the 19 that have never had a green driver
-# row — the six extras2 queries that never entered a window, the six
-# whose output representation was realigned to the driver's hash
-# (DOUBLE casts, TIMESTAMP/BIGINT oracle casts, to_json on arrays), and
-# the seven former no-oracle approximate operators, now emitting
-# bounded-error verdicts a DuckDB oracle predicts. The remainder after
-# the priority pop keeps _SUITES order, so slots 20-50 re-confirm the
-# DML / pipeline / events / extras greens — worth re-checking because
-# the testdata fixtures switched to tz-naive timestamps this round.
+# green; round 3 leads with everything that has never had a green driver
+# row — the eight new round-3 queries (JSONL/WebDataset sources, txn
+# time travel, the two streaming-parity queries, canonical dedup,
+# leakage-safe splits, incremental MV refresh), the six extras2 queries
+# that never entered a window, the six whose output representation was
+# realigned to the driver's hash (DOUBLE casts, TIMESTAMP/BIGINT oracle
+# casts, to_json on arrays), the seven former no-oracle approximate
+# operators (now emitting bounded-error verdicts a DuckDB oracle
+# predicts), and three timestamp-heavy r02 greens re-confirmed because
+# the fixtures switched to tz-naive timestamps. The remainder after the
+# priority pop keeps _SUITES order (DML then pipeline re-confirmations).
 _PRIORITY = [
     # never entered a driver window (extras2, incl. the new JSONL and
     # WebDataset-shard sources)
