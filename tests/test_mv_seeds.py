@@ -106,3 +106,36 @@ def test_seed_load_with_overrides(spark, catalog, tmp_path):
     # full_refresh re-load is idempotent
     load_seed(catalog, "myseed", p, column_types={"amount": "decimal(18,2)"})
     assert catalog.read("myseed").count() == 3
+
+
+def test_merge_additive_rollup_contract(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_maxcompute_spark.materializations.materialized_view import (
+        merge_additive_rollup,
+    )
+
+    old = spark.createDataFrame(
+        [("A", 2, "10.5"), ("B", 1, "3.0")], "k string, n bigint, s string"
+    ).select("k", "n", F.col("s").cast("decimal(28,6)").alias("s"))
+    delta = spark.createDataFrame(
+        [("A", 1, "0.5"), ("C", 4, "7.0")], "k string, n bigint, s string"
+    ).select("k", "n", F.col("s").cast("decimal(28,6)").alias("s"))
+    got = {
+        r.k: (r.n, float(r.s))
+        for r in merge_additive_rollup(old, delta, ["k"]).collect()
+    }
+    assert got == {"A": (3, 11.0), "B": (1, 3.0), "C": (4, 7.0)}
+    # schema stays pinned (no decimal widening drift across refreshes)
+    merged = merge_additive_rollup(old, delta, ["k"])
+    assert merged.schema["s"].dataType.simpleString() == "decimal(28,6)"
+
+    # floating-point measures are rejected (addition-order drift)
+    bad = old.select("k", F.col("s").cast("double").alias("s"))
+    with pytest.raises(ValueError, match="floating-point"):
+        merge_additive_rollup(bad, bad, ["k"])
+
+    # delta missing a measure column is rejected
+    with pytest.raises(ValueError, match="missing"):
+        merge_additive_rollup(old, delta.drop("s"), ["k"])
