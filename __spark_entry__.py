@@ -60,6 +60,7 @@ _PRIORITY = [
     "jsonl_roundtrip",
     "webdataset_roundtrip",
     "txn_time_travel",
+    "catalog_ddl_audit",
     "stream_tumbling_hourly",
     "stream_exactly_once_dedup",
     "dedup_keep_canonical",

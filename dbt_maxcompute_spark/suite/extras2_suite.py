@@ -354,6 +354,63 @@ ORDER BY version
 """
 
 
+def q_catalog_ddl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SURVEY §2.7's DDL surface, driven end-to-end through the driver
+    # gate: create schema/table/view, add + drop columns, string-family
+    # widening, comments, clone, rename, truncate — then emit the
+    # catalog's own description of the final state (info-schema row +
+    # ordered column signature per relation). The oracle is the literal
+    # expected outcome, so any DDL step silently misbehaving (lost
+    # comment, column order drift, widening applied wrong, clone/rename
+    # leaking state) breaks the hash. Fresh warehouse per call.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="ddl_audit_wh_"))
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cat.create_schema("core")
+    cat.create_table("core.r1", region, comment="regions")
+    cat.add_remove_columns("core.r1", add={"note": "varchar(8)"})
+    cat.alter_column_type("core.r1", "note", "string")  # widening ok
+    cat.set_comment("core.r1", "regions v2")
+    cat.set_column_comment("core.r1", "r_name", "region name")
+    cat.create_view("core.v1", "SELECT 1 AS one")
+    cat.clone("core.r1", "core.r2")
+    cat.add_remove_columns("core.r2", remove=["note"])
+    cat.rename("core.r2", "core.r3")
+    cat.truncate("core.r3")  # schema survives, rows go
+    sig = {
+        full: ",".join(f"{c}:{t}" for c, t in cat.columns(full))
+        for full in ("core.r1", "core.r3")
+    }
+    info = cat.info_schema().filter(F.col("table_schema") == "core")
+    sig_df = spark.createDataFrame(
+        [("r1", sig["core.r1"]), ("r3", sig["core.r3"]), ("v1", None)],
+        "table_name string, cols_sig string",
+    )
+    return (
+        info.join(sig_df, "table_name")
+        .select(
+            "table_schema", "table_name", "table_type", "comment",
+            "n_columns", "cols_sig",
+        )
+        .orderBy("table_name")
+    )
+
+
+ORACLE_DDL_AUDIT = """
+SELECT * FROM (VALUES
+  ('core', 'r1', 'table', 'regions v2', 3,
+   'r_regionkey:int,r_name:string,note:string'),
+  ('core', 'r3', 'table', 'regions v2', 2,
+   'r_regionkey:int,r_name:string'),
+  ('core', 'v1', 'view', NULL, 1, NULL)
+) AS t(table_schema, table_name, table_type, comment, n_columns, cols_sig)
+ORDER BY table_name
+"""
+
+
 def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL bucketed tables: orders and customer co-bucketed on the
     # customer key, so the equi-join plans with zero exchanges on the
@@ -483,6 +540,7 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "txn_time_travel": q_txn_time_travel,
+    "catalog_ddl_audit": q_catalog_ddl_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -497,4 +555,5 @@ ORACLES: dict[str, str] = {
     "jsonl_roundtrip": ORACLE_JSONL_ROUNDTRIP,
     "webdataset_roundtrip": ORACLE_WEBDATASET,
     "txn_time_travel": ORACLE_TXN,
+    "catalog_ddl_audit": ORACLE_DDL_AUDIT,
 }
