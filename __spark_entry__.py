@@ -61,6 +61,8 @@ _PRIORITY = [
     "webdataset_roundtrip",
     "txn_time_travel",
     "catalog_ddl_audit",
+    "raw_script_passthrough",
+    "ops_contract_probe",
     "stream_tumbling_hourly",
     "stream_exactly_once_dedup",
     "dedup_keep_canonical",

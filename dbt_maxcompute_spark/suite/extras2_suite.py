@@ -411,6 +411,83 @@ ORDER BY table_name
 """
 
 
+def q_raw_script_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SURVEY §2.1's raw multi-statement passthrough, driver-checked:
+    # SET preamble (scoped conf application), a temp-view DDL
+    # statement, and a final SELECT — with a query comment injected
+    # into every statement (the reference's query-comment contract).
+    # The returned frame must match the oracle computed straight from
+    # the orders table, proving the statement splitter, preamble
+    # scoping, and comment injection are all value-neutral.
+    from dbt_maxcompute_spark.materializations.raw import run_raw
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_raw")
+    script = """
+    SET spark.sql.shuffle.partitions=16;
+    CREATE OR REPLACE TEMP VIEW big_orders AS
+      SELECT o_orderkey, o_totalprice FROM orders_raw
+      WHERE o_totalprice > 100000;
+    SELECT CAST(count(*) AS BIGINT) AS n_big,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM big_orders
+    """
+    df, _hints, errors = run_raw(
+        spark, script, query_comment={"app": "spark-graft", "suite": "extras2"}
+    )
+    if errors or df is None:
+        raise RuntimeError(f"raw script failed: {errors}")
+    return df
+
+
+ORACLE_RAW_SCRIPT = """
+SELECT CAST(count(*) AS BIGINT) AS n_big,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM orders WHERE o_totalprice > 100000
+"""
+
+
+def q_ops_contract_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Freshness and EXPLAIN-validation are wall-clock / plan-text by
+    # nature, so the driver-checkable surface is their CONTRACT as
+    # booleans the oracle predicts: a just-written table reports a
+    # small non-negative age, a view (no data files) reports infinite
+    # age, valid SQL validates via analysis-only EXPLAIN, and invalid
+    # SQL raises instead of executing.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="ops_probe_wh_"))
+    cat.create_table("f1", load_table(spark, sf_dir, "region"))
+    age = cat.freshness("f1")
+    cat.create_view("v1", "SELECT 1 AS one")
+    vage = cat.freshness("v1")
+    plan = cat.validate_sql("SELECT count(*) AS n FROM range(10)")
+    try:
+        cat.validate_sql("SELECT definitely_not_a_column FROM range(3)")
+        invalid_raises = False
+    except Exception:
+        invalid_raises = True
+    return spark.createDataFrame(
+        [
+            (
+                bool(0.0 <= age < 3600.0),
+                bool(vage == float("inf")),
+                bool("Aggregate" in plan),
+                invalid_raises,
+            )
+        ],
+        "fresh_after_write boolean, view_age_infinite boolean, "
+        "explain_validates boolean, invalid_sql_raises boolean",
+    )
+
+
+ORACLE_OPS_PROBE = """
+SELECT TRUE AS fresh_after_write, TRUE AS view_age_infinite,
+       TRUE AS explain_validates, TRUE AS invalid_sql_raises
+"""
+
+
 def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL bucketed tables: orders and customer co-bucketed on the
     # customer key, so the equi-join plans with zero exchanges on the
@@ -541,6 +618,8 @@ QUERIES = {
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "txn_time_travel": q_txn_time_travel,
     "catalog_ddl_audit": q_catalog_ddl_audit,
+    "raw_script_passthrough": q_raw_script_passthrough,
+    "ops_contract_probe": q_ops_contract_probe,
 }
 
 ORACLES: dict[str, str] = {
@@ -556,4 +635,6 @@ ORACLES: dict[str, str] = {
     "webdataset_roundtrip": ORACLE_WEBDATASET,
     "txn_time_travel": ORACLE_TXN,
     "catalog_ddl_audit": ORACLE_DDL_AUDIT,
+    "raw_script_passthrough": ORACLE_RAW_SCRIPT,
+    "ops_contract_probe": ORACLE_OPS_PROBE,
 }
