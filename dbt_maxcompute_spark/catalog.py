@@ -618,9 +618,22 @@ class EngineCatalog:
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        shutil.rmtree(path)
-        os.replace(staging, path)
-        self._write_meta(name, meta)
+        # meta sidecar travels WITH the staged dir, so the table dir is
+        # never meta-less; the swap itself is rename-aside / rename-in /
+        # restore-on-failure — a crash at any point leaves either the old
+        # or the new table fully intact (ADVICE r3: rmtree-then-replace
+        # had a window where the table vanished)
+        with open(os.path.join(staging, META_FILE), "w") as fh:
+            json.dump(asdict(meta), fh, indent=1)
+        old = f"{path}__compact_old_{uuid.uuid4().hex[:8]}"
+        os.replace(path, old)
+        try:
+            os.replace(staging, path)
+        except Exception:
+            os.replace(old, path)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
         return {
             "files_before": len(before),
             "files_after": len(_data_files()),

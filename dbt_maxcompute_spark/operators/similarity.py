@@ -264,19 +264,27 @@ def ivf_topk(
     unit_mat = [_unit([float(x) for x in r["centroid_vec"]]) for r in cent]
 
     # Probe selection is a pure projection too: per query, sort the
-    # (sim, centroid) array and slice the top nprobe — no window, no
-    # shuffle of the query set (struct sort is (sim desc, -id desc) =
-    # ties to the LOWEST centroid_id).
+    # (sim, negated-matrix-index) array and slice the top nprobe — no
+    # window, no shuffle of the query set. The tiebreak key is the
+    # POSITION in the id-sorted centroid matrix, not the id value, so
+    # centroid ids may be any type (string ids regressed when a prior
+    # formulation negated the id itself — ADVICE r3); sort desc on
+    # (s, -index) breaks ties to the LOWEST centroid_id.
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     sims = _unit_sims_expr(F.col("__qv"), unit_mat)
     structs = F.zip_with(
         sims,
-        F.array(*[F.lit(-i).cast("long") for i in ids]),
-        lambda s, nid: F.struct(s.alias("s"), nid.alias("nid")),
+        F.array(*[F.lit(-i).cast("long") for i in range(len(ids))]),
+        lambda s, nidx: F.struct(s.alias("s"), nidx.alias("nidx")),
     )
+    id_arr = F.array(*[F.lit(i) for i in ids])
     probes = (
         q.withColumn("__p", F.explode(F.slice(F.sort_array(structs, asc=False), 1, nprobe)))
-        .select("query_id", "__qv", (-F.col("__p.nid")).alias("centroid_id"))
+        .select(
+            "query_id",
+            "__qv",
+            F.element_at(id_arr, (-F.col("__p.nidx")).cast("int") + 1).alias("centroid_id"),
+        )
     )
     cand = (
         assigned.select(

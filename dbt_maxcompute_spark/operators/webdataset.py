@@ -74,6 +74,12 @@ def write_webdataset(
     Keys sort within a shard so shard bytes are reproducible.
     """
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics, like every other sink: a re-run with fewer
+    # shards or different data must not leave stale tars that the reader
+    # would ingest as phantom members (ADVICE r3)
+    for f in os.listdir(path):
+        if f.startswith("shard-") and f.endswith(".tar"):
+            os.unlink(os.path.join(path, f))
     exts = sorted(payload_cols)
     cols = [F.col(key_col).cast("string").alias("__key")] + [
         F.col(payload_cols[e]).cast("binary").alias(f"__p_{e}") for e in exts

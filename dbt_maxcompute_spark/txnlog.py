@@ -84,8 +84,15 @@ class TxnTable:
             return []
         out = []
         for f in os.listdir(self.log_path):
-            if f.endswith(".json") and not f.endswith(".checkpoint.json"):
-                out.append(int(f.split(".")[0]))
+            if not f.endswith(".json") or f.endswith(".checkpoint.json"):
+                continue
+            # only 8-digit version entries count: a concurrent writer's
+            # staged .tmp-<hex>.json (or one left by a crash) must never
+            # make the log unreadable
+            stem = f.split(".")[0]
+            if not (len(stem) == 8 and stem.isdigit()):
+                continue
+            out.append(int(stem))
         return sorted(out)
 
     def latest_version(self) -> int:
@@ -246,10 +253,19 @@ class TxnTable:
             )
         return out
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, retention_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files referenced by NO snapshot newer than
         (latest - retain_versions). Old log entries stay (history is
-        cheap); old files go (bytes are not)."""
+        cheap); old files go (bytes are not).
+
+        ``retention_seconds`` is the Delta-style age guard: a file is
+        only eligible if its mtime is older than the horizon. Staged
+        files land in the table root BEFORE their commit's log rename,
+        so an unguarded vacuum racing an in-flight writer would delete
+        files the imminent commit references; the age guard makes that
+        window (seconds) and the guard (an hour) non-overlapping."""
         latest = self.latest_version()
         horizon = max(0, latest - retain_versions + 1)
         live: set[str] = set()
@@ -257,8 +273,17 @@ class TxnTable:
             if v in self._versions():
                 live.update(self.snapshot(v).files)
         removed = []
+        now = time.time()
         for f in os.listdir(self.path):
-            if f.endswith(".parquet") and f not in live:
-                os.unlink(os.path.join(self.path, f))
-                removed.append(f)
+            if not f.endswith(".parquet") or f in live:
+                continue
+            full = os.path.join(self.path, f)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # already gone (concurrent vacuum)
+            if age < retention_seconds:
+                continue
+            os.unlink(full)
+            removed.append(f)
         return removed

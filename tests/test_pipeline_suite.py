@@ -86,6 +86,28 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} (probing half the cells)"
 
 
+def test_ivf_supports_string_ids(spark, sf_dir):
+    """Tiebreak is by matrix index, not negated id value — string ids
+    must plan and agree with the numeric-id run (ADVICE r3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.concat(F.lit("doc_"), F.format_string("%06d", "vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    queries = s.filter(F.col("vec_id") < "doc_000005")
+    out = similarity.ivf_topk(
+        s, queries, "vec_id", "embedding", k=10, num_centroids=8, nprobe=4
+    ).collect()
+    assert out and all(r.query_id != r.neighbor_id for r in out)
+    # recall vs brute force must hold just as it does for numeric ids
+    # (centroid SAMPLING hashes the id, so the cells differ from the
+    # numeric run — recall is the invariant, not the exact pair set)
+    exact = similarity.brute_force_topk(s, queries, "vec_id", "embedding", k=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(e & a) / len(e) >= 0.5
+
+
 def test_lsh_topk_subset_of_corpus(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)

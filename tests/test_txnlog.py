@@ -77,13 +77,29 @@ def test_vacuum_drops_dead_files_keeps_live(spark, t):
     n_files_before = sum(
         f.endswith(".parquet") for f in os.listdir(t.path)
     )
-    removed = t.vacuum(retain_versions=1)
+    # freshly-written files are inside the age guard: default vacuum is a no-op
+    assert t.vacuum(retain_versions=1) == []
+    removed = t.vacuum(retain_versions=1, retention_seconds=0)
     assert removed  # v0's files are dead
     assert t.read().count() == 5
     n_files_after = sum(f.endswith(".parquet") for f in os.listdir(t.path))
     assert n_files_after == n_files_before - len(removed)
     with pytest.raises(Exception):
         t.read(version=0).count()  # time travel beyond retention is gone
+
+
+def test_stray_tmp_entry_does_not_break_log(spark, t):
+    """A crashed writer's staged .tmp-*.json (or one observed mid-commit)
+    must be invisible to _versions/snapshot/read (ADVICE r3)."""
+    t.create(_r(spark, 0, 10))
+    t.append(_r(spark, 10, 20))
+    with open(os.path.join(t.log_path, ".tmp-deadbeef.json"), "w") as fh:
+        fh.write("{}")
+    with open(os.path.join(t.log_path, "notes.json"), "w") as fh:
+        fh.write("{}")
+    assert t.latest_version() == 1
+    assert t.read().count() == 20
+    assert [h["version"] for h in t.history()] == [0, 1]
 
 
 def test_empty_overwrite_keeps_schema(spark, t):
