@@ -289,6 +289,16 @@ class EngineCatalog:
         )
         if transactional and not meta.primary_keys:
             raise ValueError("transactional table requires primary_keys")
+        if transactional and (partition_by or auto_partition):
+            # the txn path is file-granular copy-on-write over a commit
+            # log; hive-style partition dirs would put layout ownership
+            # in two places. The reference likewise scopes ACID upsert to
+            # pk tables (create.sql:2-4,44-49); partitioned targets use
+            # the partition-swap DML path instead.
+            raise ValueError(
+                "transactional tables do not support partition_by "
+                "(file-granular txn log owns the layout)"
+            )
         out = df
         if meta.auto_partition:
             out = meta.auto.derive(out)
@@ -302,7 +312,20 @@ class EngineCatalog:
             if contract_obj and contract_obj.enforced
             else []
         )
-        if nn_cols:
+        if transactional:
+            # log-committed create: version 0 of the table IS the commit;
+            # readers resolve files through the log, never by listing.
+            # A not_null contract is validated against the model frame
+            # up front (violation = no log, nothing to roll back).
+            if nn_cols:
+                _contracts.validate_not_null(out, nn_cols)
+            if self.exists(name) and mode == "overwrite":
+                self.drop(name)
+            from dbt_maxcompute_spark.txnlog import TxnTable
+
+            os.makedirs(path, exist_ok=True)
+            TxnTable(self.spark, path).create(out)
+        elif nn_cols:
             # stage -> validate staged files -> swap (rollback parity:
             # the old relation survives a constraint violation)
             staging = f"{path}__contract_stage_{uuid.uuid4().hex[:8]}"
@@ -447,8 +470,23 @@ class EngineCatalog:
 
     # -- read ------------------------------------------------------------------
 
-    def read(self, name: str) -> DataFrame:
+    def txn(self, name: str):
+        """The transaction log behind a ``transactional=true`` table —
+        history(), time-travel reads, vacuum. One interface: the same
+        name the DML strategies write through."""
+        from dbt_maxcompute_spark.txnlog import TxnTable
+
         meta = self.meta(name)
+        if not meta.transactional:
+            raise ValueError(f"table {name} is not transactional")
+        return TxnTable(self.spark, self.table_dir(name))
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        meta = self.meta(name)
+        if meta.transactional:
+            return self.txn(name).read(version)
+        if version is not None:
+            raise ValueError("time travel requires a transactional table")
         if meta.table_type == "view":
             return self.sql(meta.view_sql)
         reader = self.spark.read
@@ -472,7 +510,12 @@ class EngineCatalog:
                 m = self.meta(full)
                 if m.table_type == "view":
                     continue  # views resolve recursively via their SQL
-                df = self.spark.read.parquet(self.table_dir(full))
+                if m.transactional:
+                    # snapshot read: a directory listing would also pick
+                    # up dead (pre-overwrite) and staged-uncommitted files
+                    df = self.read(full)
+                else:
+                    df = self.spark.read.parquet(self.table_dir(full))
                 if schema == self.default_schema:
                     df.createOrReplaceTempView(t)
                 df.createOrReplaceTempView(f"{schema}_{t}")
@@ -540,6 +583,12 @@ class EngineCatalog:
         meta = self.meta(name)
         if meta.table_type != "table":
             raise ValueError("truncate supports tables only")
+        if meta.transactional:
+            # TRUNCATE is itself a commit: history survives, time travel
+            # to pre-truncate versions still works (Delta semantics)
+            t = self.txn(name)
+            t.overwrite(t.read().limit(0))
+            return
         empty = self.read(name).limit(0)
         # preserve schema: overwrite with an empty frame
         pt = meta.all_partition_cols()
@@ -594,6 +643,23 @@ class EngineCatalog:
                 "bucketed tables own their file layout (one file per "
                 "bucket); rewrite via create_bucketed_table instead"
             )
+        if meta.transactional:
+            # compaction as a commit: rewrite the live set right-sized,
+            # commit it, vacuum later; never touch files directly
+            t = self.txn(name)
+            snap = t.snapshot()
+            before = len(snap.files)
+            total = sum(
+                os.path.getsize(os.path.join(self.table_dir(name), f))
+                for f in snap.files
+            )
+            n = max(1, -(-total // max(1, target_file_bytes)))
+            t.overwrite(t.read().repartition(int(n)))
+            return {
+                "files_before": before,
+                "files_after": len(t.snapshot().files),
+                "bytes": total,
+            }
         path = self.table_dir(name)
 
         def _data_files() -> list[str]:
@@ -679,7 +745,7 @@ class EngineCatalog:
         (reference columns.sql:6-25). Parquet has no in-place DDL; one
         scan+write applies both."""
         meta = self.meta(name)
-        df = self.spark.read.parquet(self.table_dir(name))
+        df = self.read(name)
         for col, typ in (add or {}).items():
             df = df.withColumn(col, F.lit(None).cast(typ))
         for col in remove or []:
@@ -696,7 +762,7 @@ class EngineCatalog:
         both sides string-family, no size narrowing); any other retype
         needs force=True — it silently truncates/nulls at scale."""
         meta = self.meta(name)
-        df = self.spark.read.parquet(self.table_dir(name))
+        df = self.read(name)
         cur_type = dict(self.columns(name)).get(column)
         if cur_type is None:
             raise ValueError(f"column {column!r} not found in {name}")
@@ -711,7 +777,14 @@ class EngineCatalog:
 
     def _rewrite(self, name: str, df: DataFrame, meta: TableMeta) -> None:
         """Full rewrite through a staging dir (cannot read+overwrite the
-        same parquet path in one job)."""
+        same parquet path in one job). Transactional tables need no
+        staging dance — data files are immutable, so the rewrite is just
+        the next commit."""
+        if meta.transactional:
+            self.txn(name).overwrite(df)
+            meta.schema_json = df.schema.json()
+            self._write_meta(name, meta)
+            return
         staging = self.table_dir(name) + "__staging"
         pt = meta.all_partition_cols()
         w = cluster_for_write(df, pt).write.mode("overwrite")

@@ -150,10 +150,17 @@ def run_snapshot(
     )
     result = updated_tgt.unionByName(inserts.select(*updated_tgt.columns))
 
-    from dbt_maxcompute_spark.plans.dml import _stage_and_swap  # shared writer
-
     meta = catalog.meta(name)
-    _stage_and_swap(catalog, name, meta, result, None)
+    if meta.transactional:
+        # the SCD2 merge is one log commit: data files are immutable, so
+        # the (lazy) result plan can read the current snapshot while the
+        # new files stage — no stage-and-swap needed, and every snapshot
+        # run is a time-travelable version
+        catalog.txn(name).overwrite(result)
+    else:
+        from dbt_maxcompute_spark.plans.dml import _stage_and_swap  # shared writer
+
+        _stage_and_swap(catalog, name, meta, result, None)
     return "merge"
 
 

@@ -165,6 +165,32 @@ def _leaf_partition_dirs(base: str, depth: int) -> list[str]:
     return out
 
 
+_TXN_MAX_ATTEMPTS = 3
+
+
+def _txn_commit_loop(catalog: EngineCatalog, name: str, compute) -> int:
+    """Optimistic-concurrency loop for read-compute-commit DML on a
+    transactional table: read a pinned snapshot, compute the post-DML
+    row set from it, commit expecting exactly snapshot+1. A concurrent
+    commit makes ours a CommitConflict — re-read, recompute, retry
+    (Delta-paper protocol; the recompute is what makes the retry
+    CORRECT, not just successful: it folds the interleaved commit's
+    rows into the new result)."""
+    from dbt_maxcompute_spark.txnlog import CommitConflict
+
+    t = catalog.txn(name)
+    last: Exception | None = None
+    for _ in range(_TXN_MAX_ATTEMPTS):
+        v = t.latest_version()
+        tgt = t.read(v)
+        result = compute(tgt)
+        try:
+            return t.overwrite_from(v, result)
+        except CommitConflict as e:
+            last = e
+    raise last
+
+
 def _derive_auto(meta: TableMeta, df: DataFrame) -> DataFrame:
     """Auto-partition targets derive the hidden pt column at write time
     (reference impl.py:206-214: generated column excluded from INSERT
@@ -193,6 +219,20 @@ def append(catalog: EngineCatalog, name: str, source: DataFrame) -> None:
     meta = catalog.meta(name)
     src = _derive_auto(meta, source)
     src = _align_columns(src, catalog.read(name))
+    if meta.transactional:
+        # append-only commits never conflict semantically; a version
+        # race just re-commits at the next number
+        from dbt_maxcompute_spark.txnlog import CommitConflict
+
+        t = catalog.txn(name)
+        for attempt in range(_TXN_MAX_ATTEMPTS):
+            try:
+                t.append(src)
+                return
+            except CommitConflict:
+                if attempt == _TXN_MAX_ATTEMPTS - 1:
+                    raise
+        return
     pt = meta.all_partition_cols()
     w = cluster_for_write(src, pt).write.mode("append")
     if pt:
@@ -242,6 +282,19 @@ def merge(
     pt_cols = meta.all_partition_cols()
     update_cols = _update_set(meta, tgt.columns, keys, merge_update_columns, merge_exclude_columns)
 
+    if meta.transactional:
+        # log-committed merge: the post-merge row set computes from a
+        # PINNED snapshot and commits as exactly one version on top of
+        # it — one merge, one commit in history(); conflicts recompute
+        _txn_commit_loop(
+            catalog,
+            name,
+            lambda snap_tgt: _merge_result(
+                snap_tgt, src, keys, update_cols, incremental_predicates
+            ),
+        )
+        return
+
     replace_parts = None
     if pt_cols:
         # Prune: only partitions the source touches are rewritten. A
@@ -251,6 +304,25 @@ def merge(
         replace_parts = _affected_partitions(src, pt_cols)
         tgt = _scope_to_partitions(tgt, pt_cols, replace_parts)
 
+    result = _merge_result(tgt, src, keys, update_cols, incremental_predicates)
+
+    if pt_cols and replace_parts is not None:
+        # a matched row's partition value comes from the target side and
+        # is by construction within replace_parts; source-only rows may
+        # introduce new partitions — extend the replace set
+        new_parts = {tuple(p[c] for c in pt_cols) for p in replace_parts}
+        replace_parts = [dict(zip(pt_cols, t_)) for t_ in new_parts]
+    _stage_and_swap(catalog, name, meta, result, replace_parts)
+
+
+def _merge_result(
+    tgt: DataFrame,
+    src: DataFrame,
+    keys: list[str],
+    update_cols: set[str],
+    incremental_predicates: list[str] | None,
+) -> DataFrame:
+    """The post-merge row set: one full-outer join on the key."""
     t = tgt.withColumn(_T, F.lit(True))
     s = src.withColumn(_S, F.lit(True))
     cond = _key_condition(t, s, keys)
@@ -270,15 +342,7 @@ def merge(
             # not in update set: matched keeps target value; inserts take source
             col = F.when(t[_T].isNotNull(), t[c]).otherwise(s[c])
         cols.append(col.alias(c))
-    result = joined.select(*cols)
-
-    if pt_cols and replace_parts is not None:
-        # a matched row's partition value comes from the target side and
-        # is by construction within replace_parts; source-only rows may
-        # introduce new partitions — extend the replace set
-        new_parts = {tuple(p[c] for c in pt_cols) for p in replace_parts}
-        replace_parts = [dict(zip(pt_cols, t_)) for t_ in new_parts]
-    _stage_and_swap(catalog, name, meta, result, replace_parts)
+    return joined.select(*cols)
 
 
 def _assert_unique_source_keys(src: DataFrame, keys: list[str]) -> None:
@@ -335,6 +399,17 @@ def delete_insert(
     src = _derive_auto(meta, source)
     src = _align_columns(src, tgt)
     pt_cols = meta.all_partition_cols()
+
+    if meta.transactional:
+
+        def compute(snap_tgt: DataFrame) -> DataFrame:
+            cond = _key_condition(snap_tgt, src, keys)
+            for pred in incremental_predicates or []:
+                cond = cond & F.expr(pred)
+            return snap_tgt.join(src, cond, "left_anti").unionByName(src)
+
+        _txn_commit_loop(catalog, name, compute)
+        return
 
     replace_parts = None
     survivors_outside = None

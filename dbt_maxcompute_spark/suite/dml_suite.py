@@ -439,8 +439,66 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_txn_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same merge as incr_merge_orders, but the target is declared
+    ``transactional=true`` + primary key (reference create.sql:2-4,
+    44-49: that combination ⇒ ACID upsert). The merge then commits
+    through the transaction log: pinned-snapshot read, post-merge row
+    set, ONE log commit — so history is exactly [create, merge] and the
+    pre-merge state stays readable via time travel.
+
+    Hard-checked contract: n_commits (from history()) and n_at_v0 (a
+    time-travel read of version 0) ride along every output row; the
+    DuckDB oracle predicts both, so a merge that double-commits,
+    skips the log, or breaks time travel hash-mismatches."""
+    cat = _wh(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    source = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp"))
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+
+    run_incremental(
+        cat, "tgt", target, strategy="merge", unique_key="o_orderkey",
+        transactional=True, primary_keys=["o_orderkey"],
+    )
+    run_incremental(cat, "tgt", source, strategy="merge", unique_key="o_orderkey")
+    hist = cat.txn("tgt").history()
+    n_at_v0 = cat.read("tgt", version=0).count()
+    return (
+        cat.read("tgt")
+        .withColumn("n_commits", F.lit(len(hist)).cast("bigint"))
+        .withColumn("n_at_v0", F.lit(n_at_v0).cast("bigint"))
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_TXN_MERGE = """
+WITH target AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+), src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+), merged AS (
+  SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT m.*,
+       CAST(2 AS BIGINT) AS n_commits,
+       CAST((SELECT count(*) FROM target) AS BIGINT) AS n_at_v0
+FROM merged m
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "incr_merge_orders": q_incr_merge_orders,
+    "txn_incremental_merge": q_txn_incremental_merge,
     "incr_append_partitioned": q_incr_append_partitioned,
     "incr_delete_insert_lineitem": q_incr_delete_insert_lineitem,
     "incr_insert_overwrite_events": q_incr_insert_overwrite_events,
@@ -454,6 +512,7 @@ QUERIES = {
 
 ORACLES = {
     "incr_merge_orders": ORACLE_MERGE,
+    "txn_incremental_merge": ORACLE_TXN_MERGE,
     "incr_append_partitioned": ORACLE_APPEND,
     "incr_delete_insert_lineitem": ORACLE_DELETE_INSERT,
     "incr_insert_overwrite_events": ORACLE_INSERT_OVERWRITE,

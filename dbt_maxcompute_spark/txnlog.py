@@ -212,6 +212,22 @@ class TxnTable:
         removes = [{"remove": f} for f in base_snap.files]
         return self._commit(base_snap.version + 1, adds + removes, df.schema.json())
 
+    def overwrite_from(self, base_version: int, df: DataFrame) -> int:
+        """Overwrite pinned to the snapshot the caller COMPUTED from.
+
+        A read-compute-commit writer (merge, delete+insert) must not
+        land on top of a version it never saw — plain ``overwrite``
+        resolves "latest" at commit time and would silently erase a
+        commit that interleaved between the caller's read and its write
+        (lost update). Committing ``base_version + 1`` makes any
+        interleaving a :class:`CommitConflict`: the caller re-reads,
+        recomputes, retries — the Delta-paper optimistic-concurrency
+        loop."""
+        base_snap = self.snapshot(base_version)
+        adds = [{"add": f} for f in self._stage_files(df)]
+        removes = [{"remove": f} for f in base_snap.files]
+        return self._commit(base_version + 1, adds + removes, df.schema.json())
+
     def delete_where(self, condition: str) -> int:
         """Copy-on-write delete: keep rows NOT matching ``condition``.
         File-granular — untouched files are carried over, only the
