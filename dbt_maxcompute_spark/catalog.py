@@ -500,10 +500,18 @@ class EngineCatalog:
             reader = reader.schema(schema)
         return reader.parquet(self.table_dir(name))
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, mv_rewrite: bool = True) -> DataFrame:
         """Run SQL with every catalog table registered (schema-qualified
         names become schema_table temp views; bare names too for the
-        default schema)."""
+        default schema).
+
+        ``mv_rewrite=True`` (default) first tries to answer the query
+        from a materialized view whose stored defining query matches it
+        (exact text or container rollup — plans/mv_rewrite.py), honoring
+        each MV's ``disable_rewrite`` flag; any miss or analysis error
+        falls back to the original query transparently. MV build/refresh
+        paths pass False (a defining query must never read its own MV)."""
+        rewrite_candidates: list[tuple[str, str]] = []
         for schema in self.list_schemas():
             for t in self.list_tables(schema):
                 full = f"{schema}.{t}"
@@ -519,6 +527,22 @@ class EngineCatalog:
                 if schema == self.default_schema:
                     df.createOrReplaceTempView(t)
                 df.createOrReplaceTempView(f"{schema}_{t}")
+                if (
+                    m.table_type == "materialized_view"
+                    and m.view_sql
+                    and not (m.mv_config or {}).get("disable_rewrite")
+                    and not (m.mv_config or {}).get("build_deferred")
+                ):
+                    rewrite_candidates.append((f"{schema}_{t}", m.view_sql))
+        if mv_rewrite and rewrite_candidates:
+            from dbt_maxcompute_spark.plans.mv_rewrite import try_rewrite
+
+            rewritten = try_rewrite(query, rewrite_candidates)
+            if rewritten is not None:
+                try:
+                    return self.spark.sql(rewritten)
+                except Exception:
+                    pass  # fall back to the original query
         return self.spark.sql(query)
 
     def columns(self, name: str) -> list[tuple[str, str]]:

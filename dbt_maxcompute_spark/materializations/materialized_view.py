@@ -16,9 +16,10 @@ _materialized_view.py:15-128`, `impl.py:112-158`) maps to:
   anything else is satisfiable by REBUILD/metadata update
   (reference impl.py:112-158 returns RelationConfigChangeAction).
 
-`disable_rewrite` is recorded for parity; automatic query rewrite
-over MVs is a server-side MaxCompute feature explicitly out of scope
-(SURVEY.md §7 tail note).
+`disable_rewrite` gates the automatic query rewrite implemented in
+plans/mv_rewrite.py: catalog.sql() answers exact-text and
+container-rollup matches from the MV unless the flag is set
+(reference `_materialized_view.py:24,116-117`).
 """
 
 from __future__ import annotations
@@ -42,7 +43,7 @@ def create_materialized_view(
     tblproperties: dict[str, str] | None = None,
     columns: dict[str, str] | None = None,
 ) -> None:
-    df = catalog.sql(defining_sql)
+    df = catalog.sql(defining_sql, mv_rewrite=False)
     if build_deferred:
         df = df.limit(0)
     meta = catalog.create_table(
@@ -74,7 +75,7 @@ def refresh_materialized_view(catalog: EngineCatalog, name: str) -> None:
     meta = catalog.meta(name)
     if meta.table_type != "materialized_view":
         raise ValueError(f"{name} is not a materialized view")
-    df = catalog.sql(meta.view_sql)
+    df = catalog.sql(meta.view_sql, mv_rewrite=False)
     from dbt_maxcompute_spark.plans.dml import _stage_and_swap
 
     _stage_and_swap(catalog, name, meta, df, None)

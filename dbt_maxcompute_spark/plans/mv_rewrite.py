@@ -1,0 +1,237 @@
+"""Automatic query rewrite over materialized views.
+
+The reference records ``disable_rewrite`` per MV
+(`/root/reference/dbt/adapters/maxcompute/relation_configs/
+_materialized_view.py:24,116-117`) because the MaxCompute engine
+rewrites user queries against MVs server-side unless told not to.
+SURVEY §7 scoped that out of v1; this module is the scoped counterpart:
+
+- **exact-text match**: the user query, normalized (case/whitespace/
+  trailing semicolon), equals an MV's stored defining query → answer
+  with a scan of the MV table.
+- **container-rollup match**: both the MV and the user query are
+  simple rollups (``SELECT ... FROM t [WHERE ...] GROUP BY ...``) over
+  the SAME base table, the user's grouping keys are a subset of the
+  MV's, and every user aggregate is derivable from an MV output column
+  (SUM→SUM of sums, COUNT→SUM of counts, MIN→MIN, MAX→MAX). The
+  rewrite re-aggregates the (rollup-cardinality) MV instead of
+  re-scanning the (fact-cardinality) base table — at 100 TB that is
+  the entire point of maintaining the MV.
+
+Anything else — joins, expressions over aggregates, HAVING, AVG (not
+re-aggregable without its sum/count parts), window functions — does
+NOT rewrite; the caller transparently falls back to the original
+query. The grammar is deliberately tiny and fail-closed: a parse miss
+means "no rewrite", never a wrong answer.
+
+Known v1 caveat (documented, not silent): an *uncast* SUM over a
+DECIMAL column re-aggregates through the MV's already-widened decimal,
+so the rewritten result can carry a wider decimal type than direct
+execution would; wrap sums in CAST(... AS DOUBLE/DECIMAL(p,s)) (the
+suite's ``_dsum`` discipline does this anyway) to pin the type on both
+paths. A WHERE clause in the user query may reference MV grouping
+keys only (any other identifier blocks the rewrite: filters on
+non-key columns are not answerable from the rollup).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_SQL_KEYWORDS = frozenset(
+    """and or not in like between is null true false case when then else end
+    cast as date timestamp interval exists distinct""".split()
+)
+
+_ROLLUP_RX = re.compile(
+    r"^select\s+(?P<select>.+?)\s+from\s+(?P<table>[\w.]+)"
+    r"(?:\s+where\s+(?P<where>.+?))?"
+    r"\s+group\s+by\s+(?P<group>[\w,\s.]+?)"
+    r"(?:\s+order\s+by\s+(?P<order>.+?))?$",
+    re.DOTALL,
+)
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip().rstrip(";").strip()).lower()
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (parens nest)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+@dataclass
+class _Item:
+    kind: str  # 'key' | 'agg'
+    alias: str | None
+    col: str | None = None  # key column
+    func: str | None = None  # agg function
+    arg: str | None = None  # normalized agg argument text (match key)
+    cast_type: str | None = None  # outer CAST(... AS type) wrapper
+
+
+@dataclass
+class _Rollup:
+    table: str
+    items: list[_Item]
+    group_keys: list[str]
+    where: str | None
+    order: str | None
+
+
+def _parse_item(item: str) -> _Item | None:
+    m = re.match(r"^(?P<body>.*)\s+as\s+(?P<alias>\w+)$", item, re.DOTALL)
+    body, alias = (m["body"].strip(), m["alias"]) if m else (item, None)
+    cast_type = None
+    m = re.match(
+        r"^cast\s*\((?P<inner>.*)\s+as\s+"
+        r"(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*\)$",
+        body,
+        re.DOTALL,
+    )
+    if m:
+        body, cast_type = m["inner"].strip(), m["type"]
+    m = re.match(r"^(?P<func>sum|count|min|max)\s*\((?P<arg>.*)\)$", body, re.DOTALL)
+    if m:
+        return _Item(
+            kind="agg",
+            alias=alias,
+            func=m["func"],
+            arg=_norm(m["arg"]),
+            cast_type=cast_type,
+        )
+    if cast_type is None and re.fullmatch(r"[\w.]+", body):
+        return _Item(kind="key", alias=alias, col=body)
+    return None
+
+
+def parse_rollup(sql: str) -> _Rollup | None:
+    """Parse the restricted rollup grammar; None = not in-grammar."""
+    m = _ROLLUP_RX.match(_norm(sql))
+    if not m:
+        return None
+    items = []
+    for raw in _split_top(m["select"]):
+        it = _parse_item(raw)
+        if it is None:
+            return None
+        items.append(it)
+    group_keys = [g.strip() for g in m["group"].split(",")]
+    if not all(re.fullmatch(r"[\w.]+", g) for g in group_keys):
+        return None
+    return _Rollup(
+        table=m["table"],
+        items=items,
+        group_keys=group_keys,
+        where=m["where"].strip() if m["where"] else None,
+        order=m["order"].strip() if m["order"] else None,
+    )
+
+
+def _where_identifiers(where: str) -> set[str]:
+    no_strings = re.sub(r"'[^']*'", "", where)
+    return {
+        t
+        for t in re.findall(r"[a-z_]\w*", no_strings)
+        if t not in _SQL_KEYWORDS and not t.isdigit()
+    }
+
+
+# re-aggregation function per user aggregate: sums and counts add,
+# mins/maxes nest
+_REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
+    if user.table != mv.table:
+        return None
+    if mv.where is not None:
+        # MV is a filtered rollup: only an identically-filtered query
+        # (or one with no extra filter) can be answered from it
+        if user.where != mv.where:
+            return None
+        effective_where = None  # filter already baked into MV rows
+    else:
+        effective_where = user.where
+        if effective_where is not None and not (
+            _where_identifiers(effective_where) <= set(mv.group_keys)
+        ):
+            return None
+    mv_keys = set(mv.group_keys)
+    if not set(user.group_keys) <= mv_keys:
+        return None
+    # MV output column name per grouping key (bare select) and per
+    # aggregate (func, argtext) — aggregates must be aliased in the MV
+    mv_key_cols = {it.col for it in mv.items if it.kind == "key"}
+    if not mv_keys <= mv_key_cols:
+        return None
+    mv_aggs: dict[tuple[str, str], str] = {}
+    for it in mv.items:
+        if it.kind == "agg":
+            if it.alias is None:
+                return None
+            mv_aggs[(it.func, it.arg)] = it.alias
+
+    out_items: list[str] = []
+    for it in user.items:
+        if it.kind == "key":
+            if it.col not in set(user.group_keys):
+                return None
+            out_items.append(it.col if it.alias is None else f"{it.col} AS {it.alias}")
+            continue
+        if it.alias is None:
+            # an unaliased aggregate's output column NAME depends on the
+            # original expression text; preserving it through a rewrite
+            # is not possible — fail closed
+            return None
+        src = mv_aggs.get((it.func, it.arg))
+        if src is None:
+            return None
+        expr = f"{_REAGG[it.func]}({src})"
+        if it.cast_type:
+            expr = f"CAST({expr} AS {it.cast_type})"
+        out_items.append(f"{expr} AS {it.alias}")
+
+    sql = f"SELECT {', '.join(out_items)} FROM {mv_table}"
+    if effective_where:
+        sql += f" WHERE {effective_where}"
+    sql += f" GROUP BY {', '.join(user.group_keys)}"
+    if user.order:
+        sql += f" ORDER BY {user.order}"
+    return sql
+
+
+def try_rewrite(user_sql: str, mvs: list[tuple[str, str]]) -> str | None:
+    """Attempt to answer ``user_sql`` from one of ``mvs``
+    (list of (registered_table_name, defining_sql)). Returns the
+    rewritten SQL, or None (caller falls back to the original).
+    First match wins; exact-text beats container."""
+    user_norm = _norm(user_sql)
+    for mv_table, defining_sql in mvs:
+        if user_norm == _norm(defining_sql):
+            return f"SELECT * FROM {mv_table}"
+    user = parse_rollup(user_sql)
+    if user is None:
+        return None
+    for mv_table, defining_sql in mvs:
+        mv = parse_rollup(defining_sql)
+        if mv is None:
+            continue
+        out = _rewrite_rollup(user, mv, mv_table)
+        if out is not None:
+            return out
+    return None

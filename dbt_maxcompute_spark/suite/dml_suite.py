@@ -20,6 +20,7 @@ from dbt_maxcompute_spark.catalog import EngineCatalog
 from dbt_maxcompute_spark.materializations.incremental import run_incremental
 from dbt_maxcompute_spark.materializations.materialized_view import (
     apply_materialized_view,
+    create_materialized_view,
 )
 from dbt_maxcompute_spark.materializations.snapshot import run_snapshot
 from dbt_maxcompute_spark.sources.registry import load_table
@@ -496,9 +497,68 @@ ORDER BY o_orderkey
 """
 
 
+def q_mv_auto_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV auto-rewrite, hard-checked from the physical plan: a user
+    rollup on a SUBSET of an MV's grouping keys must be answered by
+    re-aggregating the (rollup-cardinality) MV — its scan in the plan,
+    the base fact table absent — while an MV created with
+    ``disable_rewrite=True`` (reference _materialized_view.py:24) must
+    leave its query on the base table. Both plan facts ride along as
+    boolean columns the oracle predicts; the returned rows themselves
+    come from the rewritten (MV-served) query, so the rewrite's VALUES
+    are hash-checked against DuckDB computing from the base table."""
+    cat = _wh(spark)
+    cat.create_table("lineitem", load_table(spark, sf_dir, "lineitem"))
+    cat.create_table("orders", load_table(spark, sf_dir, "orders"))
+    create_materialized_view(
+        cat,
+        "mv_li",
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+           FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    )
+    create_materialized_view(
+        cat,
+        "mv_ord",
+        """SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus""",
+        disable_rewrite=True,
+    )
+
+    def plan_of(df: DataFrame) -> str:
+        return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    served = cat.sql(
+        """SELECT l_returnflag, count(*) AS n_rows,
+                  CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+           FROM lineitem GROUP BY l_returnflag"""
+    )
+    p1 = plan_of(served)
+    used_mv = ("mv_li" in p1) and ("default/lineitem" not in p1)
+
+    p2 = plan_of(cat.sql("SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"))
+    respected_disable = ("mv_ord" not in p2) and ("default/orders" in p2)
+
+    return (
+        served.withColumn("used_mv", F.lit(bool(used_mv)))
+        .withColumn("respected_disable", F.lit(bool(respected_disable)))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_MV_REWRITE = """
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty,
+       TRUE AS used_mv, TRUE AS respected_disable
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "incr_merge_orders": q_incr_merge_orders,
     "txn_incremental_merge": q_txn_incremental_merge,
+    "mv_auto_rewrite": q_mv_auto_rewrite,
     "incr_append_partitioned": q_incr_append_partitioned,
     "incr_delete_insert_lineitem": q_incr_delete_insert_lineitem,
     "incr_insert_overwrite_events": q_incr_insert_overwrite_events,
@@ -513,6 +573,7 @@ QUERIES = {
 ORACLES = {
     "incr_merge_orders": ORACLE_MERGE,
     "txn_incremental_merge": ORACLE_TXN_MERGE,
+    "mv_auto_rewrite": ORACLE_MV_REWRITE,
     "incr_append_partitioned": ORACLE_APPEND,
     "incr_delete_insert_lineitem": ORACLE_DELETE_INSERT,
     "incr_insert_overwrite_events": ORACLE_INSERT_OVERWRITE,

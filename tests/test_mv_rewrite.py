@@ -1,0 +1,178 @@
+"""MV auto-rewrite: exact-text and container-rollup matches answer from
+the MV table; disable_rewrite and out-of-grammar queries fall back to
+the base table. Plan-pinned via the scanned file paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.catalog import EngineCatalog
+from dbt_maxcompute_spark.materializations.materialized_view import (
+    create_materialized_view,
+)
+from dbt_maxcompute_spark.plans.mv_rewrite import parse_rollup, try_rewrite
+from dbt_maxcompute_spark.sources.registry import load_table
+
+
+MV_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty,
+       min(l_extendedprice) AS min_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# parser / rewriter unit tests (no Spark)
+# ---------------------------------------------------------------------------
+
+def test_parse_rollup_shape():
+    r = parse_rollup(MV_SQL)
+    assert r.table == "lineitem"
+    assert r.group_keys == ["l_returnflag", "l_linestatus"]
+    aggs = {(i.func, i.arg): i.alias for i in r.items if i.kind == "agg"}
+    assert ("count", "*") in aggs and aggs[("count", "*")] == "n"
+    assert ("sum", "cast(l_quantity as decimal(28,6))") in aggs
+    assert ("min", "l_extendedprice") in aggs
+
+
+def test_exact_text_match_case_and_whitespace_insensitive():
+    user = "select l_returnflag,   l_linestatus, COUNT(*) as n, cast(SUM(cast(l_quantity as DECIMAL(28,6))) as DOUBLE) AS qty, MIN(l_extendedprice) as min_price from lineitem GROUP BY l_returnflag, l_linestatus;"
+    out = try_rewrite(user, [("default_mv1", MV_SQL)])
+    assert out == "SELECT * FROM default_mv1"
+
+
+def test_container_rollup_rewrites_subset_keys():
+    user = """
+    SELECT l_returnflag, sum(cast(l_quantity AS decimal(28,6))) AS q
+    FROM lineitem GROUP BY l_returnflag
+    """
+    out = try_rewrite(user, [("default_mv1", MV_SQL)])
+    # the inner cast text is the match key; the outer rewrite re-sums the
+    # MV's qty column. MV stored qty as double (cast applied), so the
+    # user's uncast sum maps to sum(qty).
+    assert out is not None and "FROM default_mv1" in out
+    assert "sum(qty) as q" in out.lower()
+
+
+def test_count_rewrites_to_sum_and_min_nests():
+    user = """
+    SELECT l_linestatus, count(*) AS n_rows, min(l_extendedprice) AS cheapest
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """
+    out = try_rewrite(user, [("m", MV_SQL)])
+    assert "sum(n) AS n_rows" in out
+    assert "min(min_price) AS cheapest" in out
+    assert out.endswith("ORDER BY l_linestatus")
+
+
+def test_where_on_group_key_allowed_other_columns_block():
+    ok = try_rewrite(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_returnflag",
+        [("m", MV_SQL)],
+    )
+    assert ok is not None and "WHERE l_linestatus = 'o'" in ok
+    blocked = try_rewrite(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_quantity > 5 GROUP BY l_returnflag",
+        [("m", MV_SQL)],
+    )
+    assert blocked is None
+
+
+def test_out_of_grammar_and_mismatches_fail_closed():
+    cases = [
+        "SELECT l_returnflag, avg(l_quantity) AS a FROM lineitem GROUP BY l_returnflag",  # avg not re-aggregable
+        "SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey",  # other table
+        "SELECT l_shipmode, count(*) AS n FROM lineitem GROUP BY l_shipmode",  # key not in MV
+        "SELECT l_returnflag, count(*) AS n FROM lineitem l JOIN orders o ON true GROUP BY l_returnflag",  # join
+        "SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag",  # unaliased agg
+        "SELECT l_returnflag, sum(l_tax) AS t FROM lineitem GROUP BY l_returnflag",  # agg not in MV
+    ]
+    for sql in cases:
+        assert try_rewrite(sql, [("m", MV_SQL)]) is None, sql
+
+
+def test_filtered_mv_requires_identical_where():
+    mv = "SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_returnflag"
+    same = try_rewrite(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_returnflag",
+        [("m", mv)],
+    )
+    assert same is not None and "WHERE" not in same  # filter baked into MV rows
+    other = try_rewrite(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+        [("m", mv)],
+    )
+    assert other is None  # unfiltered query cannot come from filtered MV
+
+
+# ---------------------------------------------------------------------------
+# end-to-end plan pins
+# ---------------------------------------------------------------------------
+
+
+def _scanned_paths(spark, df) -> str:
+    # formatted explain keeps full scan Location paths (toString truncates)
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture()
+def mv_cat(spark, tmp_path, sf_dir):
+    cat = EngineCatalog(spark, str(tmp_path / "wh"))
+    li = load_table(spark, sf_dir, "lineitem")
+    cat.create_table("lineitem", li)
+    return cat
+
+
+def test_rewrite_answers_from_mv_scan(spark, mv_cat):
+    create_materialized_view(mv_cat, "mv_roll", MV_SQL)
+    user = """
+    SELECT l_returnflag, count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """
+    got = mv_cat.sql(user)
+    plan = _scanned_paths(spark, got)
+    assert "mv_roll" in plan, "expected the MV table scan in the plan"
+    assert "default/lineitem" not in plan, "base table must not be scanned"
+    direct = mv_cat.sql(user, mv_rewrite=False)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_disable_rewrite_scans_base_table(spark, mv_cat):
+    create_materialized_view(mv_cat, "mv_roll", MV_SQL, disable_rewrite=True)
+    user = "SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
+    plan = _scanned_paths(spark, mv_cat.sql(user))
+    assert "default/lineitem" in plan
+    assert "mv_roll" not in plan
+
+
+def test_exact_match_end_to_end(spark, mv_cat):
+    create_materialized_view(mv_cat, "mv_roll", MV_SQL)
+    got = mv_cat.sql(MV_SQL)
+    plan = _scanned_paths(spark, got)
+    assert "mv_roll" in plan and "default/lineitem" not in plan
+    direct = mv_cat.sql(MV_SQL, mv_rewrite=False)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_refresh_does_not_read_own_mv(spark, mv_cat):
+    from dbt_maxcompute_spark.materializations.materialized_view import (
+        refresh_materialized_view,
+    )
+
+    create_materialized_view(mv_cat, "mv_roll", MV_SQL)
+    before = mv_cat.read("mv_roll").collect()
+    # double some base rows, refresh, MV must change (a self-referential
+    # rewrite would make refresh a stale no-op)
+    extra = mv_cat.read("lineitem").limit(100)
+    from dbt_maxcompute_spark.plans import dml
+
+    dml.append(mv_cat, "lineitem", extra)
+    refresh_materialized_view(mv_cat, "mv_roll")
+    after = mv_cat.read("mv_roll").collect()
+    assert sum(r.n for r in after) == sum(r.n for r in before) + 100
