@@ -22,13 +22,16 @@ Spark-first iteration shape (min-label propagation):
 
 Rounds needed = graph diameter. Dedup graphs are near-cliques (every
 member of a duplicate cluster pairs with most others), so 2-3 rounds
-converge in practice; `max_iter` bounds pathological chains. For
-adversarial long-path graphs the classic fix is large-star/small-star
-contraction (Kiveris et al., "Connected Components in MapReduce and
-Beyond") — same join primitives, O(log^2 n) rounds; plain propagation
-is the right default for dedup workloads and stays one join per round.
+converge in practice and plain propagation (one join per round) is the
+right default. For adversarial long-diameter graphs (paths, lattices —
+diameter rounds would be the job), the loop SWITCHES after an
+iteration budget to large-star/small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", 2014): the same
+join+min-agg primitives, but each round rewires edges toward local
+minima so components collapse in O(log^2 n) rounds regardless of
+diameter.
 
-Each round re-plans from a `localCheckpoint` of the previous labels so
+Each round re-plans from a `localCheckpoint` of the previous state so
 the lineage (and codegen size) stays constant across iterations
 instead of growing by one join per round.
 """
@@ -39,15 +42,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges oriented hi→lo, self-loops dropped."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
+        F.col("x") != F.col("y")
+    )
+    return e.select(
+        F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo")
+    ).distinct()
+
+
+def _large_star(canon: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects its LARGER neighbors
+    to min(closed neighborhood of u). Output is naturally hi→lo
+    oriented (v > u >= m)."""
+    sym = canon.union(
+        canon.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+    ).select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    m = sym.groupBy("a").agg(F.min("b").alias("mn")).select(
+        "a", F.least("mn", F.col("a")).alias("m")
+    )
+    return (
+        sym.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    """One small-star round: every node u rewires its SMALLER neighbors
+    (and itself) to the minimum of them. Input/output hi→lo."""
+    mn = canon.groupBy("hi").agg(F.min("lo").alias("m"))
+    rewired = (
+        canon.join(mn, "hi")
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    direct = mn.select("hi", F.col("m").alias("lo"))
+    return rewired.union(direct).distinct()
+
+
+def _star_contraction(
+    canon: DataFrame, nodes: DataFrame, max_rounds: int, stats: dict | None
+) -> DataFrame:
+    """Alternate large/small-star until the edge set is a fixed point:
+    then every non-root node carries exactly one edge to its component
+    minimum. O(log^2 n) rounds (Kiveris et al. Thm 2) — the adversarial
+    -diameter path. The change probe is one anti-join limit-1 count
+    (edge-set growth is impossible: both stars only move endpoints to
+    smaller labels, so new==old set-wise iff nothing moved)."""
+    cur = canon.localCheckpoint(eager=False)
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        new = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        moved = (
+            new.exceptAll(cur).limit(1).count() + cur.exceptAll(new).limit(1).count()
+        )
+        cur = new
+        if moved == 0:
+            break
+    if stats is not None:
+        stats["star_rounds"] = rounds
+    star = cur.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce("comp", "node").alias("comp")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    star_after: int = 4,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, comp) for every node appearing in `edges`; comp is the
     minimum node id reachable from the node. Deterministic for any
-    partition layout (min is order-independent)."""
+    partition layout (min is order-independent).
+
+    Min-label propagation for up to ``star_after`` rounds (optimal for
+    the near-clique graphs dedup emits: converges in 2-3); if still
+    unconverged — diameter larger than the budget — the remaining
+    budget runs large-star/small-star contraction on the ORIGINAL
+    edges, whose round count is O(log^2 n) in component size, not
+    O(diameter). ``stats`` (optional dict) reports ``algorithm``,
+    ``label_rounds`` and ``star_rounds`` for observability/tests."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -58,7 +140,10 @@ def connected_components(
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint(eager=False)
 
-    for _ in range(max_iter):
+    label_rounds = 0
+    converged = False
+    for _ in range(min(max_iter, star_after)):
+        label_rounds += 1
         nbr = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .select(F.col("a").alias("node"), "comp")
@@ -77,8 +162,21 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
-    return labels
+    if stats is not None:
+        stats["label_rounds"] = label_rounds
+        stats["algorithm"] = "min_label"
+    if converged or max_iter <= star_after:
+        return labels
+    # unconverged within the budget: the graph has real diameter —
+    # contract stars instead of walking it
+    if stats is not None:
+        stats["algorithm"] = "star"
+    nodes = labels.select("node")
+    return _star_contraction(
+        _canonical(edges, src, dst), nodes, max_iter, stats
+    )
 
 
 def dedup_clusters(

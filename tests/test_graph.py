@@ -35,6 +35,55 @@ def test_components_self_loop_singleton(spark):
     assert comp[5] == 5 and comp[1] == 1 and comp[2] == 1
 
 
+def test_near_clique_stays_on_min_label(spark):
+    # the dedup-shaped graph (diameter 2) must converge inside the
+    # propagation budget and never pay the star-contraction machinery
+    edges = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    rows = graph.connected_components(df, stats=stats).collect()
+    assert stats["algorithm"] == "min_label" and stats["label_rounds"] <= 3
+    assert {r["comp"] for r in rows} == {0}
+
+
+def test_adversarial_path_switches_to_star_contraction(spark):
+    """Path graph of 1024 nodes: diameter 1023 — min-label would need
+    ~1023 rounds. The budgeted switch to large-star/small-star must
+    converge in O(log^2 n) rounds (Kiveris et al.): pinned at <= 15,
+    vs log2(1024) = 10."""
+    n = 1024
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    stats: dict = {}
+    rows = graph.connected_components(df, max_iter=30, stats=stats).collect()
+    assert stats["algorithm"] == "star"
+    assert stats["star_rounds"] <= 15, stats
+    assert len(rows) == n and {r["comp"] for r in rows} == {0}
+
+
+def test_star_contraction_matches_min_label_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(220)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ref = {
+        r["node"]: r["comp"]
+        for r in graph.connected_components(df, max_iter=50, star_after=50).collect()
+    }
+    stats: dict = {}
+    got = {
+        r["node"]: r["comp"]
+        for r in graph.connected_components(
+            df, max_iter=30, star_after=1, stats=stats
+        ).collect()
+    }
+    # force the star path (budget 1 round of propagation) and require
+    # identical labeling
+    assert stats["algorithm"] in ("star", "min_label")
+    assert got == ref
+
+
 def test_dedup_clusters_profile(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "src long, dst long")
     rows = {r["representative"]: r for r in graph.dedup_clusters(df).collect()}
