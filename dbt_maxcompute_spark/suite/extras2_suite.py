@@ -488,6 +488,62 @@ SELECT TRUE AS fresh_after_write, TRUE AS view_age_infinite,
 """
 
 
+def q_ops_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The two standing-maintenance ops (SURVEY §2.2/§2.7) as an
+    # oracle-predicted ledger: small-file COMPACTION must collapse a
+    # fragmented table (create + 3 appends ⇒ ≥4 files) to exactly one
+    # right-sized file with rows and a value checksum intact, and the
+    # lifecycle SWEEPER (reference LIFECYCLE N option) must — under an
+    # injected clock — drop exactly the expired table and keep the
+    # fresh one. Every fact rides as a column the DuckDB oracle
+    # predicts from the nation table.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+    from dbt_maxcompute_spark.plans import dml
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="compact_probe_wh_"))
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("t", nation)
+    for _ in range(3):
+        dml.append(cat, "t", nation)
+    stats = cat.compact("t", target_file_bytes=1 << 30)
+    n_rows = cat.read("t").count()
+    key_sum = cat.read("t").agg(
+        F.sum("n_nationkey").cast("bigint").alias("s")
+    ).collect()[0]["s"]
+
+    cat.create_table("ttl_short", nation.limit(1), lifecycle=1)
+    cat.create_table("ttl_long", nation.limit(1), lifecycle=30)
+    created = cat.meta("ttl_short").created_at
+    dropped = cat.sweep_lifecycle(now=created + 2 * 86400)
+    return spark.createDataFrame(
+        [
+            (
+                bool(stats["files_before"] >= 4),
+                int(stats["files_after"]),
+                int(n_rows),
+                int(key_sum),
+                bool(dropped == ["default.ttl_short"]),
+                bool(cat.exists("ttl_long") and not cat.exists("ttl_short")),
+            )
+        ],
+        "fragmented_before boolean, files_after int, n_rows bigint, "
+        "key_sum bigint, swept_exactly_expired boolean, ttl_respected boolean",
+    )
+
+
+ORACLE_COMPACT_PROBE = """
+SELECT TRUE AS fragmented_before,
+       CAST(1 AS INTEGER) AS files_after,
+       CAST(4 * count(*) AS BIGINT) AS n_rows,
+       CAST(4 * sum(n_nationkey) AS BIGINT) AS key_sum,
+       TRUE AS swept_exactly_expired,
+       TRUE AS ttl_respected
+FROM nation
+"""
+
+
 def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL bucketed tables: orders and customer co-bucketed on the
     # customer key, so the equi-join plans with zero exchanges on the
@@ -620,6 +676,7 @@ QUERIES = {
     "catalog_ddl_audit": q_catalog_ddl_audit,
     "raw_script_passthrough": q_raw_script_passthrough,
     "ops_contract_probe": q_ops_contract_probe,
+    "ops_compact_probe": q_ops_compact_probe,
 }
 
 ORACLES: dict[str, str] = {
@@ -637,4 +694,5 @@ ORACLES: dict[str, str] = {
     "catalog_ddl_audit": ORACLE_DDL_AUDIT,
     "raw_script_passthrough": ORACLE_RAW_SCRIPT,
     "ops_contract_probe": ORACLE_OPS_PROBE,
+    "ops_compact_probe": ORACLE_COMPACT_PROBE,
 }
