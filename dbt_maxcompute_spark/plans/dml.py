@@ -68,6 +68,25 @@ def _affected_partitions(src: DataFrame, pt_cols: list[str]) -> list[dict]:
     return [r.asDict() for r in rows]
 
 
+def _matched_partitions(
+    tgt: DataFrame, src: DataFrame, keys: list[str], pt_cols: list[str]
+) -> list[dict]:
+    """Distinct partition tuples of target rows whose unique_key appears
+    in the source.  Key-only semi-join: the target scan prunes to
+    key+partition columns (ReadSchema), the source side broadcasts its
+    distinct key tuples, and the result is metadata-sized.  Needed only
+    when partition cols are not part of the key — the price of general
+    MERGE semantics across partitions."""
+    src_keys = src.select(*keys).distinct()
+    rows = (
+        tgt.join(F.broadcast(src_keys), on=keys, how="left_semi")
+        .select(*pt_cols)
+        .distinct()
+        .collect()
+    )
+    return [r.asDict() for r in rows]
+
+
 def _partition_filter(pt_cols: list[str], parts: list[dict]) -> Column:
     cond = F.lit(False)
     for p in parts:
@@ -297,11 +316,25 @@ def merge(
 
     replace_parts = None
     if pt_cols:
-        # Prune: only partitions the source touches are rewritten. A
-        # matched row keeps its target partition value (partition cols
-        # excluded from UPDATE), so target rows outside source
-        # partitions cannot change.
+        # Prune: only partitions the merge can change are rewritten.
+        # When partition cols ⊆ unique_key, a matched target row is
+        # necessarily in a source partition and pruning to source
+        # partitions is free.  Otherwise a source row may match (by key)
+        # a target row living OUTSIDE the source partitions — reference
+        # MERGE updates that row in place in its own partition
+        # (merge.sql:36-45 matches on the key alone) — so those matched
+        # partitions must join the replace set.  Finding them costs one
+        # key-column-only semi-join scan of the target; the alternative
+        # (inserting the source row as a fresh row in its own partition)
+        # silently duplicates the unique key.
         replace_parts = _affected_partitions(src, pt_cols)
+        if not set(pt_cols) <= set(keys):
+            matched_parts = _matched_partitions(tgt, src, keys, pt_cols)
+            seen = {tuple(p[c] for c in pt_cols) for p in replace_parts}
+            replace_parts += [
+                p for p in matched_parts
+                if tuple(p[c] for c in pt_cols) not in seen
+            ]
         tgt = _scope_to_partitions(tgt, pt_cols, replace_parts)
 
     result = _merge_result(tgt, src, keys, update_cols, incremental_predicates)
@@ -322,9 +355,22 @@ def _merge_result(
     update_cols: set[str],
     incremental_predicates: list[str] | None,
 ) -> DataFrame:
-    """The post-merge row set: one full-outer join on the key."""
-    t = tgt.withColumn(_T, F.lit(True))
-    s = src.withColumn(_S, F.lit(True))
+    """The post-merge row set: one full-outer join on the key.
+
+    The two sides carry the reference dialect's aliases
+    (merge.sql:36-37: ``merge into {{target}} as DBT_INTERNAL_DEST using
+    {{source}} as DBT_INTERNAL_SOURCE``) so user-written
+    incremental_predicates like ``DBT_INTERNAL_DEST.ts > '2024-01-01'``
+    resolve exactly as they would in the generated MERGE.  Bare
+    ambiguous column names raise, as in real SQL with both sides in
+    scope.  Predicates join the ON condition (merge.sql:26-33,38): a
+    matched-but-predicate-false pair does NOT match — the target row
+    survives unchanged and the source row takes the NOT MATCHED branch
+    and is inserted.  That is genuine MERGE-with-ON-predicate
+    semantics, not a planner quirk.
+    """
+    t = tgt.withColumn(_T, F.lit(True)).alias("DBT_INTERNAL_DEST")
+    s = src.withColumn(_S, F.lit(True)).alias("DBT_INTERNAL_SOURCE")
     cond = _key_condition(t, s, keys)
     for pred in incremental_predicates or []:
         cond = cond & F.expr(pred)
@@ -343,6 +389,33 @@ def _merge_result(
             col = F.when(t[_T].isNotNull(), t[c]).otherwise(s[c])
         cols.append(col.alias(c))
     return joined.select(*cols)
+
+
+def _delete_insert_survivors(
+    tgt: DataFrame,
+    src: DataFrame,
+    keys: list[str],
+    incremental_predicates: list[str] | None,
+) -> DataFrame:
+    """Target rows surviving ``DELETE WHERE (keys) IN (SELECT keys FROM
+    src) [AND preds]`` (reference merge.sql:75-96).
+
+    In that dialect the source exists only inside the IN-subquery, so
+    user predicates name TARGET columns — bare or
+    ``DBT_INTERNAL_DEST``-qualified.  The source side is reduced to its
+    distinct key tuples under prefix-renamed columns before the
+    anti-join, so a bare ``order_status = 'O'`` resolves unambiguously
+    to the target row (and the anti-join shuffles key tuples only, not
+    source payloads)."""
+    t = tgt.alias("DBT_INTERNAL_DEST")
+    s = src.select(*[F.col(k).alias(f"__src_{k}") for k in keys]).distinct()
+    cond = None
+    for k in keys:
+        c = t[k] == s[f"__src_{k}"]
+        cond = c if cond is None else cond & c
+    for pred in incremental_predicates or []:
+        cond = cond & F.expr(pred)
+    return t.join(s, cond, "left_anti")
 
 
 def _assert_unique_source_keys(src: DataFrame, keys: list[str]) -> None:
@@ -403,28 +476,33 @@ def delete_insert(
     if meta.transactional:
 
         def compute(snap_tgt: DataFrame) -> DataFrame:
-            cond = _key_condition(snap_tgt, src, keys)
-            for pred in incremental_predicates or []:
-                cond = cond & F.expr(pred)
-            return snap_tgt.join(src, cond, "left_anti").unionByName(src)
+            return _delete_insert_survivors(
+                snap_tgt, src, keys, incremental_predicates
+            ).unionByName(src)
 
         _txn_commit_loop(catalog, name, compute)
         return
 
     replace_parts = None
-    survivors_outside = None
     if pt_cols:
+        # Same pruning-soundness rule as merge(): the reference's DELETE
+        # matches on the key alone (merge.sql:75-83), so when partition
+        # cols are not part of the key a doomed target row may live
+        # outside the source partitions — its partition must be
+        # rewritten too or the delete silently misses it.
         replace_parts = _affected_partitions(src, pt_cols)
+        if not set(pt_cols) <= set(keys):
+            matched_parts = _matched_partitions(tgt, src, keys, pt_cols)
+            seen = {tuple(p[c] for c in pt_cols) for p in replace_parts}
+            replace_parts += [
+                p for p in matched_parts
+                if tuple(p[c] for c in pt_cols) not in seen
+            ]
         tgt_scope = _scope_to_partitions(tgt, pt_cols, replace_parts)
     else:
         tgt_scope = tgt
 
-    delete_cond = _key_condition(tgt_scope, src, keys)
-    if incremental_predicates:
-        # extra AND conditions restrict which target rows are deleted
-        for pred in incremental_predicates:
-            delete_cond = delete_cond & F.expr(pred)
-    survivors = tgt_scope.join(src, delete_cond, "left_anti")
+    survivors = _delete_insert_survivors(tgt_scope, src, keys, incremental_predicates)
     result = survivors.unionByName(src)
     _stage_and_swap(catalog, name, meta, result, replace_parts)
 

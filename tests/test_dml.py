@@ -286,3 +286,71 @@ def test_partition_scope_semi_join_above_threshold(spark, catalog):
     assert sorted(r["id"] for r in small.collect()) == sorted(
         i for i in range(300) if (i % 150) < 3
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 pins: cross-partition key matches + reference-dialect predicates
+# ---------------------------------------------------------------------------
+
+
+def test_merge_updates_matched_row_across_partitions(spark, catalog):
+    """A source row whose partition value differs from its matched
+    target row's partition must UPDATE that row in place (reference
+    MERGE matches on the key alone, merge.sql:36-45) — not insert a
+    duplicate key into the source's partition.  Pins the round-4
+    pruning-soundness fix (_matched_partitions)."""
+    catalog.create_table("t", seed_df(spark, BASE), partition_by=["pt"])
+    # id=1 lives in p1; the update arrives tagged with a NEW pt value
+    dml.merge(catalog, "t", seed_df(spark, [(1, "A", "p9")]), unique_key="id")
+    # name updated, row stays in p1 (pt excluded from UPDATE), no p9 row
+    expect = [(1, "A", "p1"), (2, "b", "p1"), (3, "c", "p2")]
+    assert rows_of(catalog, "t") == sorted(expect)
+
+
+def test_delete_insert_deletes_across_partitions(spark, catalog):
+    """delete+insert matches doomed rows by key regardless of partition
+    (merge.sql:75-83): the old row in p1 is deleted, the replacement
+    lands in its own partition."""
+    catalog.create_table("t", seed_df(spark, BASE), partition_by=["pt"])
+    dml.delete_insert(catalog, "t", seed_df(spark, [(1, "A", "p9")]), unique_key="id")
+    expect = [(1, "A", "p9"), (2, "b", "p1"), (3, "c", "p2")]
+    assert rows_of(catalog, "t") == sorted(expect)
+
+
+def test_merge_predicate_reference_aliases(spark, catalog):
+    """incremental_predicates in the reference's MERGE dialect qualify
+    columns with DBT_INTERNAL_DEST / DBT_INTERNAL_SOURCE
+    (merge.sql:36-38); the predicate joins the ON condition, so a
+    matched-but-false pair leaves the target row untouched and inserts
+    the source row (genuine MERGE-with-ON-predicate semantics)."""
+    catalog.create_table("t", seed_df(spark, BASE))
+    dml.merge(
+        catalog,
+        "t",
+        seed_df(spark, [(2, "B", "p1"), (3, "C", "p2")]),
+        unique_key="id",
+        incremental_predicates=["DBT_INTERNAL_DEST.name = 'b'"],
+    )
+    # id=2 matches (tgt name='b'): updated. id=3 (tgt name='c'): ON
+    # fails -> target row kept AND source row inserted (duplicate id=3,
+    # exactly what the generated MERGE would produce).
+    expect = [(1, "a", "p1"), (2, "B", "p1"), (3, "c", "p2"), (3, "C", "p2")]
+    assert rows_of(catalog, "t") == sorted(expect)
+
+
+def test_delete_insert_bare_predicate_targets_dest(spark, catalog):
+    """delete+insert predicates use bare target column names (the
+    source is only an IN-subquery in merge.sql:75-96); a bare `name`
+    must resolve to the TARGET row being considered for deletion."""
+    catalog.create_table("t", seed_df(spark, BASE))
+    dml.delete_insert(
+        catalog,
+        "t",
+        seed_df(spark, [(1, "X", "p1"), (2, "Y", "p1")]),
+        unique_key="id",
+        incremental_predicates=["name = 'a'"],
+    )
+    # id=1 (name 'a'): deleted; id=2 (name 'b'): predicate false, row
+    # SURVIVES the delete — both source rows are inserted regardless.
+    expect = [(1, "X", "p1"), (2, "b", "p1"), (2, "Y", "p1"), (3, "c", "p2")]
+    assert rows_of(catalog, "t") == sorted(expect)
