@@ -44,19 +44,22 @@ _SUITES = [
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
 # FIRST 50 ``queries()`` entries only. After round 3 every query had a
 # green driver row at least once (r3 re-proved 50 incl. all former
-# failures); round 4 rotates FRESHNESS into the window: the three new
+# failures); round 4 rotates FRESHNESS into the window: the five new
 # round-4 queries (log-committed transactional merge, MV auto-rewrite,
-# compaction+lifecycle probe) lead, followed by the 47 of the 48 queries
-# whose only hard driver row is from round 1 — the relational / TPC-H /
-# functions families, least-changed code but the stalest signal.
-# cartesian_regions (the deliberate whitelisted cartesian, also r1-only)
-# is the one that doesn't fit the 50-slot window; it heads round 5's
-# rotation together with the seventeen r2-last queries.
+# compaction+lifecycle probe, txn data skipping, exact heavy hitters)
+# lead, followed by 45 of the 48 queries whose only hard driver row is
+# from round 1 — the relational / TPC-H / functions families,
+# least-changed code but the stalest signal. cartesian_regions,
+# tpch_q21 and tpch_q22 (also r1-only) don't fit the 50-slot window;
+# they head round 5's rotation together with the seventeen r2-last
+# queries.
 _PRIORITY = [
     # new in round 4 — never driver-checked
     "txn_incremental_merge",
     "mv_auto_rewrite",
     "ops_compact_probe",
+    "txn_file_skipping",
+    "sketch_heavy_hitters",
     # r1-only greens: functions family
     "fn_string_ops",
     "fn_datetime_ops",
@@ -107,8 +110,6 @@ _PRIORITY = [
     "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_filter",
     "tpch_q20_small_part_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
 ]
 
 

@@ -354,6 +354,63 @@ ORDER BY version
 """
 
 
+def q_txn_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data skipping over the transaction log (Delta-paper: per-file
+    # min/max stats recorded at write, files pruned by predicate before
+    # Spark sees them). Four disjoint key-range commits; a top-quartile
+    # predicate must scan exactly ONE file — n_files/n_scanned/pruned
+    # are log-derived observables the oracle pins, and the filtered
+    # aggregate is value-hash-checked against plain SQL.
+    import os
+    import shutil
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    m = orders.agg(F.max("o_orderkey")).collect()[0][0]  # metadata-sized
+    b1, b2, b3 = m // 4, m // 2, (3 * m) // 4
+    path = os.path.join(_bucket_warehouse(sf_dir), "txn_skip_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnTable(spark, path)
+    k = F.col("o_orderkey")
+    t.create(orders.filter(k <= b1).coalesce(1))
+    t.append(orders.filter((k > b1) & (k <= b2)).coalesce(1))
+    t.append(orders.filter((k > b2) & (k <= b3)).coalesce(1))
+    t.append(orders.filter(k > b3).coalesce(1))
+
+    where = [("o_orderkey", ">", b3)]
+    n_files = len(t.snapshot().files)
+    n_scanned = len(t.files_scanned(where))
+    return (
+        t.read(where=where)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.lit(n_files).cast("long").alias("n_files"),
+            F.lit(n_scanned).cast("long").alias("n_scanned"),
+            F.lit(n_scanned < n_files).alias("pruned"),
+            "n_rows",
+            "total_price",
+        )
+    )
+
+
+ORACLE_TXN_SKIP = """
+WITH m AS (SELECT max(o_orderkey) AS mk FROM orders)
+SELECT CAST(4 AS BIGINT) AS n_files,
+       CAST(1 AS BIGINT) AS n_scanned,
+       TRUE AS pruned,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders, m
+WHERE o_orderkey > (3 * mk) // 4
+"""
+
+
 def q_catalog_ddl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SURVEY §2.7's DDL surface, driven end-to-end through the driver
     # gate: create schema/table/view, add + drop columns, string-family
@@ -677,6 +734,7 @@ QUERIES = {
     "raw_script_passthrough": q_raw_script_passthrough,
     "ops_contract_probe": q_ops_contract_probe,
     "ops_compact_probe": q_ops_compact_probe,
+    "txn_file_skipping": q_txn_file_skipping,
 }
 
 ORACLES: dict[str, str] = {
@@ -695,4 +753,5 @@ ORACLES: dict[str, str] = {
     "raw_script_passthrough": ORACLE_RAW_SCRIPT,
     "ops_contract_probe": ORACLE_OPS_PROBE,
     "ops_compact_probe": ORACLE_COMPACT_PROBE,
+    "txn_file_skipping": ORACLE_TXN_SKIP,
 }

@@ -533,6 +533,31 @@ SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
 """
 
 
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT heavy hitters via the two-pass candidate/verify scheme
+    # (operators/sketches.heavy_hitters): pass 1 emits per-partition
+    # locally-frequent values (pigeonhole => no false negatives), pass 2
+    # exact-counts the metadata-sized candidate set. Output is exact, so
+    # the oracle is a plain HAVING-count query — the approximation buys
+    # shuffle boundedness, not error.
+    ev = load_table(spark, sf_dir, "events")
+    hh = sketches.heavy_hitters(ev, "user_id", min_support=0.002)
+    return hh.select(
+        "user_id", "cnt", F.round("support", 6).alias("support")
+    ).orderBy("user_id")
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH n AS (SELECT count(*) AS total FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*) / CAST(max(total) AS DOUBLE), 6) AS support
+FROM events CROSS JOIN n
+GROUP BY user_id
+HAVING count(*) >= CEIL(0.002 * max(total))
+ORDER BY user_id
+"""
+
 QUERIES = {
     "emb_kmeans_profile": q_emb_kmeans_profile,
     "events_asof_last_purchase": q_events_asof_last_purchase,
@@ -547,6 +572,7 @@ QUERIES = {
     "sketch_value_quantiles": q_sketch_value_quantiles,
     "emb_quantize_int8": q_emb_quantize_int8,
     "events_funnel": q_events_funnel,
+    "sketch_heavy_hitters": q_sketch_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -563,4 +589,5 @@ ORACLES: dict[str, str] = {
     "emb_kmeans_profile": ORACLE_KMEANS,
     "sketch_distinct_users": ORACLE_SKETCH_DISTINCT,
     "sketch_value_quantiles": ORACLE_SKETCH_QUANTILES,
+    "sketch_heavy_hitters": ORACLE_HEAVY_HITTERS,
 }

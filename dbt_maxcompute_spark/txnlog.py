@@ -58,6 +58,107 @@ class Snapshot:
     version: int
     files: list[str]  # relative to table root
     schema_json: str | None
+    # per-file column statistics recorded at write time (Delta-paper
+    # data skipping): {file: {"numRecords": n, "min": {col: v},
+    # "max": {col: v}, "nullCount": {col: n}}}. Missing for files
+    # written before stats existed — those never prune.
+    stats: dict[str, dict] = None  # type: ignore[assignment]
+
+
+def _footer_stats(full_path: str) -> dict:
+    """Min/max/null-count per column from one parquet FOOTER (no data
+    pages). Runs on executors via a parallelize().map() job at stage
+    time — the Delta recipe collects stats in the writer; reading the
+    footer right after the write is the stand-in that keeps the driver
+    off the data path and the cost at KBs per file."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def _norm(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        return None
+
+    md = pq.ParquetFile(full_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    bad: set = set()  # any row group without usable min/max poisons the column
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested: skip
+                continue
+            st = col.statistics
+            mn = mx = None
+            if st is not None and st.has_min_max:
+                mn, mx = _norm(st.min), _norm(st.max)
+            if mn is None or mx is None:
+                bad.add(name)
+            else:
+                if name not in mins or mn < mins[name]:
+                    mins[name] = mn
+                if name not in maxs or mx > maxs[name]:
+                    maxs[name] = mx
+            if st is not None and st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    for name in bad:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    return {
+        "numRecords": md.num_rows,
+        "min": mins,
+        "max": maxs,
+        "nullCount": nulls,
+    }
+
+
+def _may_match(stats: dict | None, where: list[tuple]) -> bool:
+    """Can ANY row of a file with these stats satisfy the conjunction?
+    Conservative: unknown stats / unknown column -> True (scan it).
+    ``where`` is a list of (col, op, value) with op in
+    {=, <, <=, >, >=} — the structured subset a DataSource V2
+    SupportsPushDownFilters integration would receive."""
+    if not stats:
+        return True
+    for col, op, val in where:
+        mn = (stats.get("min") or {}).get(col)
+        mx = (stats.get("max") or {}).get(col)
+        if mn is None or mx is None:
+            continue  # no usable range for this column
+        try:
+            if op == "=" and (val < mn or val > mx):
+                return False
+            if op == ">" and mx <= val:
+                return False
+            if op == ">=" and mx < val:
+                return False
+            if op == "<" and mn >= val:
+                return False
+            if op == "<=" and mn > val:
+                return False
+        except TypeError:
+            continue  # incomparable types: scan
+    return True
+
+
+_WHERE_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
 
 
 class TxnTable:
@@ -112,14 +213,15 @@ class TxnTable:
             raise ValueError(f"version {v} not in log (have {vs[0]}..{vs[-1]})")
         # newest checkpoint at or below v collapses the prefix
         start = 0
-        files: dict[str, None] = {}
+        files: dict[str, dict | None] = {}
         schema_json = None
         for cv in sorted(vs, reverse=True):
             cp = self._checkpoint_path(cv)
             if cv <= v and os.path.exists(cp):
                 with open(cp) as fh:
                     state = json.load(fh)
-                files = dict.fromkeys(state["files"])
+                cp_stats = state.get("stats") or {}
+                files = {f: cp_stats.get(f) for f in state["files"]}
                 schema_json = state.get("schema_json")
                 start = cv + 1
                 break
@@ -130,11 +232,16 @@ class TxnTable:
                 entry = json.load(fh)
             for a in entry["actions"]:
                 if "add" in a:
-                    files[a["add"]] = None
+                    files[a["add"]] = a.get("stats")
                 elif "remove" in a:
                     files.pop(a["remove"], None)
             schema_json = entry.get("schema_json") or schema_json
-        return Snapshot(version=v, files=list(files), schema_json=schema_json)
+        return Snapshot(
+            version=v,
+            files=list(files),
+            schema_json=schema_json,
+            stats={f: s for f, s in files.items() if s},
+        )
 
     def _commit(
         self,
@@ -169,17 +276,25 @@ class TxnTable:
             cp_tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
             with open(cp_tmp, "w") as fh:
                 json.dump(
-                    {"files": snap.files, "schema_json": snap.schema_json}, fh
+                    {
+                        "files": snap.files,
+                        "schema_json": snap.schema_json,
+                        "stats": snap.stats,
+                    },
+                    fh,
                 )
             os.replace(cp_tmp, self._checkpoint_path(expected_version))
         return expected_version
 
     # -- data paths -----------------------------------------------------------
 
-    def _stage_files(self, df: DataFrame) -> list[str]:
+    def _stage_files(self, df: DataFrame) -> list[dict[str, Any]]:
         """Write df as immutable uniquely-named parquet under the table
-        root; return the new file names (relative). Files are invisible
-        to every reader until a commit references them."""
+        root; return add-actions ``{"add": name, "stats": {...}}``.
+        Files are invisible to every reader until a commit references
+        them.  Column min/max/null stats come from the parquet FOOTERS,
+        read executor-side in one parallelize().map() job (metadata
+        only — KBs per file, driver stays off the data path)."""
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(stage)
         out = []
@@ -192,23 +307,32 @@ class TxnTable:
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
-        return out
+        if not out:
+            return []
+        root = self.path
+        stats = (
+            self.spark.sparkContext.parallelize(out, min(len(out), 64))
+            .map(lambda rel: (rel, _footer_stats(os.path.join(root, rel))))
+            .collect()
+        )
+        by_name = dict(stats)
+        return [{"add": f, "stats": by_name.get(f)} for f in out]
 
     def create(self, df: DataFrame) -> int:
         os.makedirs(self.path, exist_ok=True)
         if self.exists():
             raise ValueError(f"transaction log already exists at {self.log_path}")
-        adds = [{"add": f} for f in self._stage_files(df)]
+        adds = self._stage_files(df)
         return self._commit(0, adds, df.schema.json())
 
     def append(self, df: DataFrame) -> int:
         base = self.latest_version()
-        adds = [{"add": f} for f in self._stage_files(df)]
+        adds = self._stage_files(df)
         return self._commit(base + 1, adds, df.schema.json())
 
     def overwrite(self, df: DataFrame) -> int:
         base_snap = self.snapshot()
-        adds = [{"add": f} for f in self._stage_files(df)]
+        adds = self._stage_files(df)
         removes = [{"remove": f} for f in base_snap.files]
         return self._commit(base_snap.version + 1, adds + removes, df.schema.json())
 
@@ -224,7 +348,7 @@ class TxnTable:
         recomputes, retries — the Delta-paper optimistic-concurrency
         loop."""
         base_snap = self.snapshot(base_version)
-        adds = [{"add": f} for f in self._stage_files(df)]
+        adds = self._stage_files(df)
         removes = [{"remove": f} for f in base_snap.files]
         return self._commit(base_version + 1, adds + removes, df.schema.json())
 
@@ -237,22 +361,54 @@ class TxnTable:
         # SQL DELETE semantics: only rows where the condition is TRUE go;
         # NULL-condition rows stay (bare NOT(cond) would drop them)
         keep = self.read().filter(f"NOT coalesce(({condition}), false)")
-        adds = [{"add": f} for f in self._stage_files(keep)]
+        adds = self._stage_files(keep)
         removes = [{"remove": f} for f in snap.files]
         return self._commit(snap.version + 1, adds + removes, keep.schema.json())
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
         """Snapshot read: exactly the files the log names — a file
         appearing mid-read (concurrent commit) is invisible, so readers
-        get snapshot isolation for free from file immutability."""
+        get snapshot isolation for free from file immutability.
+
+        ``where`` — a conjunction of (col, op, value), op in
+        {=, <, <=, >, >=} — enables DATA SKIPPING: files whose logged
+        min/max stats prove no row can match are dropped from the scan
+        list before Spark ever sees them (Delta-paper data skipping:
+        at 100 TB a selective key predicate touches a handful of files
+        instead of the table).  The predicate is ALSO applied as a
+        row filter, so skipping is purely an optimization — callers
+        get exactly the rows matching ``where`` either way.  Timestamp
+        and date values may be passed as ISO strings (stats store them
+        that way; lexicographic == temporal order)."""
         snap = self.snapshot(version)
-        if not snap.files:
+        files = snap.files
+        if where:
+            files = [f for f in files if _may_match(snap.stats.get(f), where)]
+        if not files:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(snap.schema_json))
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f) for f in snap.files]
-        return self.spark.read.parquet(*paths)
+        paths = [os.path.join(self.path, f) for f in files]
+        df = self.spark.read.parquet(*paths)
+        for col, op, val in where or []:
+            df = df.filter(_WHERE_OPS[op](df[col], val))
+        return df
+
+    def files_scanned(
+        self, where: list[tuple] | None = None, version: int | None = None
+    ) -> list[str]:
+        """The file list a ``read(where=...)`` would hand to Spark —
+        the observable for data-skipping tests and EXPLAIN-style
+        tooling."""
+        snap = self.snapshot(version)
+        if not where:
+            return list(snap.files)
+        return [f for f in snap.files if _may_match(snap.stats.get(f), where)]
 
     def history(self) -> list[dict[str, Any]]:
         out = []

@@ -61,6 +61,7 @@ def main() -> int:
     with open(args.baseline) as fh:
         base = json.load(fh)
     medians: dict[str, float] = base["medians"]
+    maxima: dict[str, float] = base.get("maxima", {})
     floors: dict[str, float] = base.get("floors", {})
 
     cand = load_bench_line(args.bench_json)["queries"]
@@ -79,7 +80,10 @@ def main() -> int:
         # compares absolute
         eff_c, eff_m = max(sec - floor, 1e-3), max(med - floor, 1e-3)
         ratio = eff_c / eff_m
-        if ratio > args.threshold and (sec - med) > ABS_SLACK_S:
+        # a real drift clears the ratio bar, the absolute slack, AND
+        # the noise envelope observed across the baseline's own runs
+        envelope = 1.15 * maxima.get(name, med)
+        if ratio > args.threshold and (sec - med) > ABS_SLACK_S and sec > envelope:
             flagged.append((name, sec, med, f"{ratio:.2f}x"))
     for name in medians:
         if name not in cand:

@@ -108,3 +108,78 @@ def test_empty_overwrite_keeps_schema(spark, t):
     got = t.read()
     assert got.count() == 0
     assert set(got.columns) == {"id", "v"}
+
+
+# ---------------------------------------------------------------------------
+# round-4: file-statistics data skipping (Delta-paper §data skipping)
+# ---------------------------------------------------------------------------
+
+
+def test_data_skipping_prunes_files_by_logged_stats(spark, tmp_path):
+    """Four appends with disjoint id ranges -> a selective predicate
+    reads ONLY the matching append's files, proven via files_scanned()
+    AND the executed plan's input file list; results are identical to
+    the unpruned filter (skipping is an optimization, never semantics)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for lo in (0, 100, 200, 300):
+        df = spark.range(lo, lo + 100, numPartitions=1).select(
+            F.col("id"), (F.col("id") % 7).alias("v")
+        )
+        t.create(df) if lo == 0 else t.append(df)
+
+    all_files = t.snapshot().files
+    assert len(all_files) == 4
+
+    where = [("id", ">=", 350)]
+    scanned = t.files_scanned(where)
+    assert len(scanned) == 1  # only the [300, 400) file
+
+    got = t.read(where=where)
+    # the Spark scan itself only touches the pruned list
+    assert {f.split("/")[-1] for f in got.inputFiles()} == set(scanned)
+    assert sorted(r["id"] for r in got.collect()) == list(range(350, 400))
+
+    # equality + range ops prune; conservative cases scan
+    assert len(t.files_scanned([("id", "=", 150)])) == 1
+    assert len(t.files_scanned([("id", "<", 150)])) == 2
+    assert len(t.files_scanned([("v", ">=", 0)])) == 4  # v spans all files
+    assert len(t.files_scanned([("nosuchcol", "=", 1)])) == 4  # unknown: scan
+
+
+def test_data_skipping_survives_checkpoint_and_overwrite(spark, tmp_path):
+    """Stats ride checkpoints (snapshot resolution collapses the log
+    prefix) and disappear with removed files on overwrite."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(0, 50, numPartitions=1).select(F.col("id")))
+    # push past CHECKPOINT_EVERY so resolution goes through a checkpoint
+    for i in range(1, 12):
+        t.append(
+            spark.range(i * 50, (i + 1) * 50, numPartitions=1).select(F.col("id"))
+        )
+    assert t.latest_version() == 11
+    snap = t.snapshot()
+    assert len(snap.stats) == len(snap.files) == 12
+    assert len(t.files_scanned([("id", ">=", 560)])) == 1
+
+    t.overwrite(spark.range(1000, 1100, numPartitions=1).select(F.col("id")))
+    assert t.files_scanned([("id", "<", 1000)]) == []
+    assert t.read(where=[("id", "<", 1000)]).count() == 0
+    assert t.read(where=[("id", ">=", 1050)]).count() == 50
+
+
+def test_data_skipping_timestamp_iso_strings(spark, tmp_path):
+    """Timestamp stats are stored as ISO strings; ISO string predicates
+    prune correctly (lexicographic == temporal order)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    jan = spark.sql(
+        "SELECT timestamp'2024-01-15 12:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS ts, id FROM range(10)"
+    ).coalesce(1)
+    jul = spark.sql(
+        "SELECT timestamp'2024-07-15 12:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS ts, id FROM range(10)"
+    ).coalesce(1)
+    t.create(jan)
+    t.append(jul)
+    assert len(t.snapshot().files) == 2
+    scanned = t.files_scanned([("ts", ">=", "2024-06-01T00:00:00")])
+    assert len(scanned) == 1
+    assert t.read(where=[("ts", ">=", "2024-06-01T00:00:00")]).count() == 10
