@@ -164,32 +164,37 @@ def oracle_sql_for_mixture(
     group_col: str,
     weight_col: str,
     targets: dict[str, float],
-    budget: float,
+    budget_sql: str,
 ) -> str:
     """The equivalent single-window ANSI SQL (global per-group cumsum in
-    hash order) — what the two-phase plan must equal, row for row."""
+    hash order) — what the two-phase plan must equal, row for row.
+
+    ``budget_sql`` is a scalar SQL expression (e.g. a subquery over the
+    same table) so the oracle stays a static string; it must reproduce
+    the Python-side budget with the same IEEE operation order."""
     cases = " ".join(
         f"WHEN '{g}' THEN {float(t)!r}" for g, t in targets.items()
     )
     in_list = ", ".join(f"'{g}'" for g in targets)
     return f"""
-WITH ranked AS (
-  SELECT {id_col}, {group_col}, {weight_col},
+WITH b AS (SELECT CAST(({budget_sql}) AS DOUBLE) AS budget),
+ranked AS (
+  SELECT {id_col}, {group_col}, {weight_col}, budget,
          ({id_col} * {_KNUTH}) % {_MOD} AS h,
          CAST(CASE {group_col} {cases} END AS DOUBLE) AS tgt,
-         CAST({budget!r} * CASE {group_col} {cases} END AS DOUBLE) AS quota,
+         CAST(budget * CASE {group_col} {cases} END AS DOUBLE) AS quota,
          sum({weight_col}) OVER (
            PARTITION BY {group_col}
            ORDER BY ({id_col} * {_KNUTH}) % {_MOD}, {id_col}
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-  FROM {table}
+  FROM {table} CROSS JOIN b
   WHERE {group_col} IN ({in_list})
 )
 SELECT {group_col},
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum({weight_col}) AS BIGINT) AS mass,
        round(max(tgt), 6) AS target_share,
-       round(CAST(sum({weight_col}) AS DOUBLE) / {budget!r}, 6) AS achieved_share
+       round(CAST(sum({weight_col}) AS DOUBLE) / max(budget), 6) AS achieved_share
 FROM ranked
 WHERE cum <= quota
 GROUP BY {group_col}

@@ -805,6 +805,47 @@ FROM k
 """
 
 
+_MIX_TARGETS = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
+_MIX_BUDGET_FRAC = 0.4
+
+
+def q_mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-mixture sampling (operators/mixture.py): select documents so
+    # each language contributes its target share of a 40%-of-corpus
+    # char budget, in a portable-hash deterministic order. The operator
+    # runs the two-phase histogram-threshold plan (no group-wide sort);
+    # the oracle runs the equivalent single-window cumsum — provably the
+    # same selection, so every kept row, mass, and achieved share is
+    # value-hash-checked.
+    from dbt_maxcompute_spark.operators import mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]  # metadata-sized
+    budget = float(total) * _MIX_BUDGET_FRAC
+    rep = mixture.mixture_report(
+        docs, "doc_id", "lang", "n_chars", _MIX_TARGETS, budget
+    )
+    return rep.orderBy("lang")
+
+
+def _mixture_oracle() -> str:
+    from dbt_maxcompute_spark.operators import mixture
+
+    inner = mixture.oracle_sql_for_mixture(
+        "documents",
+        "doc_id",
+        "lang",
+        "n_chars",
+        _MIX_TARGETS,
+        # same IEEE order as the Spark side: float(total) * 0.4
+        f"SELECT CAST(sum(n_chars) AS DOUBLE) * {_MIX_BUDGET_FRAC!r} FROM documents",
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY lang"
+
+
+ORACLE_MIXTURE = _mixture_oracle()
+
+
 QUERIES = {
     "dedup_exact_documents": q_dedup_exact,
     "dedup_token_jaccard_pairs": q_dedup_token_jaccard,
@@ -827,6 +868,7 @@ QUERIES = {
     "text_chunking": q_text_chunking,
     "hash_split_counts": q_hash_split_counts,
     "group_split_leakage_safe": q_group_split_leakage_safe,
+    "mixture_sample_langs": q_mixture_sample_langs,
 }
 
 ORACLES = {
@@ -853,4 +895,5 @@ ORACLES = {
     "pack_sequences": ORACLE_PACK,
     "text_repetition": ORACLE_REPETITION,
     "train_shuffle_order": ORACLE_SHUFFLE,
+    "mixture_sample_langs": ORACLE_MIXTURE,
 }

@@ -230,3 +230,61 @@ def test_tfidf_scans_prune_to_id_and_text(spark, sf_dir):
     for cols in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
         got = {c.split(":")[0] for c in cols.split(",") if c}
         assert got <= {"doc_id", "text"}, got
+
+
+def test_heavy_hitters_verify_is_broadcast(spark, sf_dir):
+    """Pass 2 of exact heavy hitters joins the corpus against the
+    metadata-sized candidate set via BROADCAST — a shuffled join here
+    would reintroduce the cardinality shuffle the operator exists to
+    avoid. (The candidate mapInPandas stage is pass 1; the verify agg
+    below it must be hash-agg + broadcast.)"""
+    from dbt_maxcompute_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(
+        spark, sketches.heavy_hitters(ev, "user_id", 0.002), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_edge_cut_is_broadcast_and_bucket_scoped(spark, sf_dir):
+    """The mixture plan's per-group boundary map joins in as a
+    BROADCAST (it is G rows), and no global per-group sort appears
+    outside the boundary-bucket window (the whole-bucket branch is
+    filter-only)."""
+    from dbt_maxcompute_spark.operators import mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sel = mixture.mixture_sample(
+        docs, "doc_id", "lang", "n_chars",
+        {"en": 0.5, "de": 0.2, "es": 0.1, "fr": 0.1, "zh": 0.1}, 50_000.0,
+    )
+    plan = plan_of(spark, sel, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one Window (the boundary-bucket cut); the whole-bucket
+    # branch must not sort
+    assert plan.count("Window") == 1
+
+
+def test_txn_skipping_scan_list_is_pruned_before_spark(spark, tmp_path):
+    """Data skipping happens at the LOG level: the parquet relation
+    Spark plans over contains only the surviving files — visible as a
+    single-file location in the scan, with the residual filter pushed
+    down onto it."""
+    from pyspark.sql import functions as F
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for lo in (0, 1000, 2000):
+        df = spark.range(lo, lo + 1000, numPartitions=1).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        t.create(df) if lo == 0 else t.append(df)
+    got = t.read(where=[("id", ">=", 2500)])
+    assert len(got.inputFiles()) == 1
+    plan = plan_of(spark, got)
+    assert "GreaterThanOrEqual(id,2500)" in plan  # residual filter pushed

@@ -310,3 +310,50 @@ def test_delete_insert_end_to_end_matches_duckdb(
     want = _fetch(con)
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# insert_overwrite: dynamic + static partition replacement vs DuckDB
+# DELETE-partition + INSERT (insert_overwrite.sql:39-63)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def overwrite_case(draw):
+    tgt = draw(st.lists(_ROW, min_size=0, max_size=14))
+    src = draw(st.lists(_ROW, min_size=0, max_size=10))
+    static = draw(st.sampled_from([None, ["p1"], ["p1", "p3"]]))
+    return tgt, src, static
+
+
+@given(case=overwrite_case())
+@_E2E
+def test_insert_overwrite_end_to_end_matches_duckdb(
+    spark, tmp_path_factory, case
+):
+    tgt_rows, src_rows, static = case
+    catalog = EngineCatalog(spark, str(tmp_path_factory.mktemp("wh")))
+    catalog.create_table(
+        "t", spark.createDataFrame(_frame(tgt_rows), _SCHEMA), partition_by=["pt"]
+    )
+    dml.insert_overwrite(
+        catalog,
+        "t",
+        spark.createDataFrame(_frame(src_rows), _SCHEMA),
+        partitions=[{"pt": p} for p in static] if static else None,
+    )
+    got = _canon_spark(catalog.read("t"))
+
+    con = _duck(tgt_rows, src_rows)
+    if static:
+        parts = ", ".join(f"'{p}'" for p in static)
+        con.execute(f"DELETE FROM t WHERE pt IN ({parts})")
+        con.execute(f"INSERT INTO t SELECT * FROM s WHERE pt IN ({parts})")
+    else:
+        con.execute(
+            "DELETE FROM t WHERE pt IN (SELECT DISTINCT pt FROM s)"
+        )
+        con.execute("INSERT INTO t SELECT * FROM s")
+    want = _fetch(con)
+    con.close()
+    assert got == want
