@@ -183,3 +183,72 @@ def test_data_skipping_timestamp_iso_strings(spark, tmp_path):
     scanned = t.files_scanned([("ts", ">=", "2024-06-01T00:00:00")])
     assert len(scanned) == 1
     assert t.read(where=[("ts", ">=", "2024-06-01T00:00:00")]).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# round-4: model-based property test — random op sequences vs an
+# in-memory model; every version's snapshot read must replay exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 100), st.integers(-50, 50)),
+    min_size=0,
+    max_size=6,
+)
+
+
+@st.composite
+def _op_sequences(draw):
+    ops = [("create", draw(_ROWS))]
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.sampled_from(["append", "overwrite", "delete"]))
+        if kind == "delete":
+            ops.append(("delete", draw(st.integers(0, 120))))
+        else:
+            ops.append((kind, draw(_ROWS)))
+    return ops
+
+
+@given(ops=_op_sequences())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_log_replay_equals_model_at_every_version(
+    spark, tmp_path_factory, ops
+):
+    """Multiset equality between every snapshot read and an in-memory
+    model after an arbitrary create/append/overwrite/delete sequence —
+    the log IS the table, at every version, not just the latest."""
+    t = TxnTable(spark, str(tmp_path_factory.mktemp("txn") / "t"))
+    model: list[list[tuple]] = []
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id bigint, v bigint")
+
+    for kind, arg in ops:
+        if kind == "create":
+            t.create(df_of(arg))
+            model.append(list(arg))
+        elif kind == "append":
+            t.append(df_of(arg))
+            model.append(model[-1] + list(arg))
+        elif kind == "overwrite":
+            t.overwrite(df_of(arg))
+            model.append(list(arg))
+        else:  # delete id < arg
+            t.delete_where(f"id < {arg}")
+            model.append([r for r in model[-1] if not (r[0] < arg)])
+
+    assert t.latest_version() == len(model) - 1
+    for v, expect in enumerate(model):
+        got = sorted((r["id"], r["v"]) for r in t.read(v).collect())
+        assert got == sorted(expect), f"version {v}"
+
+    # history bookkeeping: every op is exactly one commit
+    hist = t.history()
+    assert [h["version"] for h in hist] == list(range(len(model)))
