@@ -44,15 +44,15 @@ _SUITES = [
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
 # FIRST 50 ``queries()`` entries only. After round 3 every query had a
 # green driver row at least once (r3 re-proved 50 incl. all former
-# failures); round 4 rotates FRESHNESS into the window: the six new
+# failures); round 4 rotates FRESHNESS into the window: the seven new
 # round-4 queries (log-committed transactional merge, MV auto-rewrite,
 # compaction+lifecycle probe, txn data skipping, exact heavy hitters,
-# mixture sampling)
-# lead, followed by 44 of the 48 queries whose only hard driver row is
-# from round 1 — the relational / TPC-H / functions families,
-# least-changed code but the stalest signal. cartesian_regions and
-# tpch_q20/q21/q22 (also r1-only) don't fit the 50-slot window; they
-# head round 5's rotation together with the seventeen r2-last queries.
+# mixture sampling, streaming late-data drop) lead, followed by 43 of
+# the 48 queries whose only hard driver row is from round 1 — the
+# relational / TPC-H / functions families, least-changed code but the
+# stalest signal. cartesian_regions and tpch_q19/q20/q21/q22 (also
+# r1-only) don't fit the 50-slot window; they head round 5's rotation
+# together with the seventeen r2-last queries.
 _PRIORITY = [
     # new in round 4 — never driver-checked
     "txn_incremental_merge",
@@ -61,6 +61,7 @@ _PRIORITY = [
     "txn_file_skipping",
     "sketch_heavy_hitters",
     "mixture_sample_langs",
+    "stream_late_data_drop",
     # r1-only greens: functions family
     "fn_string_ops",
     "fn_datetime_ops",
@@ -109,7 +110,6 @@ _PRIORITY = [
     "tpch_q16_supplier_count",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_filter",
 ]
 
 

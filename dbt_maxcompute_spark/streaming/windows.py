@@ -78,13 +78,24 @@ def read_events_stream(
 
 def tumbling_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Per-hour, per-type rolling counts/sums with late-data watermark.
-    Same semantics as events_suite.q_events_tumbling_hourly."""
+    Same semantics as events_suite.q_events_tumbling_hourly.
+
+    Grouping keeps the full window STRUCT (start projected after the
+    agg): extracting window.start inside the key severs the
+    watermark-to-key link and Spark rejects append mode — the mode
+    where watermark finality is live."""
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").start.alias("hour_start"), "event_type")
+        .groupBy(F.window("ts", "1 hour").alias("__w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("__w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
         )
     )
 
@@ -106,6 +117,22 @@ def run_available_now(agg: DataFrame, query_name: str) -> None:
         agg.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_append(agg: DataFrame, query_name: str) -> None:
+    """AvailableNow drain in APPEND mode: a window row is emitted
+    exactly once, when the watermark passes its end — the mode where
+    watermark semantics (late-input dropping + state eviction) are
+    actually LIVE. Complete mode retains all state and drops nothing,
+    so late-data claims can only be demonstrated here."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

@@ -238,6 +238,85 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Watermark LATE-DATA semantics, driver-checked in append mode (the
+    # only mode where watermarking is live — complete mode retains all
+    # state and drops nothing). The engine's late filter uses the
+    # watermark COMMITTED BEFORE the current batch, and a late row is
+    # only droppable once its window's state has been evicted — so the
+    # replay must arrive two batch boundaries after the data that
+    # advanced the watermark (verified empirically; the minimal
+    # repro lives in the module history):
+    #   batch 1: the full events corpus (watermark still 0 during it);
+    #   batch 2: one fresh 'tick' event — the batch boundary that both
+    #            commits the corpus watermark (max ts - 2h) and evicts
+    #            + emits every closed window;
+    #   batch 3: RE-DELIVERS the oldest ~10% of events; their windows
+    #            closed weeks below the committed watermark, so every
+    #            replayed row is dropped (numRowsDroppedByWatermark) —
+    #            an engine that failed to would double-count exactly
+    #            that decile;
+    #   batch 4: a far-future sentinel pushes the final watermark past
+    #            every remaining window for append-mode finality.
+    # Output (tick + sentinel filtered) == the single-copy batch
+    # rollup: the oracle cannot tell a stream ran at all, replay and
+    # all — that equality is the whole claim. File order is pinned by
+    # mtime AND name (the file source processes oldest-first).
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from dbt_maxcompute_spark.streaming import windows as sw
+    from dbt_maxcompute_spark.suite.extras2_suite import _bucket_warehouse
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]  # metadata-sized
+    late_cut = lo + (hi - lo) * 0.1
+
+    d = os.path.join(_bucket_warehouse(sf_dir), "stream_events_late")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+
+    def _drop_one(df, name, mtime):
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, name)
+        os.replace(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+
+    def _one_row(ts, etype):
+        return spark.createDataFrame(
+            [(-1, ts, -1, etype, 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    now = _time.time()
+    _drop_one(ev, "a_full.parquet", now - 400)
+    _drop_one(_one_row(hi + datetime.timedelta(hours=1), "tick"), "b_tick.parquet", now - 300)
+    _drop_one(ev.filter(F.col("ts") <= F.lit(late_cut)), "c_replay.parquet", now - 200)
+    _drop_one(
+        _one_row(hi + datetime.timedelta(days=2), "sentinel"),
+        "d_sentinel.parquet",
+        now - 100,
+    )
+
+    stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
+    agg = sw.tumbling_hourly(stream)  # 2h watermark
+    name = "stream_late_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sw.run_available_now_append(agg, name)
+    return (
+        spark.table(name)
+        .filter(~F.col("event_type").isin("sentinel", "tick"))
+        .orderBy("hour_start", "event_type")
+    )
+
+
 QUERIES = {
     "events_tumbling_hourly": q_events_tumbling_hourly,
     "events_sliding_windows": q_events_sliding,
@@ -245,6 +324,7 @@ QUERIES = {
     "events_json_props": q_events_json_props,
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
     "stream_exactly_once_dedup": q_stream_exactly_once_dedup,
+    "stream_late_data_drop": q_stream_late_data_drop,
 }
 
 ORACLES = {
@@ -256,4 +336,7 @@ ORACLES = {
     # equality IS the streaming correctness claim
     "stream_tumbling_hourly": ORACLE_TUMBLING,
     "stream_exactly_once_dedup": ORACLE_STREAM_DEDUP,
+    # replayed-late-decile rows must be watermark-dropped, so the
+    # stream's append-mode output equals the plain single-copy rollup
+    "stream_late_data_drop": ORACLE_TUMBLING,
 }

@@ -43,6 +43,7 @@ from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 LOG_DIR = "_txn_log"
 CHECKPOINT_EVERY = 10
@@ -394,7 +395,17 @@ class TxnTable:
             schema = StructType.fromJson(json.loads(snap.schema_json))
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, f) for f in files]
-        df = self.spark.read.parquet(*paths)
+        # the COMMITTED schema governs the read (Delta semantics): a
+        # column added by a later commit backfills NULL for files
+        # written before it — without the explicit schema the parquet
+        # reader would take whichever file's footer it sampled first
+        if snap.schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            df = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            df = self.spark.read.parquet(*paths)
         for col, op, val in where or []:
             df = df.filter(_WHERE_OPS[op](df[col], val))
         return df
@@ -424,6 +435,43 @@ class TxnTable:
                 }
             )
         return out
+
+    def optimize(
+        self,
+        cluster_by: list[str] | None = None,
+        target_files: int | None = None,
+    ) -> int:
+        """OPTIMIZE: compact + cluster the table in one commit (the
+        Delta OPTIMIZE ... ZORDER BY shape, single-dimension form).
+
+        Data skipping is only as good as the file layout: organically
+        appended files all span the full key range, so min/max stats
+        prune nothing. ``cluster_by`` rewrites the table
+        range-partitioned + sorted by the given columns — after which
+        per-file key ranges are DISJOINT and a selective predicate
+        prunes to O(1) files (the multi-column interleaved-Z-curve
+        variant is the known extension; range-clustering on the leading
+        column already yields the skipping win for the dominant
+        single-key predicate).
+
+        One log commit: readers on the old snapshot are untouched,
+        history records the rewrite, time travel still reaches the
+        pre-optimize layout. ``target_files`` bounds the output file
+        count (default: the session's shuffle parallelism).
+        """
+        snap = self.snapshot()
+        df = self.read()
+        n = target_files or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        if cluster_by:
+            out = df.repartitionByRange(n, *[F_col(c) for c in cluster_by])
+            out = out.sortWithinPartitions(*cluster_by)
+        else:
+            out = df.coalesce(max(1, n))
+        adds = self._stage_files(out)
+        removes = [{"remove": f} for f in snap.files]
+        return self._commit(snap.version + 1, adds + removes, df.schema.json())
 
     def vacuum(
         self, retain_versions: int = 1, retention_seconds: float = 3600.0

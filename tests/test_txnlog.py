@@ -252,3 +252,67 @@ def test_log_replay_equals_model_at_every_version(
     # history bookkeeping: every op is exactly one commit
     hist = t.history()
     assert [h["version"] for h in hist] == list(range(len(model)))
+
+
+def test_optimize_clusters_for_data_skipping(spark, tmp_path):
+    """Organic appends interleave the key range, so min/max stats prune
+    NOTHING; OPTIMIZE cluster_by rewrites range-partitioned + sorted in
+    one commit, after which per-file key ranges are disjoint and a
+    selective predicate prunes to O(1) files. Old snapshots still read
+    the pre-optimize layout (time travel untouched)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    # 4 appends, each spanning the FULL key range (id % 4 slices)
+    for m in range(4):
+        df = (
+            spark.range(0, 4000)
+            .filter(F.col("id") % 4 == m)
+            .select("id", (F.col("id") * 3).alias("v"))
+            .coalesce(1)
+        )
+        t.create(df) if m == 0 else t.append(df)
+
+    where = [("id", ">=", 3600)]
+    assert len(t.files_scanned(where)) == 4  # every file spans the range
+    pre_rows = sorted(r["id"] for r in t.read(where=where).collect())
+
+    v = t.optimize(cluster_by=["id"], target_files=8)
+    assert v == 4  # one commit
+
+    scanned = t.files_scanned(where)
+    assert len(t.snapshot().files) == 8
+    assert len(scanned) == 1  # disjoint ranges: top decile lives in one file
+    assert sorted(r["id"] for r in t.read(where=where).collect()) == pre_rows
+    assert t.read().count() == 4000
+
+    # time travel: version 3 still resolves the pre-optimize files
+    assert len(t.snapshot(3).files) == 4
+    assert t.read(3).count() == 4000
+
+
+def test_optimize_without_cluster_compacts(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(0, 100).repartition(16).select("id"))
+    assert len(t.snapshot().files) == 16
+    t.optimize(target_files=2)
+    assert len(t.snapshot().files) <= 2
+    assert t.read().count() == 100
+
+
+def test_schema_evolution_add_column_backfills_null(spark, tmp_path):
+    """A column added by a later commit backfills NULL for pre-evolution
+    files (the committed schema governs the read — Delta semantics);
+    time travel to the pre-evolution version still shows the old
+    schema."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "id bigint, v string, score double")
+    )
+    cur = t.read().orderBy("id")
+    assert cur.columns == ["id", "v", "score"]
+    rows = cur.collect()
+    assert rows[0]["score"] is None and rows[1]["score"] == 9.5
+
+    old = t.read(0)
+    assert old.columns == ["id", "v"]
+    assert old.count() == 1
