@@ -44,17 +44,21 @@ _SUITES = [
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
 # FIRST 50 ``queries()`` entries only. After round 3 every query had a
 # green driver row at least once (r3 re-proved 50 incl. all former
-# failures); round 4 rotates FRESHNESS into the window: the seven new
+# failures); round 4 rotates FRESHNESS into the window: the ten new
 # round-4 queries (log-committed transactional merge, MV auto-rewrite,
 # compaction+lifecycle probe, txn data skipping, exact heavy hitters,
-# mixture sampling, streaming late-data drop) lead, followed by 43 of
+# mixture sampling, streaming late-data drop, stream-stream interval
+# join, bloom-prefilter join, Z-order skipping) lead, followed by 40 of
 # the 48 queries whose only hard driver row is from round 1 — the
 # relational / TPC-H / functions families, least-changed code but the
-# stalest signal. cartesian_regions and tpch_q19/q20/q21/q22 (also
-# r1-only) don't fit the 50-slot window; they head round 5's rotation
-# together with the seventeen r2-last queries.
+# stalest signal. cartesian_regions and tpch_q16/q17/q18/q19/q20/q21/
+# q22 (also r1-only) don't fit the 50-slot window; they head round 5's
+# rotation together with the seventeen r2-last queries.
 _PRIORITY = [
     # new in round 4 — never driver-checked
+    "stream_interval_join",
+    "bloom_prefilter_join",
+    "txn_zorder_skipping",
     "txn_incremental_merge",
     "mv_auto_rewrite",
     "ops_compact_probe",
@@ -107,9 +111,6 @@ _PRIORITY = [
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Bloom-prefilter for large joins (runtime row filtering, made explicit).
+
+At 100 TB the dominant join cost is shuffling probe-side rows that will
+never match: a fact table joined to a *selectively filtered* dimension
+still shuffles every fact row under a plain shuffle-hash/SMJ plan.
+Engines solve this with runtime bloom filters (Spark's own
+``spark.sql.optimizer.runtime.bloomFilter`` injects one when statistics
+allow); this operator is the explicit, statistics-independent form the
+pipeline author controls.
+
+Design — everything stays JVM-side and exact:
+
+* ``bloom_build`` aggregates the build side's join keys into an m-bit
+  bloom bitmap, represented as ``m/64`` longs.  Per row, k bit
+  positions come from double hashing ``h1 + i*h2`` over two
+  independent ``xxhash64`` seeds (Kirsch–Mitzenmacher construction);
+  the per-word OR is a map-side-partial ``bit_or`` aggregation, so the
+  only shuffle is ``min(m/64, distinct words)`` rows of 8 bytes each.
+  The collected bitmap is ``m/64`` longs — e.g. 128 KiB for m = 2^20 —
+  **bounded by m, independent of build cardinality**: metadata-sized
+  by construction, like Spark's own InSubqueryExec bloom.
+* ``bloom_might_contain`` is a pure Catalyst predicate over the bitmap
+  embedded as a literal array: ``k`` AND-ed bit tests, no UDF, no
+  join, fully codegen'd — it runs inside the probe side's scan stage,
+  BEFORE the exchange, which is the whole point.
+* Correctness is exact end-to-end: a bloom false positive only lets a
+  non-matching row through to the real join, which then drops it.  No
+  true match is ever filtered (no false negatives), so downstream
+  results are byte-identical to the unfiltered plan.
+
+Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k.  The helper picks
+m = next_pow2(10·n) bits and k = 7 (~0.8 % FP) from the build-side
+count; callers with a known NDV pass m explicitly.  If the build side
+is NOT selective (n approaching probe NDV), a bloom saves nothing —
+that is a planning decision, not a correctness hazard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SEED1 = 0x9E3779B1
+_SEED2 = 0x85EBCA77
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions for a key: (h1 + i*h2) mod m, double hashing.
+    m_bits must be a power of two so the mod is a mask (stays in
+    codegen as a bitwise AND, and never goes negative)."""
+    mask = m_bits - 1
+    # reduce both hashes into [0, m) BEFORE combining: keeps the
+    # double-hash arithmetic inside (k+1)*m << 2^63, so ANSI mode never
+    # sees an overflow (xxhash64 raw values would wrap on h1 + i*h2)
+    h1 = F.xxhash64(key, F.lit(_SEED1)).bitwiseAND(F.lit(mask))
+    # force h2 odd: odd step is coprime to the power-of-two m, so the k
+    # probes cycle through distinct positions
+    h2 = F.xxhash64(key, F.lit(_SEED2)).bitwiseAND(F.lit(mask)).bitwiseOR(F.lit(1))
+    return [(h1 + F.lit(i) * h2).bitwiseAND(F.lit(mask)) for i in range(k)]
+
+
+def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 20, k: int = 7) -> list[int]:
+    """Aggregate the build side's keys into an m_bits bloom bitmap.
+
+    Returns the bitmap as a Python list of m_bits/64 ints (the literal
+    the probe-side predicate embeds).  The aggregation is
+    explode(k positions) -> groupBy(word) -> bit_or(bit): map-side
+    partials reduce each word locally, the shuffle moves at most
+    m_bits/64 rows, and the collect is the bitmap itself — bounded by
+    m_bits regardless of build-side row count.
+    """
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    pos = F.explode(F.array(*_positions(key, m_bits, k))).alias("p")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            # call_function: SQL shiftleft takes a column bit count; the
+            # python wrapper's numBits is int-only
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()  # <= m_bits/64 rows of (long, long): metadata-sized
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def bloom_might_contain(
+    key: Column, bitmap: list[int], m_bits: int, k: int = 7
+) -> Column:
+    """Pure-Catalyst membership predicate against a built bitmap.
+
+    k AND-ed bit tests over the literal array — codegen-friendly, runs
+    in the probe scan stage before any exchange.  Guaranteed true for
+    every key present at build time (no false negatives)."""
+    arr = F.lit(bitmap)
+    test = None
+    for p in _positions(key, m_bits, k):
+        word = F.element_at(arr, ((p / 64).cast("int") + F.lit(1)))
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        t = word.bitwiseAND(bit) != F.lit(0)
+        test = t if test is None else test & t
+    return test
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m_bits: int | None = None,
+    k: int = 7,
+) -> DataFrame:
+    """Filter ``probe`` down to rows whose key *might* appear in
+    ``build`` (exact superset of the true matches).  The caller then
+    runs the real join on the survivors; results are identical to the
+    unfiltered join, but the shuffle moves ~FP-rate extra rows instead
+    of the whole probe side."""
+    if m_bits is None:
+        n = build.select(build_key).count()
+        m_bits = 1 << max(10, (10 * max(n, 1) - 1).bit_length())
+    bitmap = bloom_build(build, F.col(build_key), m_bits, k)
+    return probe.filter(bloom_might_contain(F.col(probe_key), bitmap, m_bits, k))

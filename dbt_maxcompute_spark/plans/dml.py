@@ -150,11 +150,28 @@ def _stage_and_swap(
             os.replace(staging, table_dir)
             catalog._write_meta(name, meta_backup)  # noqa: SLF001
         else:
+            staged = set(_leaf_partition_dirs(staging, len(pt)))
+            if len(staged) < len(replace_partitions):
+                # A STATIC overwrite with a source that is empty for
+                # some listed partition must still truncate it — the
+                # reference's static branch is INSERT OVERWRITE
+                # PARTITION(...), and overwriting with an empty select
+                # clears the partition (insert_overwrite.sql:39-63).
+                # Leaf dir names come from Spark's own hive escaping
+                # via a one-row-per-partition probe write — never
+                # re-implemented here.
+                for rel in _listed_partition_dirs(
+                    catalog.spark, result, replace_partitions, staging + "__probe", pt
+                ):
+                    if rel not in staged:
+                        dst_dir = os.path.join(table_dir, rel)
+                        if os.path.exists(dst_dir):
+                            shutil.rmtree(dst_dir)
             # The result frame contains only affected partitions (target
             # was pre-filtered to them), so every leaf partition dir the
             # staging write produced replaces its target counterpart —
             # Spark's own hive path escaping, no re-encoding guesswork.
-            for rel in _leaf_partition_dirs(staging, len(pt)):
+            for rel in staged:
                 src_dir = os.path.join(staging, rel)
                 dst_dir = os.path.join(table_dir, rel)
                 if os.path.exists(dst_dir):
@@ -164,6 +181,27 @@ def _stage_and_swap(
     finally:
         if os.path.exists(staging):
             shutil.rmtree(staging)
+
+
+def _listed_partition_dirs(
+    spark, result: DataFrame, parts: list[dict], probe: str, pt: list[str]
+) -> list[str]:
+    """Exact hive-escaped ``k=v`` leaf dirs for an explicit partition
+    list, obtained by letting Spark write a one-row-per-partition probe
+    frame and reading the dir names back — metadata-sized, and the
+    escaping can never drift from the engine's own."""
+    fields = [result.schema[c] for c in pt]
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(list(fields) + [StructField("__probe", IntegerType())])
+    rows = [tuple(p[c] for c in pt) + (1,) for p in parts]
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy(*pt).parquet(probe)
+        return _leaf_partition_dirs(probe, len(pt))
+    finally:
+        shutil.rmtree(probe, ignore_errors=True)
 
 
 def _leaf_partition_dirs(base: str, depth: int) -> list[str]:

@@ -317,6 +317,100 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-stream INTERVAL join (attribution): purchases join the
+    # same user's views when the purchase lands within 30 minutes of
+    # the view. The two sides arrive in DIFFERENT micro-batches —
+    # views-only file first, purchases-only file second, with
+    # maxFilesPerTrigger=1 — so every match requires the join state to
+    # carry batch-1 views across the batch boundary; a join that only
+    # matched within a micro-batch would return zero rows. The drained
+    # append-mode result is batch-aggregated and must equal the plain
+    # batch interval join (the oracle cannot tell a stream ran at all).
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from dbt_maxcompute_spark.streaming import joins as sj
+    from dbt_maxcompute_spark.streaming import windows as sw
+    from dbt_maxcompute_spark.suite.extras2_suite import _bucket_warehouse
+
+    ev = load_table(spark, sf_dir, "events")
+
+    d = os.path.join(_bucket_warehouse(sf_dir), "stream_events_ivj")
+    if not os.path.isdir(d) or len(glob.glob(os.path.join(d, "*.parquet"))) != 2:
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        import time as _time
+
+        now = _time.time()
+        for name, etype, mt in (
+            ("a_views.parquet", "view", now - 200),
+            ("b_purchases.parquet", "purchase", now - 100),
+        ):
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+            ev.filter(F.col("event_type") == etype).coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, name)
+            os.replace(part, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (mt, mt))
+
+    views = (
+        sw.read_events_stream(spark, d, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id"))
+    )
+    purchases = (
+        sw.read_events_stream(spark, d, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    pairs = sj.interval_join(
+        views, purchases, key="user_id", left_ts="v_ts", right_ts="p_ts",
+        lag="30 minutes", watermark="3650 days",
+    )
+    name = "stream_ivj_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            _dsum(F.col("p_value")).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH v AS (
+  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, count(*) AS n_attributed,
+       CAST(sum(CAST(p.value AS DECIMAL(28,6))) AS DOUBLE) AS attributed_value
+FROM v JOIN p ON v.user_id = p.user_id
+             AND p.p_ts >= v.v_ts
+             AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": q_events_tumbling_hourly,
     "events_sliding_windows": q_events_sliding,
@@ -325,6 +419,7 @@ QUERIES = {
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
     "stream_exactly_once_dedup": q_stream_exactly_once_dedup,
     "stream_late_data_drop": q_stream_late_data_drop,
+    "stream_interval_join": q_stream_interval_join,
 }
 
 ORACLES = {
@@ -339,4 +434,7 @@ ORACLES = {
     # replayed-late-decile rows must be watermark-dropped, so the
     # stream's append-mode output equals the plain single-copy rollup
     "stream_late_data_drop": ORACLE_TUMBLING,
+    # the streaming interval join's drained output answers to the plain
+    # batch interval join — cross-batch join-state correctness IS the claim
+    "stream_interval_join": ORACLE_INTERVAL_JOIN,
 }

@@ -718,6 +718,101 @@ ORDER BY d.doc_id
 """
 
 
+def q_txn_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OPTIMIZE ... ZORDER: cluster a transaction table on the
+    # interleaved Z-curve of (x, y) and show data skipping prunes files
+    # for a predicate on EITHER dimension — lexicographic range
+    # clustering can only ever prune the leading column. The pruned_*
+    # booleans are log-derived observables the oracle pins TRUE, and
+    # the filtered aggregate is value-hash-checked against plain SQL
+    # (skipping must stay an optimization, never a filter).
+    import os
+    import shutil
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    grid = load_table(spark, sf_dir, "orders").select(
+        F.expr("o_orderkey % 16").alias("x"),
+        F.expr("(o_orderkey div 16) % 16").alias("y"),
+        "o_totalprice",
+    )
+    path = os.path.join(_bucket_warehouse(sf_dir), "txn_zorder_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnTable(spark, path)
+    t.create(grid.repartition(8))  # appended layout: every file spans both ranges
+    t.optimize(cluster_by=["x", "y"], zorder=True, target_files=16, zorder_bits=4)
+
+    n_files = len(t.snapshot().files)
+    sx = len(t.files_scanned([("x", "=", 7)]))
+    sy = len(t.files_scanned([("y", "=", 3)]))
+    return (
+        t.read(where=[("y", "=", 3)])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.lit(sx < n_files).alias("pruned_x"),
+            F.lit(sy < n_files).alias("pruned_y"),
+            "n_rows",
+            "total_price",
+        )
+    )
+
+
+ORACLE_TXN_ZORDER = """
+WITH g AS (
+  SELECT o_orderkey % 16 AS x, (o_orderkey // 16) % 16 AS y, o_totalprice
+  FROM orders
+)
+SELECT TRUE AS pruned_x, TRUE AS pruned_y,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM g WHERE y = 3
+"""
+
+
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Runtime bloom filtering, made explicit: lineitem rows are
+    # prefiltered by a bloom bitmap built from the high-value orders'
+    # keys BEFORE the join, so at scale the probe shuffle moves ~6% of
+    # the fact table instead of all of it. The bitmap is m/64 longs —
+    # bounded by m, independent of build cardinality — and the
+    # membership test is k pure-Catalyst bit probes inside the scan
+    # stage. Exactness is structural: blooms have no false negatives,
+    # and the real join drops any false positives, so the oracle is the
+    # plain join with no bloom anywhere in it.
+    from dbt_maxcompute_spark.operators import bloomjoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 470000)
+        .select("o_orderkey", "o_orderdate")
+    )
+    pre = bloomjoin.bloom_prefilter(li, hot, "l_orderkey", "o_orderkey", m_bits=1 << 20)
+    joined = pre.join(F.broadcast(hot), pre["l_orderkey"] == hot["o_orderkey"])
+    return (
+        joined.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+ORACLE_BLOOM_JOIN = """
+SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS order_month,
+       count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 470000
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "sample_domain_quota": q_sample_domain_quota,
     "corpus_zipf_profile": q_corpus_zipf_profile,
@@ -735,6 +830,8 @@ QUERIES = {
     "ops_contract_probe": q_ops_contract_probe,
     "ops_compact_probe": q_ops_compact_probe,
     "txn_file_skipping": q_txn_file_skipping,
+    "bloom_prefilter_join": q_bloom_prefilter_join,
+    "txn_zorder_skipping": q_txn_zorder_skipping,
 }
 
 ORACLES: dict[str, str] = {
@@ -754,4 +851,6 @@ ORACLES: dict[str, str] = {
     "ops_contract_probe": ORACLE_OPS_PROBE,
     "ops_compact_probe": ORACLE_COMPACT_PROBE,
     "txn_file_skipping": ORACLE_TXN_SKIP,
+    "bloom_prefilter_join": ORACLE_BLOOM_JOIN,
+    "txn_zorder_skipping": ORACLE_TXN_ZORDER,
 }

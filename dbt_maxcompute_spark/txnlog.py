@@ -436,10 +436,54 @@ class TxnTable:
             )
         return out
 
+    def _zorder_key(self, df: DataFrame, cols: list[str], bits: int):
+        """Interleaved-bit (Z-curve) sort key over ``cols``.
+
+        Per column: cast to double (numerics directly; date/timestamp
+        via their epoch representation), bucket into ``2**bits`` ranks
+        using quantile boundaries from ONE sampled ``approxQuantile``
+        pass, then interleave the rank bits round-robin so locality in
+        the z key implies locality in EVERY dimension — after range
+        partitioning, each file's min/max box covers a small hyper-cell
+        and a selective predicate on ANY clustered column prunes files,
+        not just the leading one (the multi-column extension the
+        single-dimension ``cluster_by`` docstring promises).
+
+        Bucketing + interleaving are pure Catalyst arithmetic (a
+        fold over the literal boundary array and bit shifts), so the
+        rewrite plan is sample-pass + one range shuffle. NULLs rank 0.
+        """
+        from pyspark.sql import functions as F
+
+        nb = 1 << bits
+        casted = [F_col(c).cast("double") for c in cols]
+        probe = df.select(*[e.alias(f"__zc{i}") for i, e in enumerate(casted)])
+        probs = [j / nb for j in range(1, nb)]
+        bounds = probe.approxQuantile(
+            [f"__zc{i}" for i in range(len(cols))], probs, 1.0 / (4 * nb)
+        )
+        def _rank_of(e, bound_list):
+            return F.aggregate(
+                F.lit(bound_list),
+                F.lit(0),
+                lambda acc, b: acc + F.when(e >= b, 1).otherwise(0),
+            )
+
+        z = F.lit(0).cast("long")
+        for i, e in enumerate(casted):
+            rank = _rank_of(e, bounds[i])
+            rank = F.when(e.isNull(), 0).otherwise(rank).cast("long")
+            for j in range(bits):
+                bit = F.shiftright(rank, j).bitwiseAND(F.lit(1).cast("long"))
+                z = z + F.shiftleft(bit, j * len(cols) + i)
+        return z
+
     def optimize(
         self,
         cluster_by: list[str] | None = None,
         target_files: int | None = None,
+        zorder: bool = False,
+        zorder_bits: int = 8,
     ) -> int:
         """OPTIMIZE: compact + cluster the table in one commit (the
         Delta OPTIMIZE ... ZORDER BY shape, single-dimension form).
@@ -458,13 +502,28 @@ class TxnTable:
         history records the rewrite, time travel still reaches the
         pre-optimize layout. ``target_files`` bounds the output file
         count (default: the session's shuffle parallelism).
+
+        ``zorder=True`` with >=2 ``cluster_by`` columns clusters on the
+        interleaved Z-curve key instead of lexicographic order (the
+        full ``OPTIMIZE ... ZORDER BY`` shape): per-file min/max boxes
+        become hyper-cells, so predicates on the SECOND and later
+        clustered columns prune files too — lexicographic range
+        clustering only ever prunes on the leading column.
         """
         snap = self.snapshot()
         df = self.read()
         n = target_files or int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        if cluster_by:
+        if cluster_by and zorder and len(cluster_by) > 1:
+            z = self._zorder_key(df, cluster_by, zorder_bits)
+            out = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n, F_col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
             out = df.repartitionByRange(n, *[F_col(c) for c in cluster_by])
             out = out.sortWithinPartitions(*cluster_by)
         else:

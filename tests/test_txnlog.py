@@ -316,3 +316,38 @@ def test_schema_evolution_add_column_backfills_null(spark, tmp_path):
     old = t.read(0)
     assert old.columns == ["id", "v"]
     assert old.count() == 1
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    # 64x64 grid: appended files span the full range of both keys, so
+    # nothing prunes. Lexicographic clustering on (x, y) prunes x but
+    # can never prune y; the Z-curve layout must prune BOTH.
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") / 64).cast("long") % 64).alias("y"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    zt = TxnTable(spark, str(tmp_path / "zt"))
+    zt.create(grid.repartition(4))
+    zt.optimize(cluster_by=["x", "y"], zorder=True, target_files=16, zorder_bits=6)
+
+    lt = TxnTable(spark, str(tmp_path / "lt"))
+    lt.create(grid.repartition(4))
+    lt.optimize(cluster_by=["x", "y"], target_files=16)
+
+    zfiles = zt.snapshot().files
+    sx = zt.files_scanned([("x", "=", 5)])
+    sy = zt.files_scanned([("y", "=", 9)])
+    assert len(sx) < len(zfiles), "z-order must prune on the leading column"
+    assert len(sy) < len(zfiles), "z-order must prune on the SECOND column"
+
+    # lexicographic layout: every file spans the full y range
+    sy_linear = lt.files_scanned([("y", "=", 9)])
+    assert len(sy) < len(sy_linear), "z-order must beat lexicographic on y"
+
+    # the rewrite is a pure layout change: same multiset of rows
+    a = sorted((r.x, r.y, r.payload) for r in zt.read().collect())
+    b = sorted((r.x, r.y, r.payload) for r in grid.collect())
+    assert a == b
+    # skipping stays an optimization, not a filter: reads agree
+    assert zt.read(where=[("y", "=", 9)]).count() == 64
