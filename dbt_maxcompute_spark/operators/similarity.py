@@ -300,3 +300,78 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ + ADC search with exact re-rank (scale path #3)
+# ---------------------------------------------------------------------------
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    cand_mult: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization ANN: encode the corpus once into m-byte PQ
+    codes, score candidates by asymmetric distance (query LUT x codes),
+    keep ``cand_mult*k`` per query, then EXACT-cosine re-rank only the
+    candidates.
+
+    100 TB shape — the point of PQ here is what moves through the
+    wide stages:
+
+    * the approx-scoring pass touches (id, m ints) per corpus row —
+      dim floats never enter it; the per-query top-candidates shuffle
+      carries codes, not vectors;
+    * the codebook is ks*dim floats (metadata) embedded in the plan;
+    * exact re-rank fetches vectors for candidate ids only, via a
+      broadcast semi-side join — the corpus is never shuffled.
+
+    Output schema matches brute_force_topk (query_id, neighbor_id,
+    rank, cosine) with the same deterministic tiebreaks; recall is
+    probabilistic (tuned by m/ks/cand_mult), precision is exact on the
+    candidate set because of the re-rank.
+    """
+    from pyspark.sql import Window as W
+
+    from dbt_maxcompute_spark.operators import quantize
+
+    cb = quantize.pq_codebook(corpus, id_col, vec_col, m=m, ks=ks, seed=seed)
+
+    coded = quantize.pq_encode(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        cb,
+    ).drop("__cv")
+    q = quantize.pq_lut(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+        cb,
+    )
+    scored = (
+        coded.join(F.broadcast(q))  # cartesian with broadcast side: no corpus shuffle
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__approx", quantize.pq_adc_score(F.col("__lut"), F.col("__codes")))
+    )
+    win = W.partitionBy("query_id").orderBy(F.col("__approx").desc(), F.col("neighbor_id"))
+    cand = (
+        scored.withColumn("__r", F.row_number().over(win))
+        .filter(F.col("__r") <= cand_mult * k)
+        .select("query_id", "neighbor_id", "__qv")
+    )
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    reranked = vecs.join(F.broadcast(cand), "neighbor_id").withColumn(
+        "cosine", cosine_expr(F.col("__qv"), F.col("__cv"))
+    )
+    win2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(win2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )

@@ -342,6 +342,55 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
 """
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization ANN (Jegou et al., TPAMI 2011): corpus
+    # encoded once into 8 subspace codes (m ints instead of 64 floats —
+    # the approx-scoring pass never touches vectors), ADC-scored
+    # against the query LUT, then exact-cosine re-rank of the
+    # cand_mult*k survivors. Same bounded-error driver contract as
+    # IVF: per query a full top-k whose recall against the in-engine
+    # exact brute force clears a pinned floor. Deterministic: xxhash64
+    # codebook sample, first-match argmin code ties, fixed re-rank
+    # tiebreaks. Measured per-query hits at m=8/ks=32/cand_mult=24 are
+    # >=6/10 at sf0.001, sf0.01 AND sf0.1, so the 0.5 floor holds with
+    # margin on every fixture.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    k = 10
+    pq = similarity.pq_topk(
+        emb, queries, "vec_id", "embedding", k=k, m=8, ks=32, cand_mult=24
+    )
+    brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
+    hits = (
+        pq.join(
+            brute.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        pq.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce("__hits", F.lit(0)) >= F.lit(int(0.5 * k))).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_PQ = """
+SELECT vec_id AS query_id,
+       CAST(10 AS BIGINT) AS n_results,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+"""
+
+
 def q_emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hyperplane-LSH near-dup pairs at the operator's REAL operating
     # point — near-identical vectors (cosine >= 0.98) — with a HARD
@@ -855,6 +904,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_brute_force_cosine": q_ann_brute_force,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_pq_topk": q_ann_pq,
     "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
     "emb_cosine_exact_pairs": q_emb_cosine_exact_pairs,
     "pack_sequences": q_pack_sequences,
@@ -884,6 +934,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH_DEDUP,
     "dedup_simhash_pairs": ORACLE_SIMHASH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "ann_pq_topk": ORACLE_ANN_PQ,
     "emb_cosine_dup_pairs": ORACLE_EMB_DUP,
     "ann_brute_force_cosine": ORACLE_ANN_BRUTE,
     "emb_cosine_exact_pairs": ORACLE_EMB_EXACT,
