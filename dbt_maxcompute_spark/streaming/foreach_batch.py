@@ -54,3 +54,39 @@ def stream_into_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_txn_table(
+    stream: DataFrame,
+    table,
+    app_id: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """EXACTLY-ONCE streaming append into a transaction-log table.
+
+    Each micro-batch commits through
+    :meth:`TxnTable.idempotent_append` with a ``txn`` marker
+    ``(app_id, batch_id)`` recorded in the log (the Delta-paper txn
+    action).  Plain foreachBatch append is at-least-once: a batch can
+    be re-delivered after a driver retry, a checkpoint replay, or a
+    full re-run with a lost checkpoint.  Here the re-delivered batch
+    finds its batch id already in the table's idempotence ledger and
+    lands ZERO rows — duplicates are impossible as long as ``app_id``
+    names the logical stream (Delta's contract: same app id + same
+    batch id => same data).
+
+    ``table`` must be an existing :class:`TxnTable` (create it with
+    the stream's schema first); the ledger survives log checkpoints
+    and is visible to every concurrent writer through the log itself.
+    """
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        table.idempotent_append(batch, app_id, batch_id)
+
+    writer = stream.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

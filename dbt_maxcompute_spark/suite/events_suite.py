@@ -411,6 +411,73 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACTLY-ONCE streaming ingestion into a transaction-log table,
+    # proven the hard way: the same bounded stream (two micro-batches)
+    # is drained TWICE, the second time with a FRESH checkpoint — the
+    # worst redelivery case, every batch re-delivered from scratch.
+    # Each micro-batch commits with a Delta-style txn marker
+    # (app_id, batch_id); the second run finds its batch ids already in
+    # the table's idempotence ledger and lands zero rows. The final
+    # rollup must equal the single-copy batch oracle — plain foreachBatch
+    # append would double every count.
+    import glob
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from dbt_maxcompute_spark.streaming import foreach_batch as fb
+    from dbt_maxcompute_spark.streaming import windows as sw
+    from dbt_maxcompute_spark.suite.extras2_suite import _bucket_warehouse
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    ev = load_table(spark, sf_dir, "events")
+
+    d = os.path.join(_bucket_warehouse(sf_dir), "stream_events_txn_src")
+    if not os.path.isdir(d) or len(glob.glob(os.path.join(d, "*.parquet"))) != 2:
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        now = _time.time()
+        for name, cond, mt in (
+            ("a_even.parquet", F.col("event_id") % 2 == 0, now - 200),
+            ("b_odd.parquet", F.col("event_id") % 2 == 1, now - 100),
+        ):
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+            ev.filter(cond).coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(d, name))
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(os.path.join(d, name), (mt, mt))
+
+    tpath = os.path.join(_bucket_warehouse(sf_dir), "stream_txn_table")
+    shutil.rmtree(tpath, ignore_errors=True)
+    stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
+    table = TxnTable(spark, tpath)
+    table.create(spark.createDataFrame([], stream.schema))
+
+    for _run in range(2):  # second run: fresh checkpoint, full redelivery
+        ckpt = os.path.join(_bucket_warehouse(sf_dir), f"ckpt_{uuid.uuid4().hex}")
+        q = fb.stream_into_txn_table(
+            sw.read_events_stream(spark, d, max_files_per_trigger=1),
+            table,
+            app_id="events_ingest",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return (
+        table.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_tumbling_hourly": q_events_tumbling_hourly,
     "events_sliding_windows": q_events_sliding,
@@ -420,6 +487,7 @@ QUERIES = {
     "stream_exactly_once_dedup": q_stream_exactly_once_dedup,
     "stream_late_data_drop": q_stream_late_data_drop,
     "stream_interval_join": q_stream_interval_join,
+    "stream_txn_exactly_once": q_stream_txn_exactly_once,
 }
 
 ORACLES = {
@@ -437,4 +505,7 @@ ORACLES = {
     # the streaming interval join's drained output answers to the plain
     # batch interval join — cross-batch join-state correctness IS the claim
     "stream_interval_join": ORACLE_INTERVAL_JOIN,
+    # double-drained stream with redelivered batches must equal the
+    # single-copy rollup: the txn ledger IS the exactly-once claim
+    "stream_txn_exactly_once": ORACLE_STREAM_DEDUP,
 }

@@ -64,6 +64,11 @@ class Snapshot:
     # "max": {col: v}, "nullCount": {col: n}}}. Missing for files
     # written before stats existed — those never prune.
     stats: dict[str, dict] = None  # type: ignore[assignment]
+    # Delta-paper ``txn`` actions: highest committed batch id per
+    # writer application — the idempotence ledger that makes streaming
+    # foreachBatch appends exactly-once (a replayed micro-batch sees
+    # its own batch id already recorded and skips).
+    app_versions: dict[str, int] = None  # type: ignore[assignment]
 
 
 def _footer_stats(full_path: str) -> dict:
@@ -216,6 +221,7 @@ class TxnTable:
         start = 0
         files: dict[str, dict | None] = {}
         schema_json = None
+        app_versions: dict[str, int] = {}
         for cv in sorted(vs, reverse=True):
             cp = self._checkpoint_path(cv)
             if cv <= v and os.path.exists(cp):
@@ -224,6 +230,7 @@ class TxnTable:
                 cp_stats = state.get("stats") or {}
                 files = {f: cp_stats.get(f) for f in state["files"]}
                 schema_json = state.get("schema_json")
+                app_versions = dict(state.get("app_versions") or {})
                 start = cv + 1
                 break
         for ev in vs:
@@ -237,11 +244,17 @@ class TxnTable:
                 elif "remove" in a:
                     files.pop(a["remove"], None)
             schema_json = entry.get("schema_json") or schema_json
+            txn = entry.get("txn")
+            if txn:
+                prev = app_versions.get(txn["app_id"])
+                if prev is None or txn["batch_id"] > prev:
+                    app_versions[txn["app_id"]] = txn["batch_id"]
         return Snapshot(
             version=v,
             files=list(files),
             schema_json=schema_json,
             stats={f: s for f, s in files.items() if s},
+            app_versions=app_versions,
         )
 
     def _commit(
@@ -249,8 +262,11 @@ class TxnTable:
         expected_version: int,
         actions: list[dict[str, Any]],
         schema_json: str | None,
+        txn: dict[str, Any] | None = None,
     ) -> int:
-        """Atomic rename-if-absent commit of ``expected_version``."""
+        """Atomic rename-if-absent commit of ``expected_version``.
+        ``txn`` is the Delta-paper idempotence marker
+        ``{"app_id": str, "batch_id": int}`` recorded with the commit."""
         os.makedirs(self.log_path, exist_ok=True)
         entry = {
             "version": expected_version,
@@ -258,6 +274,8 @@ class TxnTable:
             "schema_json": schema_json,
             "committed_at": time.time(),
         }
+        if txn is not None:
+            entry["txn"] = {"app_id": str(txn["app_id"]), "batch_id": int(txn["batch_id"])}
         tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -281,6 +299,8 @@ class TxnTable:
                         "files": snap.files,
                         "schema_json": snap.schema_json,
                         "stats": snap.stats,
+                        # the idempotence ledger survives log collapse
+                        "app_versions": snap.app_versions,
                     },
                     fh,
                 )
@@ -326,10 +346,38 @@ class TxnTable:
         adds = self._stage_files(df)
         return self._commit(0, adds, df.schema.json())
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, txn: dict[str, Any] | None = None) -> int:
         base = self.latest_version()
         adds = self._stage_files(df)
-        return self._commit(base + 1, adds, df.schema.json())
+        return self._commit(base + 1, adds, df.schema.json(), txn=txn)
+
+    def last_batch(self, app_id: str) -> int | None:
+        """Highest batch id committed by ``app_id`` (None if never) —
+        the read side of the exactly-once streaming contract."""
+        return self.snapshot().app_versions.get(str(app_id))
+
+    def idempotent_append(self, df: DataFrame, app_id: str, batch_id: int) -> bool:
+        """Exactly-once foreachBatch append (Delta ``txn`` action):
+        skip if ``batch_id`` was already committed by ``app_id`` —
+        a replayed micro-batch (driver retry, checkpoint replay, or a
+        re-run of the whole stream under the same app id) lands zero
+        duplicate rows.  A :class:`CommitConflict` against a concurrent
+        writer re-reads the ledger and retries, re-checking idempotence
+        each time so the retry itself cannot double-append.
+
+        Returns True if the batch was appended, False if skipped."""
+        for _ in range(16):
+            last = self.last_batch(app_id)
+            if last is not None and batch_id <= last:
+                return False
+            try:
+                self.append(df, txn={"app_id": app_id, "batch_id": batch_id})
+                return True
+            except CommitConflict:
+                continue  # re-read ledger, re-check, retry
+        raise CommitConflict(
+            f"idempotent_append lost {16} consecutive commit races at {self.log_path}"
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         base_snap = self.snapshot()

@@ -351,3 +351,37 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
     assert a == b
     # skipping stays an optimization, not a filter: reads agree
     assert zt.read(where=[("y", "=", 9)]).count() == 64
+
+
+def test_idempotent_append_ledger(spark, t):
+    t.create(_r(spark, 0, 10))
+    assert t.last_batch("app") is None
+    assert t.idempotent_append(_r(spark, 10, 20), "app", 0) is True
+    assert t.idempotent_append(_r(spark, 10, 20), "app", 0) is False  # replay: no-op
+    assert t.read().count() == 20
+    assert t.last_batch("app") == 0
+    # an older batch id is also a replay
+    assert t.idempotent_append(_r(spark, 90, 95), "app", 0) is False
+    # a NEW batch id lands; other app ids have independent ledgers
+    assert t.idempotent_append(_r(spark, 20, 25), "app", 1) is True
+    assert t.idempotent_append(_r(spark, 25, 30), "other", 0) is True
+    assert t.read().count() == 30
+    assert t.last_batch("app") == 1 and t.last_batch("other") == 0
+
+
+def test_app_versions_survive_checkpoint_collapse(spark, t):
+    # drive past CHECKPOINT_EVERY commits, then delete the pre-checkpoint
+    # log entries: the ledger must still answer from the checkpoint
+    from dbt_maxcompute_spark.txnlog import CHECKPOINT_EVERY
+
+    t.create(_r(spark, 0, 5))
+    for b in range(CHECKPOINT_EVERY + 2):
+        t.idempotent_append(_r(spark, 100 + b, 101 + b), "ingest", b)
+    snap = t.snapshot()
+    assert snap.app_versions["ingest"] == CHECKPOINT_EVERY + 1
+    cp = t._checkpoint_path(CHECKPOINT_EVERY)
+    assert os.path.exists(cp)
+    for v in range(CHECKPOINT_EVERY):
+        os.unlink(t._entry_path(v))
+    assert t.last_batch("ingest") == CHECKPOINT_EVERY + 1
+    assert t.idempotent_append(_r(spark, 0, 1), "ingest", 3) is False
