@@ -24,8 +24,14 @@ from bench_diff import load_bench_line  # noqa: E402  (same directory)
 # same queries lands within ~10% of these — the cost is triggers +
 # state store + checkpoint commits, not rows)
 FLOORS = {
-    "stream_exactly_once_dedup": 4.0,
-    "stream_tumbling_hourly": 1.5,
+    # ~90% of the minimum observed sf0.001 run of each query: at that
+    # scale the wall time is triggers + state store + checkpoint
+    # commits, not rows
+    "stream_exactly_once_dedup": 4.5,
+    "stream_tumbling_hourly": 1.3,
+    "stream_interval_join": 10.0,
+    "stream_late_data_drop": 13.5,
+    "stream_txn_exactly_once": 2.7,
 }
 
 
