@@ -175,6 +175,39 @@ def minhash_signature_fast(sh: Column, num_hashes: int = 32) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, bh) LSH band rows for every document — the compact
+    form that enters bucket joins (ids and two ints; shingle arrays
+    never leave the signature projection). In a production crawl loop
+    this is the table you PERSIST between batches: the store side of
+    incremental near-dup dedup is a read, not a recompute."""
+    r = num_hashes // bands
+    sh = shingles(tokens(F.col(text_col)), shingle_n)
+    sig = minhash_signature(sh, num_hashes)
+    sigs = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    return sigs.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice(F.col("__sig"), b * r + 1, r)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -196,32 +229,16 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into bands")
-    r = num_hashes // bands
     src = spread(df)
     sh = shingles(tokens(F.col(text_col)), shingle_n)
-    sig = minhash_signature(sh, num_hashes)
 
     # Band rows carry ONLY (id, band, bh): the shingle sets (wide
     # arrays) never enter the bucket shuffle — they re-attach to the
     # deduped candidate pairs at the end. The signature is projected
-    # to a named column FIRST so the per-band slices under the explode
-    # reference it as an attribute instead of re-inlining the fold
-    # `bands` times.
-    sigs = src.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
-    banded = sigs.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.slice(F.col("__sig"), b * r + 1, r)).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # to a named column FIRST (inside banded_signatures) so the
+    # per-band slices under the explode reference it as an attribute
+    # instead of re-inlining the fold `bands` times.
+    banded = banded_signatures(src, id_col, text_col, num_hashes, bands, shingle_n)
 
     # bucket-size cap: degenerate buckets — boilerplate-identical docs
     # — would go quadratic at scale; they're quarantined, not joined.
@@ -313,6 +330,85 @@ def dedup_against_store(
         store_keys.select("__h").distinct(), "__h", "left_anti"
     ).join(store_keys.select("__fp").distinct(), "__fp", "left_anti")
     return out.drop("__h", "__fp")
+
+
+def lsh_dedup_against_store(
+    new_df: DataFrame,
+    store_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: drop new documents whose verified
+    shingle-Jaccard against ANY store document clears the threshold —
+    the LSH extension of :func:`dedup_against_store` (which only
+    catches exact/bag-identical text).
+
+    Shape mirrors :func:`minhash_lsh_pairs`, but the bucket join is
+    batch x store instead of a self-join: band rows carry (id, band,
+    bh) only, oversized store buckets are quarantined via hash-agg +
+    broadcast anti-join, and exact-Jaccard verification shingles only
+    candidate docs. Zero false drops by construction (a band-hash
+    collision is discarded by verification); recall at the threshold is
+    the standard LSH S-curve — identical texts are caught
+    structurally, every band matching.
+
+    100 TB loop: persist ``banded_signatures(store)`` between crawls —
+    history is never re-shingled; each batch computes its own bands,
+    joins the stored table, and appends its survivors' band rows.
+    """
+    nb = banded_signatures(spread(new_df), id_col, text_col, num_hashes, bands, shingle_n)
+    sb = banded_signatures(spread(store_df), id_col, text_col, num_hashes, bands, shingle_n)
+    sb = sb.persist()
+    oversized = (
+        sb.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select("band", "bh")
+    )
+    sb_capped = sb.join(F.broadcast(oversized), ["band", "bh"], "left_anti")
+    nb_capped = nb.join(F.broadcast(oversized), ["band", "bh"], "left_anti")
+
+    cand = (
+        nb_capped.select("band", "bh", F.col("__id").alias("new_id"))
+        .join(
+            sb_capped.select("band", "bh", F.col("__id").alias("store_id")),
+            ["band", "bh"],
+        )
+        .select("new_id", "store_id")
+        .dropDuplicates(["new_id", "store_id"])
+    )
+    cand = cand.persist()
+
+    sh = shingles(tokens(F.col(text_col)), shingle_n)
+    new_toks = (
+        spread(new_df)
+        .join(cand.select(F.col("new_id").alias("__cid")).distinct(),
+              F.col(id_col) == F.col("__cid"), "left_semi")
+        .select(F.col(id_col).alias("new_id"), F.array_distinct(sh).alias("tok_n"))
+    )
+    store_toks = (
+        spread(store_df)
+        .join(cand.select(F.col("store_id").alias("__cid")).distinct(),
+              F.col(id_col) == F.col("__cid"), "left_semi")
+        .select(F.col(id_col).alias("store_id"), F.array_distinct(sh).alias("tok_s"))
+    )
+    jac = F.size(F.array_intersect("tok_n", "tok_s")) / F.size(
+        F.array_union("tok_n", "tok_s")
+    )
+    dup_new = (
+        cand.join(new_toks, "new_id")
+        .join(store_toks, "store_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dup_new, id_col, "left_anti")
 
 
 def minhash_lsh_dedup(

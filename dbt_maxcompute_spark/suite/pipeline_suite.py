@@ -263,6 +263,44 @@ WHERE bit_count(xor(a.f, b.f)) <= 3
 # ---------------------------------------------------------------------------
 
 
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-batch NEAR-dup dedup against a historical store, with a
+    # HARD oracle via structural outcomes: the batch is 30 synthetic
+    # novel docs (tokens like 'zqa7' that appear nowhere in the
+    # fixture, so max store-Jaccard is 0) plus copies of store docs
+    # (identical text, new ids — identical minhash signatures land in
+    # the same bucket of EVERY band, and verification scores exactly
+    # 1.0, so every copy is dropped structurally, not probabilistically;
+    # copies are taken from docs with >100 chars so the shingle set is
+    # never empty). Survivors are therefore EXACTLY the novels —
+    # recall at the threshold needs no floor here because both outcome
+    # classes are pinned by construction, while the whole LSH pipeline
+    # (banding, batch x store bucket join, bucket cap, exact-Jaccard
+    # verify, anti-join) executes for real.
+    from dbt_maxcompute_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = docs.filter(F.col("doc_id") < 300)
+    copies = store.filter(
+        (F.col("doc_id") % 10 == 0) & F.col("text").isNotNull() & (F.length("text") > 100)
+    ).select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    novels = spark.range(30).select(
+        (F.col("id") + F.lit(2_000_000)).alias("doc_id"),
+        F.format_string("zqa%d xwb%d yvc%d wud%d", "id", "id", "id", "id").alias("text"),
+    )
+    batch = copies.unionByName(novels)
+    kept = dedup.lsh_dedup_against_store(
+        batch, store, "doc_id", "text", jaccard_threshold=0.5
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+ORACLE_INCR_LSH = """
+SELECT CAST(2000000 + i AS BIGINT) AS doc_id
+FROM range(30) t(i) ORDER BY doc_id
+"""
+
+
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -905,6 +943,7 @@ QUERIES = {
     "ann_brute_force_cosine": q_ann_brute_force,
     "ann_ivf_topk": q_ann_ivf,
     "ann_pq_topk": q_ann_pq,
+    "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
     "emb_cosine_exact_pairs": q_emb_cosine_exact_pairs,
     "pack_sequences": q_pack_sequences,
@@ -935,6 +974,7 @@ ORACLES = {
     "dedup_simhash_pairs": ORACLE_SIMHASH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_pq_topk": ORACLE_ANN_PQ,
+    "dedup_incremental_lsh": ORACLE_INCR_LSH,
     "emb_cosine_dup_pairs": ORACLE_EMB_DUP,
     "ann_brute_force_cosine": ORACLE_ANN_BRUTE,
     "emb_cosine_exact_pairs": ORACLE_EMB_EXACT,

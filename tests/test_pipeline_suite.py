@@ -295,3 +295,36 @@ def test_training_ops_empty_input(spark):
     assert training.pack_sequences(empty, "doc_id", "text").count() == 0
     assert training.repetition_profile(empty, "doc_id", "text").count() == 0
     assert training.training_order(empty, "doc_id").count() == 0
+
+
+def test_lsh_dedup_against_store_near_and_exact(spark):
+    # store: two docs; batch: an exact copy (jaccard 1.0 -> dropped), a
+    # one-token append over a long doc (high jaccard -> dropped), a
+    # half-overlap doc (jaccard < 0.5 -> kept), and a disjoint doc
+    # (jaccard 0 -> kept). Verification makes the drop decision exact.
+    base = " ".join(f"tok{i}" for i in range(40))
+    store = spark.createDataFrame(
+        [(1, base), (2, "completely different words here indeed truly")],
+        "doc_id long, text string",
+    )
+    near = base + " extratok"          # shingle jaccard ~ 38/41 >> 0.5
+    half = " ".join(f"tok{i}" for i in range(20)) + " " + " ".join(
+        f"new{i}" for i in range(20)
+    )                                   # shares half the tokens, far fewer shingles
+    batch = spark.createDataFrame(
+        [(10, base), (11, near), (12, half), (13, "zq xw yv wu")],
+        "doc_id long, text string",
+    )
+    kept = dedup.lsh_dedup_against_store(
+        batch, store, "doc_id", "text", jaccard_threshold=0.5
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [12, 13]
+
+
+def test_lsh_dedup_against_store_empty_candidates(spark):
+    # disjoint vocabularies: no bucket collisions survive verification,
+    # the whole batch is kept
+    store = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+    batch = spark.createDataFrame([(9, "epsilon zeta eta theta")], "doc_id long, text string")
+    kept = dedup.lsh_dedup_against_store(batch, store, "doc_id", "text")
+    assert [r.doc_id for r in kept.collect()] == [9]
