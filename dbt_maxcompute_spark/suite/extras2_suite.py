@@ -772,6 +772,55 @@ FROM g WHERE y = 3
 """
 
 
+def q_txn_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Row-level DELETE via deletion vectors: the commit writes a
+    # (file, pos) vector, NO data file is rewritten — files_unchanged /
+    # n_add / n_remove are log-derived observables the oracle pins, the
+    # post-delete aggregate is value-hash-checked against plain SQL,
+    # and time travel to the pre-delete version still counts every row.
+    import os
+    import shutil
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = os.path.join(_bucket_warehouse(sf_dir), "txn_dv_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnTable(spark, path)
+    t.create(orders.repartition(4))
+    files_before = sorted(t.snapshot().files)
+    v = t.delete_where_dv("o_totalprice > 300000")
+    files_unchanged = sorted(t.snapshot().files) == files_before
+    last = t.history()[-1]
+    pre_delete_rows = t.read(version=v - 1).count()
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.lit(files_unchanged).alias("files_unchanged"),
+            F.lit(last["n_add"]).cast("long").alias("n_add"),
+            F.lit(last["n_remove"]).cast("long").alias("n_remove"),
+            F.lit(pre_delete_rows).cast("long").alias("pre_delete_rows"),
+            "n_rows",
+            "total_price",
+        )
+    )
+
+
+ORACLE_TXN_DV = """
+SELECT TRUE AS files_unchanged,
+       CAST(0 AS BIGINT) AS n_add,
+       CAST(0 AS BIGINT) AS n_remove,
+       (SELECT count(*) FROM orders) AS pre_delete_rows,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+"""
+
+
 def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Runtime bloom filtering, made explicit: lineitem rows are
     # prefiltered by a bloom bitmap built from the high-value orders'
@@ -832,6 +881,7 @@ QUERIES = {
     "txn_file_skipping": q_txn_file_skipping,
     "bloom_prefilter_join": q_bloom_prefilter_join,
     "txn_zorder_skipping": q_txn_zorder_skipping,
+    "txn_deletion_vectors": q_txn_deletion_vectors,
 }
 
 ORACLES: dict[str, str] = {
@@ -853,4 +903,5 @@ ORACLES: dict[str, str] = {
     "txn_file_skipping": ORACLE_TXN_SKIP,
     "bloom_prefilter_join": ORACLE_BLOOM_JOIN,
     "txn_zorder_skipping": ORACLE_TXN_ZORDER,
+    "txn_deletion_vectors": ORACLE_TXN_DV,
 }

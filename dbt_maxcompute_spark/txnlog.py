@@ -69,6 +69,11 @@ class Snapshot:
     # foreachBatch appends exactly-once (a replayed micro-batch sees
     # its own batch id already recorded and skips).
     app_versions: dict[str, int] = None  # type: ignore[assignment]
+    # Active deletion-vector store (a ``dv-<hex>`` parquet directory of
+    # (file, pos) rows): rows listed there are invisible to reads
+    # without their data files having been rewritten. None = no
+    # row-level deletes outstanding.
+    dv_file: str | None = None
 
 
 def _footer_stats(full_path: str) -> dict:
@@ -222,6 +227,7 @@ class TxnTable:
         files: dict[str, dict | None] = {}
         schema_json = None
         app_versions: dict[str, int] = {}
+        dv_file: str | None = None
         for cv in sorted(vs, reverse=True):
             cp = self._checkpoint_path(cv)
             if cv <= v and os.path.exists(cp):
@@ -231,6 +237,7 @@ class TxnTable:
                 files = {f: cp_stats.get(f) for f in state["files"]}
                 schema_json = state.get("schema_json")
                 app_versions = dict(state.get("app_versions") or {})
+                dv_file = state.get("dv_file")
                 start = cv + 1
                 break
         for ev in vs:
@@ -243,6 +250,10 @@ class TxnTable:
                     files[a["add"]] = a.get("stats")
                 elif "remove" in a:
                     files.pop(a["remove"], None)
+                elif "set_dv" in a:
+                    dv_file = a["set_dv"]
+                elif "clear_dv" in a:
+                    dv_file = None
             schema_json = entry.get("schema_json") or schema_json
             txn = entry.get("txn")
             if txn:
@@ -255,6 +266,7 @@ class TxnTable:
             schema_json=schema_json,
             stats={f: s for f, s in files.items() if s},
             app_versions=app_versions,
+            dv_file=dv_file,
         )
 
     def _commit(
@@ -301,6 +313,7 @@ class TxnTable:
                         "stats": snap.stats,
                         # the idempotence ledger survives log collapse
                         "app_versions": snap.app_versions,
+                        "dv_file": snap.dv_file,
                     },
                     fh,
                 )
@@ -383,7 +396,9 @@ class TxnTable:
         base_snap = self.snapshot()
         adds = self._stage_files(df)
         removes = [{"remove": f} for f in base_snap.files]
-        return self._commit(base_snap.version + 1, adds + removes, df.schema.json())
+        return self._commit(
+            base_snap.version + 1, adds + removes + [{"clear_dv": True}], df.schema.json()
+        )
 
     def overwrite_from(self, base_version: int, df: DataFrame) -> int:
         """Overwrite pinned to the snapshot the caller COMPUTED from.
@@ -399,7 +414,9 @@ class TxnTable:
         base_snap = self.snapshot(base_version)
         adds = self._stage_files(df)
         removes = [{"remove": f} for f in base_snap.files]
-        return self._commit(base_version + 1, adds + removes, df.schema.json())
+        return self._commit(
+            base_version + 1, adds + removes + [{"clear_dv": True}], df.schema.json()
+        )
 
     def delete_where(self, condition: str) -> int:
         """Copy-on-write delete: keep rows NOT matching ``condition``.
@@ -412,7 +429,9 @@ class TxnTable:
         keep = self.read().filter(f"NOT coalesce(({condition}), false)")
         adds = self._stage_files(keep)
         removes = [{"remove": f} for f in snap.files]
-        return self._commit(snap.version + 1, adds + removes, keep.schema.json())
+        return self._commit(
+            snap.version + 1, adds + removes + [{"clear_dv": True}], keep.schema.json()
+        )
 
     def read(
         self,
@@ -454,9 +473,73 @@ class TxnTable:
             df = self.spark.read.schema(schema).parquet(*paths)
         else:
             df = self.spark.read.parquet(*paths)
+        df = self._apply_dv(df, snap)
         for col, op, val in where or []:
             df = df.filter(_WHERE_OPS[op](df[col], val))
         return df
+
+    def _apply_dv(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Subtract deletion-vector rows: anti-join on the file source's
+        own (_metadata.file_path basename, _metadata.row_index) — rows
+        a DV names are invisible without their data file having been
+        rewritten. The DV is broadcast (row-level deletes are a sliver
+        of the table; per-file roaring bitmaps are the known extension
+        when they are not). File basenames are unique per table
+        (part-<hex>), so the basename is a stable join key."""
+        if not snap.dv_file:
+            return df
+        from pyspark.sql import functions as F
+
+        dv = self.spark.read.parquet(os.path.join(self.path, snap.dv_file))
+        cols = df.columns
+        tagged = df.withColumn(
+            "__dv_f",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__dv_p", F.col("_metadata.row_index"))
+        kept = tagged.join(
+            F.broadcast(
+                dv.select(F.col("file").alias("__dv_f"), F.col("pos").alias("__dv_p"))
+            ),
+            ["__dv_f", "__dv_p"],
+            "left_anti",
+        )
+        return kept.select(*cols)
+
+    def delete_where_dv(self, condition: str) -> int:
+        """Row-level DELETE via deletion vectors (Delta DV shape): no
+        data file is rewritten — the commit writes a (file, pos) store
+        naming the deleted rows and points the snapshot at it.  The new
+        store is the union of the previous DV and the newly matched
+        rows, so the log always has ONE active DV (the superseded store
+        becomes vacuumable).  At 100 TB this turns a 10-minute
+        copy-on-write rewrite of every touched file into a job bounded
+        by the matched rows; OPTIMIZE/overwrite materialize the
+        deletions and clear the vector."""
+        snap = self.snapshot()
+        if not snap.files:
+            return self._commit(snap.version + 1, [], snap.schema_json)
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        paths = [os.path.join(self.path, f) for f in snap.files]
+        if snap.schema_json:
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            raw = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            raw = self.spark.read.parquet(*paths)
+        matched = (
+            raw.filter(f"coalesce(({condition}), false)")
+            .select(
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        )
+        if snap.dv_file:
+            old = self.spark.read.parquet(os.path.join(self.path, snap.dv_file))
+            matched = matched.unionByName(old).dropDuplicates(["file", "pos"])
+        dv_name = f"dv-{uuid.uuid4().hex}"
+        matched.write.parquet(os.path.join(self.path, dv_name))
+        return self._commit(snap.version + 1, [{"set_dv": dv_name}], snap.schema_json)
 
     def files_scanned(
         self, where: list[tuple] | None = None, version: int | None = None
@@ -576,9 +659,13 @@ class TxnTable:
             out = out.sortWithinPartitions(*cluster_by)
         else:
             out = df.coalesce(max(1, n))
+        # reads were DV-aware, so the rewrite MATERIALIZES outstanding
+        # row-level deletes and the vector is cleared
         adds = self._stage_files(out)
         removes = [{"remove": f} for f in snap.files]
-        return self._commit(snap.version + 1, adds + removes, df.schema.json())
+        return self._commit(
+            snap.version + 1, adds + removes + [{"clear_dv": True}], df.schema.json()
+        )
 
     def vacuum(
         self, retain_versions: int = 1, retention_seconds: float = 3600.0
@@ -596,11 +683,28 @@ class TxnTable:
         latest = self.latest_version()
         horizon = max(0, latest - retain_versions + 1)
         live: set[str] = set()
+        live_dvs: set[str] = set()
         for v in range(horizon, latest + 1):
             if v in self._versions():
-                live.update(self.snapshot(v).files)
+                snap = self.snapshot(v)
+                live.update(snap.files)
+                if snap.dv_file:
+                    live_dvs.add(snap.dv_file)
         removed = []
         now = time.time()
+        import shutil as _shutil
+
+        for d in os.listdir(self.path):
+            if not d.startswith("dv-") or d in live_dvs:
+                continue
+            full = os.path.join(self.path, d)
+            try:
+                if now - os.path.getmtime(full) < retention_seconds:
+                    continue
+            except OSError:
+                continue
+            _shutil.rmtree(full, ignore_errors=True)
+            removed.append(d)
         for f in os.listdir(self.path):
             if not f.endswith(".parquet") or f in live:
                 continue

@@ -385,3 +385,53 @@ def test_app_versions_survive_checkpoint_collapse(spark, t):
         os.unlink(t._entry_path(v))
     assert t.last_batch("ingest") == CHECKPOINT_EVERY + 1
     assert t.idempotent_append(_r(spark, 0, 1), "ingest", 3) is False
+
+
+def test_deletion_vectors_row_level_delete(spark, t):
+    t.create(_r(spark, 0, 100).coalesce(2))
+    files_before = sorted(t.snapshot().files)
+    v1 = t.delete_where_dv("v >= 100")  # ids 50..99 (v = id*2)
+    assert sorted(r.id for r in t.read().collect()) == list(range(50))
+    # NO data file was rewritten: same file set, the commit only set a DV
+    assert sorted(t.snapshot().files) == files_before
+    hist = t.history()
+    assert hist[-1]["n_add"] == 0 and hist[-1]["n_remove"] == 0
+    # time travel: the pre-delete snapshot still sees every row
+    assert t.read(version=v1 - 1).count() == 100
+    # second DV delete unions with the first
+    t.delete_where_dv("id < 10")
+    assert sorted(r.id for r in t.read().collect()) == list(range(10, 50))
+    # deleting already-deleted rows is a no-op on the visible set
+    t.delete_where_dv("id >= 40")
+    assert sorted(r.id for r in t.read().collect()) == list(range(10, 40))
+
+
+def test_deletion_vectors_null_condition_keeps_row(spark, t):
+    df = spark.createDataFrame([(1, 5), (2, None), (3, 50)], "id bigint, v bigint")
+    t.create(df)
+    t.delete_where_dv("v > 10")
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_optimize_materializes_dv_and_vacuum_reclaims(spark, t):
+    t.create(_r(spark, 0, 60).coalesce(3))
+    t.delete_where_dv("id % 2 = 1")
+    snap = t.snapshot()
+    assert snap.dv_file is not None
+    t.optimize(target_files=2)
+    after = t.snapshot()
+    assert after.dv_file is None  # deletions materialized
+    assert sorted(r.id for r in t.read().collect()) == list(range(0, 60, 2))
+    # superseded DV store is reclaimable once out of retention
+    removed = t.vacuum(retain_versions=1, retention_seconds=0.0)
+    assert any(d.startswith("dv-") for d in removed)
+    # and the live table still reads
+    assert t.read().count() == 30
+
+
+def test_dv_with_data_skipping_where(spark, t):
+    # skipping stays an optimization with a DV active: where-reads agree
+    t.create(_r(spark, 0, 100).coalesce(4))
+    t.delete_where_dv("id >= 90")
+    got = sorted(r.id for r in t.read(where=[("id", ">=", 80)]).collect())
+    assert got == list(range(80, 90))
