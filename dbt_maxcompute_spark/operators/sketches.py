@@ -140,3 +140,36 @@ def heavy_hitters(
         .filter(F.col("cnt") >= F.lit(threshold))
         .withColumn("support", F.col("cnt") / F.lit(float(n_total)))
     )
+
+
+def mergeable_distinct_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    segment_col: str,
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-(group, segment) DataSketches HLL sketches — the STORABLE
+    form (a binary column). The 100 TB rollup pattern: sketch each
+    partition/day once at ingest, persist the sketches, and answer any
+    later cross-segment distinct question by UNIONING sketches instead
+    of rescanning raw data — the re-aggregation an incremental MV needs
+    for COUNT(DISTINCT), which plain additive rollups cannot express."""
+    return df.groupBy(*group_cols, segment_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Union stored per-segment sketches to per-group distinct
+    estimates. Fixed-size mergeable state: the shuffle carries one
+    fixed-register sketch per (group, segment), never the values; the
+    union adopts the stored sketches' lgConfigK."""
+    return sketches.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
+        F.sum("n_rows").alias("n_rows"),
+    )

@@ -384,6 +384,51 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The STORED-sketch rollup pattern: one DataSketches HLL sketch per
+    # (event_type, day) — the binary column a sketch MV persists at
+    # ingest — then cross-day distinct users per event_type answered by
+    # UNIONING the stored sketches, no raw-data rescan. This is the
+    # re-aggregation COUNT(DISTINCT) needs in an incremental MV, which
+    # additive rollups cannot express. Hash-checked surface: segment
+    # count, row count, exact distinct; the union estimate answers to
+    # the DataSketches error contract (deterministic for a fixed
+    # fixture; 3*rse at lgk=12 is ~4.9%, bound set at 6%).
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("day", F.to_date("ts"))
+    stored = sketches.mergeable_distinct_sketches(
+        ev, ["event_type"], "day", "user_id", lgk=12
+    )
+    merged = sketches.merge_distinct_sketches(stored, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_segments",
+            "n_rows",
+            "n_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_users"))
+                <= F.lit(0.06) * F.col("n_users")
+            ).alias("union_within_bounds"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SKETCH_MERGEABLE = """
+SELECT event_type,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_segments,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS union_within_bounds
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact oracle-checked companion to the HLL sketch above.
     ev = load_table(spark, sf_dir, "events")
@@ -568,6 +613,7 @@ QUERIES = {
     "sample_stratified_lang": q_sample_stratified_lang,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "sketch_distinct_users": q_sketch_distinct_users,
+    "sketch_mergeable_distinct": q_sketch_mergeable_distinct,
     "exact_distinct_users": q_exact_distinct_users,
     "sketch_value_quantiles": q_sketch_value_quantiles,
     "emb_quantize_int8": q_emb_quantize_int8,
@@ -588,6 +634,7 @@ ORACLES: dict[str, str] = {
     "events_funnel": ORACLE_FUNNEL,
     "emb_kmeans_profile": ORACLE_KMEANS,
     "sketch_distinct_users": ORACLE_SKETCH_DISTINCT,
+    "sketch_mergeable_distinct": ORACLE_SKETCH_MERGEABLE,
     "sketch_value_quantiles": ORACLE_SKETCH_QUANTILES,
     "sketch_heavy_hitters": ORACLE_HEAVY_HITTERS,
 }

@@ -93,3 +93,22 @@ def test_range_join_no_cartesian_no_range_condition(spark, sf_dir):
     df = temporal.range_join_binned(errors, clicks, "user_id", "ts", "click_ts", -300.0, 0.0)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_mergeable_sketches_union_equals_direct_estimate(spark):
+    # unioning per-segment sketches must estimate the same cardinality
+    # class as sketching the whole set directly — and exactly-known
+    # small sets are estimated exactly by DataSketches HLL
+    from pyspark.sql import functions as F
+
+    from dbt_maxcompute_spark.operators import sketches
+
+    df = spark.range(3000).selectExpr(
+        "'g' AS g", "id % 3 AS seg", "id % 500 AS v"
+    )
+    stored = sketches.mergeable_distinct_sketches(df, ["g"], "seg", "v")
+    assert stored.count() == 3  # one sketch per segment
+    merged = sketches.merge_distinct_sketches(stored, ["g"]).collect()[0]
+    assert merged["n_segments"] == 3 and merged["n_rows"] == 3000
+    # 500 distinct values: HLL at default lgk is exact in sparse mode
+    assert abs(merged["approx_distinct"] - 500) <= 15
