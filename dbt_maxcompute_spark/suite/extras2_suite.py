@@ -821,6 +821,75 @@ FROM orders WHERE NOT coalesce(o_totalprice > 300000, FALSE)
 """
 
 
+def q_txn_dv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # delete+insert expressed as deletion-vector + append in ONE
+    # commit: every pre-existing data file survives (files_kept), the
+    # commit removes nothing (n_remove = 0), and the visible state is
+    # exactly "target rows whose key isn't in the source, plus the
+    # source" — the SQL the oracle runs. Updated keys take the source
+    # row; brand-new keys append; untouched rows never move on disk.
+    import os
+    import shutil
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mk = orders.agg(F.max("o_orderkey")).collect()[0][0]  # metadata-sized
+    path = os.path.join(_bucket_warehouse(sf_dir), "txn_dv_upsert")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnTable(spark, path)
+    t.create(orders.repartition(4))
+    files_before = set(t.snapshot().files)
+
+    updated = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice")
+    )
+    fresh = spark.range(1, 51).select(
+        (F.lit(mk) + F.col("id")).alias("o_orderkey"),
+        (F.col("id") * 10.0).alias("o_totalprice"),
+    )
+    t.delete_insert_dv(updated.unionByName(fresh), ["o_orderkey"])
+
+    files_kept = files_before <= set(t.snapshot().files)
+    last = t.history()[-1]
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.lit(files_kept).alias("files_kept"),
+            F.lit(last["n_remove"]).cast("long").alias("n_remove"),
+            "n_rows",
+            "total_price",
+        )
+    )
+
+
+ORACLE_TXN_DV_UPSERT = """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+), mk AS (
+  SELECT max(o_orderkey) AS m FROM orders
+), src AS (
+  SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice
+  FROM t WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT m + i, CAST(i * 10.0 AS DOUBLE) FROM mk, range(1, 51) r(i)
+), merged AS (
+  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT TRUE AS files_kept,
+       CAST(0 AS BIGINT) AS n_remove,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM merged
+"""
+
+
 def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Runtime bloom filtering, made explicit: lineitem rows are
     # prefiltered by a bloom bitmap built from the high-value orders'
@@ -882,6 +951,7 @@ QUERIES = {
     "bloom_prefilter_join": q_bloom_prefilter_join,
     "txn_zorder_skipping": q_txn_zorder_skipping,
     "txn_deletion_vectors": q_txn_deletion_vectors,
+    "txn_dv_upsert": q_txn_dv_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -904,4 +974,5 @@ ORACLES: dict[str, str] = {
     "bloom_prefilter_join": ORACLE_BLOOM_JOIN,
     "txn_zorder_skipping": ORACLE_TXN_ZORDER,
     "txn_deletion_vectors": ORACLE_TXN_DV,
+    "txn_dv_upsert": ORACLE_TXN_DV_UPSERT,
 }

@@ -435,3 +435,31 @@ def test_dv_with_data_skipping_where(spark, t):
     t.delete_where_dv("id >= 90")
     got = sorted(r.id for r in t.read(where=[("id", ">=", 80)]).collect())
     assert got == list(range(80, 90))
+
+
+def test_delete_insert_dv_upsert(spark, t):
+    t.create(_r(spark, 0, 50).coalesce(2))
+    files_before = set(t.snapshot().files)
+    src = spark.createDataFrame(
+        [(10, 999), (20, 888), (100, 111)], "id bigint, v bigint"
+    )
+    t.delete_insert_dv(src, ["id"])
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[10] == 999 and got[20] == 888 and got[100] == 111
+    assert got[0] == 0 and got[30] == 60  # untouched rows intact
+    assert len(got) == 51
+    # no pre-existing file was removed
+    assert files_before <= set(t.snapshot().files)
+    assert t.history()[-1]["n_remove"] == 0
+    # duplicate source keys rejected
+    import pytest as _pytest
+
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "id bigint, v bigint")
+    with _pytest.raises(ValueError):
+        t.delete_insert_dv(dup, ["id"])
+    # a second upsert touching already-upserted keys stays correct
+    t.delete_insert_dv(
+        spark.createDataFrame([(10, 1000)], "id bigint, v bigint"), ["id"]
+    )
+    got2 = {r.id: r.v for r in t.read().collect()}
+    assert got2[10] == 1000 and len(got2) == 51
