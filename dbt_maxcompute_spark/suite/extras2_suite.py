@@ -821,6 +821,68 @@ FROM orders WHERE NOT coalesce(o_totalprice > 300000, FALSE)
 """
 
 
+def q_skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit skew mitigation, end to end: lineitem joins a 3-row flag
+    # dim through a SALTED join (the join key becomes (flag, salt), so
+    # a hot flag spans 16 tasks instead of one), then aggregates by the
+    # 3-value flag through a SALTED two-phase aggregation (partials per
+    # (flag, salt), re-associated per flag — the merge shuffle is
+    # |keys|*salt tiny rows, and no single reducer owns a flag's whole
+    # data). Both transforms are exact, so the oracle is the plain
+    # join + group-by with no salt anywhere in it.
+    from dbt_maxcompute_spark.operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(28,4)")
+        .alias("rev"),
+    )
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        "l_returnflag string, flag_label string",
+    )
+    joined = skew.salted_join(li, dim, "l_returnflag", salt=16, salt_on="l_orderkey")
+    out = skew.salted_aggregate(
+        joined,
+        ["l_returnflag", "flag_label"],
+        [
+            ("rev", "sum", "__rev"),
+            ("rev", "count", "n_items"),
+            ("rev", "min", "__min_rev"),
+            ("rev", "max", "__max_rev"),
+        ],
+        salt=32,
+        salt_on="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        "flag_label",
+        F.col("__rev").cast("double").alias("revenue"),
+        "n_items",
+        F.col("__min_rev").cast("double").alias("min_rev"),
+        F.col("__max_rev").cast("double").alias("max_rev"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_SKEW_SALTED = """
+WITH dim(l_returnflag, flag_label) AS (
+  VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned')
+), li AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)) AS rev
+  FROM lineitem
+)
+SELECT li.l_returnflag, d.flag_label,
+       CAST(sum(rev) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(min(rev) AS DOUBLE) AS min_rev,
+       CAST(max(rev) AS DOUBLE) AS max_rev
+FROM li JOIN dim d USING (l_returnflag)
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 def q_txn_dv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delete+insert expressed as deletion-vector + append in ONE
     # commit: every pre-existing data file survives (files_kept), the
@@ -952,6 +1014,7 @@ QUERIES = {
     "txn_zorder_skipping": q_txn_zorder_skipping,
     "txn_deletion_vectors": q_txn_deletion_vectors,
     "txn_dv_upsert": q_txn_dv_upsert,
+    "skew_salted_rollup": q_skew_salted_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -975,4 +1038,5 @@ ORACLES: dict[str, str] = {
     "txn_zorder_skipping": ORACLE_TXN_ZORDER,
     "txn_deletion_vectors": ORACLE_TXN_DV,
     "txn_dv_upsert": ORACLE_TXN_DV_UPSERT,
+    "skew_salted_rollup": ORACLE_SKEW_SALTED,
 }
