@@ -821,6 +821,59 @@ FROM orders WHERE NOT coalesce(o_totalprice > 300000, FALSE)
 """
 
 
+def q_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema evolution through the log: a later append commits a WIDER
+    # schema (added column); the committed schema governs reads, so
+    # files written before the column backfill NULL — and time travel
+    # to the pre-evolution version still serves the ORIGINAL schema.
+    # The oracle predicts the blended aggregate (old rows NULL, new
+    # rows valued) and both schema observables.
+    import os
+    import shutil
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0)
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "priority_score", (F.col("o_orderkey") % 7).cast("long")
+    )
+    path = os.path.join(_bucket_warehouse(sf_dir), "txn_schema_evo")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxnTable(spark, path)
+    v0 = t.create(old)
+    t.append(new)
+
+    cur_cols = t.read().columns
+    old_cols = t.read(version=v0).columns
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("priority_score").alias("n_scored"),
+            F.sum("priority_score").alias("score_sum"),
+        )
+        .select(
+            F.lit("priority_score" in cur_cols).alias("evolved"),
+            F.lit("priority_score" not in old_cols).alias("time_travel_pre_schema"),
+            "n_rows",
+            "n_scored",
+            "score_sum",
+        )
+    )
+
+
+ORACLE_TXN_SCHEMA_EVO = """
+SELECT TRUE AS evolved,
+       TRUE AS time_travel_pre_schema,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_scored,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 7 END) AS BIGINT)
+         AS score_sum
+FROM orders
+"""
+
+
 def q_skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit skew mitigation, end to end: lineitem joins a 3-row flag
     # dim through a SALTED join (the join key becomes (flag, salt), so
@@ -1015,6 +1068,7 @@ QUERIES = {
     "txn_deletion_vectors": q_txn_deletion_vectors,
     "txn_dv_upsert": q_txn_dv_upsert,
     "skew_salted_rollup": q_skew_salted_rollup,
+    "txn_schema_evolution": q_txn_schema_evolution,
 }
 
 ORACLES: dict[str, str] = {
@@ -1039,4 +1093,5 @@ ORACLES: dict[str, str] = {
     "txn_deletion_vectors": ORACLE_TXN_DV,
     "txn_dv_upsert": ORACLE_TXN_DV_UPSERT,
     "skew_salted_rollup": ORACLE_SKEW_SALTED,
+    "txn_schema_evolution": ORACLE_TXN_SCHEMA_EVO,
 }

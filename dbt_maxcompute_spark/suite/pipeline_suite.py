@@ -737,6 +737,63 @@ FROM s ORDER BY doc_id, chunk_idx
 """
 
 
+def q_dedup_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Paragraph-level (chunk-level) dedup audit: non-overlapping
+    # 32-token chunks, digested, counted — the pass that finds
+    # boilerplate shared ACROSS documents that document-level dedup
+    # cannot see (licence headers, navigation chrome). Shuffle carries
+    # 32-hex digests, never chunk text; the affected-docs count comes
+    # from one broadcast semi-join of the flagged digests.
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", ta.tokens(F.col("text")).alias("toks"))
+    ex = base.select(
+        "doc_id", "toks",
+        F.explode(ta.chunk_starts(F.col("toks"), 32, 0)).alias("start"),
+    )
+    ch = ex.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", ta.chunk_tokens(F.col("toks"), F.col("start"), 32))).alias("d"),
+    )
+    ch = ch.persist()
+    per = ch.groupBy("d").agg(
+        F.count(F.lit(1)).alias("occ"), F.countDistinct("doc_id").alias("nd")
+    )
+    per = per.persist()
+    summary = per.agg(
+        F.sum("occ").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.count(F.when(F.col("occ") > 1, 1)).alias("n_dup_digests"),
+        F.count(F.when(F.col("nd") > 1, 1)).alias("n_cross_doc"),
+    )
+    affected = (
+        ch.join(F.broadcast(per.filter(F.col("nd") > 1).select("d")), "d", "left_semi")
+        .agg(F.countDistinct("doc_id").alias("n_docs_affected"))
+    )
+    return summary.join(F.broadcast(affected))
+
+
+ORACLE_SHARED_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), 32)) AS start
+  FROM t
+), c AS (
+  SELECT doc_id, md5(array_to_string(toks[start:start+31], ' ')) AS d FROM s
+), p AS (
+  SELECT d, count(*) AS occ, count(DISTINCT doc_id) AS nd FROM c GROUP BY d
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_chunks,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_distinct,
+       (SELECT CAST(count(*) AS BIGINT) FROM p WHERE occ > 1) AS n_dup_digests,
+       (SELECT CAST(count(*) AS BIGINT) FROM p WHERE nd > 1) AS n_cross_doc,
+       (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM c
+        WHERE d IN (SELECT d FROM p WHERE nd > 1)) AS n_docs_affected
+"""
+
+
 def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_maxcompute_spark.operators import sampling
 
@@ -944,6 +1001,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "ann_pq_topk": q_ann_pq,
     "dedup_incremental_lsh": q_dedup_incremental_lsh,
+    "dedup_shared_chunks": q_dedup_shared_chunks,
     "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
     "emb_cosine_exact_pairs": q_emb_cosine_exact_pairs,
     "pack_sequences": q_pack_sequences,
@@ -975,6 +1033,7 @@ ORACLES = {
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_pq_topk": ORACLE_ANN_PQ,
     "dedup_incremental_lsh": ORACLE_INCR_LSH,
+    "dedup_shared_chunks": ORACLE_SHARED_CHUNKS,
     "emb_cosine_dup_pairs": ORACLE_EMB_DUP,
     "ann_brute_force_cosine": ORACLE_ANN_BRUTE,
     "emb_cosine_exact_pairs": ORACLE_EMB_EXACT,
