@@ -44,17 +44,18 @@ _SUITES = [
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
 # FIRST 50 ``queries()`` entries only. After round 3 every query had a
 # green driver row at least once (r3 re-proved 50 incl. all former
-# failures); round 4 rotates FRESHNESS into the window: the nineteen new
+# failures); round 4 rotates FRESHNESS into the window: the twenty new
 # round-4 queries (log-committed transactional merge, MV auto-rewrite,
 # compaction+lifecycle probe, txn data skipping, exact heavy hitters,
 # mixture sampling, streaming late-data drop, stream-stream interval
 # join, bloom-prefilter join, Z-order skipping, PQ ANN, exactly-once
 # txn streaming sink, incremental LSH dedup, deletion vectors,
 # mergeable HLL sketches, DV upsert, salted skew rollup, txn schema
-# evolution, shared-chunk dedup) lead, followed by 31 of the 48 queries whose only
+# evolution, shared-chunk dedup, streaming session windows) lead,
+# followed by 30 of the 48 queries whose only
 # hard driver row is from round 1 — the relational / TPC-H / functions
 # families, least-changed code but the stalest signal. cartesian_regions
-# and tpch_q6/q7/q8/q9/q10/q11/q13/q14/q15/q16/q17/q18/q19/q20/q21/q22 (also r1-only) don't fit
+# and tpch_q5/q6/q7/q8/q9/q10/q11/q13/q14/q15/q16/q17/q18/q19/q20/q21/q22 (also r1-only) don't fit
 # the 50-slot window; they head round 5's rotation together with the
 # seventeen r2-last queries.
 _PRIORITY = [
@@ -71,6 +72,7 @@ _PRIORITY = [
     "skew_salted_rollup",
     "txn_schema_evolution",
     "dedup_shared_chunks",
+    "stream_session_windows",
     "txn_incremental_merge",
     "mv_auto_rewrite",
     "ops_compact_probe",
@@ -113,7 +115,6 @@ _PRIORITY = [
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_late_order_priority",
-    "tpch_q5_local_supplier_volume",
 ]
 
 

@@ -424,6 +424,89 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Native session_window sessionization executed by Structured
+    # Streaming, answering to the SAME batch oracle as the lag-based
+    # batch form. The corpus is split even/odd by event_id into two
+    # micro-batches, so a user's session arrives interleaved ACROSS
+    # batches and the session-window state must MERGE partial sessions
+    # — the stateful path a single-batch drain would never exercise.
+    # Watermark (3700 d) exceeds the corpus span so no mid-corpus row
+    # is ever late; a sentinel 3701 d past the end then pushes the
+    # committed watermark beyond every session for append-mode
+    # finality. session_seq is a batch post-ranking of the drained
+    # sink (ordering emitted rows is not a streaming concern).
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from dbt_maxcompute_spark.streaming import windows as sw
+    from dbt_maxcompute_spark.suite.extras2_suite import _bucket_warehouse
+
+    ev = load_table(spark, sf_dir, "events")
+    d = os.path.join(_bucket_warehouse(sf_dir), "stream_events_sess")
+    expected = ("a_even.parquet", "b_odd.parquet", "c_sentinel.parquet")
+    if not all(os.path.exists(os.path.join(d, f)) for f in expected):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        hi = ev.agg(F.max("ts")).collect()[0][0]  # metadata-sized
+        sentinel = spark.createDataFrame(
+            [(-1, hi + datetime.timedelta(days=3701), -1, "sentinel", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        now = _time.time()
+        for name, df, mt in (
+            ("a_even.parquet", ev.filter(F.col("event_id") % 2 == 0), now - 300),
+            ("b_odd.parquet", ev.filter(F.col("event_id") % 2 == 1), now - 200),
+            ("c_sentinel.parquet", sentinel, now - 100),
+        ):
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+            df.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(d, name))
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(os.path.join(d, name), (mt, mt))
+
+    stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "3700 days")
+        .groupBy(F.session_window("ts", "30 minutes").alias("__w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            _dsum(F.col("value")).alias("session_value"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end", "session_value")
+    )
+    name = "stream_sess_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    seq = W.partitionBy("user_id").orderBy("session_start")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .withColumn("session_seq", F.row_number().over(seq).cast("long"))
+        .select(
+            "user_id", "session_seq", "n_events",
+            "session_start", "session_end", "session_value",
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def q_stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXACTLY-ONCE streaming ingestion into a transaction-log table,
     # proven the hard way: the same bounded stream (two micro-batches)
@@ -501,6 +584,7 @@ QUERIES = {
     "stream_late_data_drop": q_stream_late_data_drop,
     "stream_interval_join": q_stream_interval_join,
     "stream_txn_exactly_once": q_stream_txn_exactly_once,
+    "stream_session_windows": q_stream_session_windows,
 }
 
 ORACLES = {
@@ -521,4 +605,7 @@ ORACLES = {
     # double-drained stream with redelivered batches must equal the
     # single-copy rollup: the txn ledger IS the exactly-once claim
     "stream_txn_exactly_once": ORACLE_STREAM_DEDUP,
+    # the native streaming session_window answers to the SAME lag-based
+    # batch sessionization oracle — gap semantics equality IS the claim
+    "stream_session_windows": ORACLE_SESSIONIZE,
 }
