@@ -26,11 +26,16 @@ Storage over Cloud Object Stores", VLDB 2020):
 - VACUUM deletes files no live snapshot references, bounded by a
   retention horizon.
 
-Deliberately file-granular copy-on-write (like Delta without deletion
-vectors): overwrite/delete rewrite whole files, reads are plain
-``spark.read.parquet(active_files)``. The DML planner's
-merge-as-rewrite output can land through ``overwrite`` to become
-atomic + time-travelable with no planner changes.
+Writes are file-granular copy-on-write by default (overwrite/delete
+rewrite whole files, reads are plain
+``spark.read.parquet(active_files)``), with DELETION VECTORS as the
+row-level fast path: ``delete_where_dv`` / ``delete_insert_dv`` commit
+a (file, pos) vector instead of rewriting data files, reads subtract
+it via the file source's own ``_metadata`` row positions, and full
+rewrites (OPTIMIZE / overwrite / COW delete) materialize and clear it.
+The DML planner's merge-as-rewrite output can land through
+``overwrite`` to become atomic + time-travelable with no planner
+changes.
 """
 
 from __future__ import annotations
@@ -391,6 +396,10 @@ class TxnTable:
         if dup:
             raise ValueError("delete_insert_dv: duplicate key tuples in source")
         snap = self.snapshot()
+        if not snap.files:
+            # nothing to match: the upsert degenerates to an append
+            adds = self._stage_files(source)
+            return self._commit(snap.version + 1, adds, source.schema.json())
         if snap.schema_json:
             schema = StructType.fromJson(json.loads(snap.schema_json))
             raw = self.spark.read.schema(schema).parquet(
@@ -543,7 +552,11 @@ class TxnTable:
             return df
         from pyspark.sql import functions as F
 
-        dv = self.spark.read.parquet(os.path.join(self.path, snap.dv_file))
+        # explicit schema: an all-rows-filtered DV write leaves a dir
+        # with no data files, which schema inference would reject
+        dv = self.spark.read.schema("file string, pos long").parquet(
+            os.path.join(self.path, snap.dv_file)
+        )
         cols = df.columns
         tagged = df.withColumn(
             "__dv_f",
@@ -588,7 +601,9 @@ class TxnTable:
             )
         )
         if snap.dv_file:
-            old = self.spark.read.parquet(os.path.join(self.path, snap.dv_file))
+            old = self.spark.read.schema("file string, pos long").parquet(
+                os.path.join(self.path, snap.dv_file)
+            )
             matched = matched.unionByName(old).dropDuplicates(["file", "pos"])
         dv_name = f"dv-{uuid.uuid4().hex}"
         matched.write.parquet(os.path.join(self.path, dv_name))

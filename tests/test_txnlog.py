@@ -204,9 +204,15 @@ _ROWS = st.lists(
 def _op_sequences(draw):
     ops = [("create", draw(_ROWS))]
     for _ in range(draw(st.integers(1, 5))):
-        kind = draw(st.sampled_from(["append", "overwrite", "delete"]))
-        if kind == "delete":
-            ops.append(("delete", draw(st.integers(0, 120))))
+        kind = draw(
+            st.sampled_from(["append", "overwrite", "delete", "delete_dv", "upsert_dv"])
+        )
+        if kind in ("delete", "delete_dv"):
+            ops.append((kind, draw(st.integers(0, 120))))
+        elif kind == "upsert_dv":
+            rows = draw(_ROWS)
+            dedup = list({r[0]: r for r in rows}.values())  # unique keys required
+            ops.append((kind, dedup))
         else:
             ops.append((kind, draw(_ROWS)))
     return ops
@@ -240,9 +246,16 @@ def test_log_replay_equals_model_at_every_version(
         elif kind == "overwrite":
             t.overwrite(df_of(arg))
             model.append(list(arg))
-        else:  # delete id < arg
+        elif kind == "delete":  # COW delete id < arg
             t.delete_where(f"id < {arg}")
             model.append([r for r in model[-1] if not (r[0] < arg)])
+        elif kind == "delete_dv":  # deletion-vector delete, same semantics
+            t.delete_where_dv(f"id < {arg}")
+            model.append([r for r in model[-1] if not (r[0] < arg)])
+        else:  # upsert_dv: DV out matched keys + append source
+            t.delete_insert_dv(df_of(arg), ["id"])
+            keys = {r[0] for r in arg}
+            model.append([r for r in model[-1] if r[0] not in keys] + list(arg))
 
     assert t.latest_version() == len(model) - 1
     for v, expect in enumerate(model):
