@@ -388,6 +388,11 @@ class TxnTable:
         the same log version, so readers see either the old state or
         the complete upsert. Duplicate key tuples in ``source`` are
         rejected (same contract as the planner's merge).
+
+        The source key set is broadcast for the match (an upsert batch
+        is small relative to the table by definition); a batch too big
+        to broadcast belongs on the copy-on-write merge path, where
+        rewriting files is the right trade anyway.
         """
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType

@@ -32,6 +32,7 @@ FLOORS = {
     "stream_interval_join": 10.0,
     "stream_late_data_drop": 13.5,
     "stream_txn_exactly_once": 2.7,
+    "stream_session_windows": 10.4,
 }
 
 
