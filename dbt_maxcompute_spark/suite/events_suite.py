@@ -507,6 +507,89 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _even_odd_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file stream layout of the events corpus (even event_ids
+    first, odds second) — with maxFilesPerTrigger=1 every consumer sees
+    two micro-batches, so cross-batch state is genuinely exercised."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from dbt_maxcompute_spark.suite.extras2_suite import _bucket_warehouse
+
+    ev = load_table(spark, sf_dir, "events")
+    d = os.path.join(_bucket_warehouse(sf_dir), "stream_events_txn_src")
+    if os.path.isdir(d) and len(glob.glob(os.path.join(d, "*.parquet"))) == 2:
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    now = _time.time()
+    for name, cond, mt in (
+        ("a_even.parquet", F.col("event_id") % 2 == 0, now - 200),
+        ("b_odd.parquet", F.col("event_id") % 2 == 1, now - 100),
+    ):
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        ev.filter(cond).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(d, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(os.path.join(d, name), (mt, mt))
+    return d
+
+
+def q_stream_custom_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The custom-stateful escape hatch (applyInPandasWithState),
+    # driver-checked: lifetime per-user running totals with an explicit
+    # (n, total) state schema, drained over TWO micro-batches so every
+    # user active in both has state carried and UPDATED across the
+    # batch boundary. Update mode emits a row per (user, batch); the
+    # final total per user is the emission with the highest n_events
+    # (monotone within a user), and it must equal the plain batch
+    # group-by — a state bug (lost carry, double count) breaks the
+    # hash. Python-side float summation is rounded to 6 decimals on
+    # both sides, far above float64 accumulation error at this scale.
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401 (doc)
+
+    from dbt_maxcompute_spark.streaming import stateful
+    from dbt_maxcompute_spark.streaming import windows as sw
+
+    d = _even_odd_stream_dir(spark, sf_dir)
+    stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
+    totals = stateful.user_running_totals(stream)
+    name = "stream_state_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = F.max(F.struct("n_events", "total_value")).alias("__f")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("__f.n_events").alias("n_events"),
+            F.col("__f.total_value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CUSTOM_STATE = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXACTLY-ONCE streaming ingestion into a transaction-log table,
     # proven the hard way: the same bounded stream (two micro-batches)
@@ -517,10 +600,8 @@ def q_stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the table's idempotence ledger and lands zero rows. The final
     # rollup must equal the single-copy batch oracle — plain foreachBatch
     # append would double every count.
-    import glob
     import os
     import shutil
-    import time as _time
     import uuid
 
     from dbt_maxcompute_spark.streaming import foreach_batch as fb
@@ -528,24 +609,7 @@ def q_stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_maxcompute_spark.suite.extras2_suite import _bucket_warehouse
     from dbt_maxcompute_spark.txnlog import TxnTable
 
-    ev = load_table(spark, sf_dir, "events")
-
-    d = os.path.join(_bucket_warehouse(sf_dir), "stream_events_txn_src")
-    if not os.path.isdir(d) or len(glob.glob(os.path.join(d, "*.parquet"))) != 2:
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d)
-        now = _time.time()
-        for name, cond, mt in (
-            ("a_even.parquet", F.col("event_id") % 2 == 0, now - 200),
-            ("b_odd.parquet", F.col("event_id") % 2 == 1, now - 100),
-        ):
-            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-            ev.filter(cond).coalesce(1).write.parquet(tmp)
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            os.replace(part, os.path.join(d, name))
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(os.path.join(d, name), (mt, mt))
-
+    d = _even_odd_stream_dir(spark, sf_dir)
     tpath = os.path.join(_bucket_warehouse(sf_dir), "stream_txn_table")
     shutil.rmtree(tpath, ignore_errors=True)
     stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
@@ -585,6 +649,7 @@ QUERIES = {
     "stream_interval_join": q_stream_interval_join,
     "stream_txn_exactly_once": q_stream_txn_exactly_once,
     "stream_session_windows": q_stream_session_windows,
+    "stream_custom_state_totals": q_stream_custom_state_totals,
 }
 
 ORACLES = {
@@ -608,4 +673,7 @@ ORACLES = {
     # the native streaming session_window answers to the SAME lag-based
     # batch sessionization oracle — gap semantics equality IS the claim
     "stream_session_windows": ORACLE_SESSIONIZE,
+    # applyInPandasWithState lifetime totals drained over two batches
+    # must equal the plain batch group-by
+    "stream_custom_state_totals": ORACLE_CUSTOM_STATE,
 }
