@@ -33,6 +33,7 @@ FLOORS = {
     "stream_late_data_drop": 13.5,
     "stream_txn_exactly_once": 2.7,
     "stream_session_windows": 10.4,
+    "stream_custom_state_totals": 2.9,
 }
 
 
