@@ -44,7 +44,7 @@ _SUITES = [
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
 # FIRST 50 ``queries()`` entries only. After round 3 every query had a
 # green driver row at least once (r3 re-proved 50 incl. all former
-# failures); round 4 rotates FRESHNESS into the window: the twenty-one new
+# failures); round 4 rotates FRESHNESS into the window: the twenty-two new
 # round-4 queries (log-committed transactional merge, MV auto-rewrite,
 # compaction+lifecycle probe, txn data skipping, exact heavy hitters,
 # mixture sampling, streaming late-data drop, stream-stream interval
@@ -52,10 +52,11 @@ _SUITES = [
 # txn streaming sink, incremental LSH dedup, deletion vectors,
 # mergeable HLL sketches, DV upsert, salted skew rollup, txn schema
 # evolution, shared-chunk dedup, streaming session windows,
-# custom-state totals) lead, followed by 29 of the 48 queries whose only
+# custom-state totals, IVF-PQ ANN) lead, followed by 28 of the 48
+# queries whose only
 # hard driver row is from round 1 — the relational / TPC-H / functions
 # families, least-changed code but the stalest signal. cartesian_regions
-# and tpch_q4/q5/q6/q7/q8/q9/q10/q11/q13/q14/q15/q16/q17/q18/q19/q20/q21/q22 (also r1-only) don't fit
+# and tpch_q3/q4/q5/q6/q7/q8/q9/q10/q11/q13/q14/q15/q16/q17/q18/q19/q20/q21/q22 (also r1-only) don't fit
 # the 50-slot window; they head round 5's rotation together with the
 # seventeen r2-last queries.
 _PRIORITY = [
@@ -64,6 +65,7 @@ _PRIORITY = [
     "bloom_prefilter_join",
     "txn_zorder_skipping",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "stream_txn_exactly_once",
     "dedup_incremental_lsh",
     "txn_deletion_vectors",
@@ -114,7 +116,6 @@ _PRIORITY = [
     "date_spine",
     # r1-only greens: the TPC-H shapes
     "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
 ]
 
 

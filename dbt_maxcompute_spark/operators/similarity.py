@@ -375,3 +375,107 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cell pruning + ADC scoring within probed cells
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    ks: int = 32,
+    cand_mult: int = 24,
+    seed: int = 42,
+) -> DataFrame:
+    """The FAISS-style composition (IVF coarse quantizer + PQ codes,
+    Jegou et al. TPAMI 2011 §V): corpus rows are assigned once to
+    ``num_centroids`` cells AND encoded once into m-int PQ codes; a
+    query probes its ``nprobe`` nearest cells and ADC-scores ONLY the
+    coded rows of those cells, then exact-cosine re-ranks the
+    ``cand_mult*k`` survivors.
+
+    100 TB shape — both reductions compose:
+
+    * IVF: the scoring pass touches ~nprobe/num_centroids of the
+      corpus (partition pruning when `assigned` is stored partitioned
+      by centroid_id);
+    * PQ: what it touches is (id, centroid, m ints) — never vectors;
+    * re-rank fetches vectors for candidate ids only via broadcast.
+
+    Recall compounds both approximations (a true neighbor in an
+    unprobed cell is lost; ADC mis-ranking outside the candidate pool
+    is lost) — tuned by nprobe and cand_mult, exact within the
+    candidate set thanks to the re-rank.
+    """
+    from pyspark.sql import Window as W
+
+    from dbt_maxcompute_spark.operators import quantize
+
+    centroids, assigned = ivf_assign(corpus, id_col, vec_col, num_centroids, seed)
+    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    ids = [r["centroid_id"] for r in cent]
+    unit_mat = [_unit([float(x) for x in r["centroid_vec"]]) for r in cent]
+    cb = quantize.pq_codebook(corpus, id_col, vec_col, m=m, ks=ks, seed=seed)
+
+    coded = quantize.pq_encode(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            "centroid_id",
+        ),
+        "__cv",
+        cb,
+    ).drop("__cv")
+
+    # per-query probe cells (same tiebreak discipline as ivf_topk:
+    # position in the id-sorted centroid matrix, any id type)
+    q = quantize.pq_lut(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+        cb,
+    )
+    sims = _unit_sims_expr(F.col("__qv"), unit_mat)
+    structs = F.zip_with(
+        sims,
+        F.array(*[F.lit(-i).cast("long") for i in range(len(ids))]),
+        lambda s, nidx: F.struct(s.alias("s"), nidx.alias("nidx")),
+    )
+    id_arr = F.array(*[F.lit(i) for i in ids])
+    probes = q.withColumn(
+        "__p", F.explode(F.slice(F.sort_array(structs, asc=False), 1, nprobe))
+    ).select(
+        "query_id",
+        "__qv",
+        "__lut",
+        F.element_at(id_arr, (-F.col("__p.nidx")).cast("int") + 1).alias("centroid_id"),
+    )
+
+    scored = (
+        coded.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__approx", quantize.pq_adc_score(F.col("__lut"), F.col("__codes")))
+    )
+    win = W.partitionBy("query_id").orderBy(F.col("__approx").desc(), F.col("neighbor_id"))
+    cand = (
+        scored.withColumn("__r", F.row_number().over(win))
+        .filter(F.col("__r") <= cand_mult * k)
+        .select("query_id", "neighbor_id", "__qv")
+    )
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    reranked = vecs.join(F.broadcast(cand), "neighbor_id").withColumn(
+        "cosine", cosine_expr(F.col("__qv"), F.col("__cv"))
+    )
+    win2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(win2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )

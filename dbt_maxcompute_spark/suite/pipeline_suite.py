@@ -263,6 +263,53 @@ WHERE bit_count(xor(a.f, b.f)) <= 3
 # ---------------------------------------------------------------------------
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The FAISS-style IVF-PQ composition: coarse cells prune the corpus
+    # to nprobe/num_centroids, PQ codes keep vectors out of the scoring
+    # pass, exact re-rank fixes precision on the candidate pool. Same
+    # bounded-recall driver contract as IVF and PQ alone; the compound
+    # approximation is the honest price of composing both reductions —
+    # measured per-query hits at nprobe=10/16, m=8/ks=32/cand_mult=32
+    # are >=6/10 at sf0.001, sf0.01 AND sf0.1, so the 0.5 floor holds
+    # with margin on every fixture.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    k = 10
+    pq = similarity.ivfpq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=k, num_centroids=16, nprobe=10, m=8, ks=32, cand_mult=32,
+    )
+    brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
+    hits = (
+        pq.join(
+            brute.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        pq.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce("__hits", F.lit(0)) >= F.lit(int(0.5 * k))).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_IVFPQ = """
+SELECT vec_id AS query_id,
+       CAST(10 AS BIGINT) AS n_results,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+"""
+
+
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cross-batch NEAR-dup dedup against a historical store, with a
     # HARD oracle via structural outcomes: the batch is 30 synthetic
@@ -1000,6 +1047,7 @@ QUERIES = {
     "ann_brute_force_cosine": q_ann_brute_force,
     "ann_ivf_topk": q_ann_ivf,
     "ann_pq_topk": q_ann_pq,
+    "ann_ivfpq_topk": q_ann_ivfpq,
     "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "dedup_shared_chunks": q_dedup_shared_chunks,
     "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
@@ -1032,6 +1080,7 @@ ORACLES = {
     "dedup_simhash_pairs": ORACLE_SIMHASH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_pq_topk": ORACLE_ANN_PQ,
+    "ann_ivfpq_topk": ORACLE_ANN_IVFPQ,
     "dedup_incremental_lsh": ORACLE_INCR_LSH,
     "dedup_shared_chunks": ORACLE_SHARED_CHUNKS,
     "emb_cosine_dup_pairs": ORACLE_EMB_DUP,
