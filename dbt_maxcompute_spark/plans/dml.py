@@ -512,7 +512,29 @@ def delete_insert(
     pt_cols = meta.all_partition_cols()
 
     if meta.transactional:
+        if not incremental_predicates:
+            # Row-level fast path (Delta DV shape): the delete phase is
+            # exactly "keys in source", so the commit is a deletion
+            # vector + appended source files — zero data-file rewrites,
+            # bounded by |source| + |matched| instead of every file a
+            # hot key touches. delete+insert INSERTs every source row
+            # (duplicates included), hence allow_duplicate_keys. A
+            # commit race re-reads and recomputes inside the op.
+            from dbt_maxcompute_spark.txnlog import CommitConflict
 
+            t = catalog.txn(name)
+            for attempt in range(_TXN_MAX_ATTEMPTS):
+                try:
+                    t.delete_insert_dv(src, keys, allow_duplicate_keys=True)
+                    return
+                except CommitConflict:
+                    if attempt == _TXN_MAX_ATTEMPTS - 1:
+                        raise
+            return
+
+        # predicate-scoped deletes fall back to the snapshot-pinned
+        # full recompute (the predicate narrows the delete set in ways
+        # the DV matcher does not model)
         def compute(snap_tgt: DataFrame) -> DataFrame:
             return _delete_insert_survivors(
                 snap_tgt, src, keys, incremental_predicates

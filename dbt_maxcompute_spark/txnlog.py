@@ -374,7 +374,9 @@ class TxnTable:
         the read side of the exactly-once streaming contract."""
         return self.snapshot().app_versions.get(str(app_id))
 
-    def delete_insert_dv(self, source: DataFrame, keys: list[str]) -> int:
+    def delete_insert_dv(
+        self, source: DataFrame, keys: list[str], allow_duplicate_keys: bool = False
+    ) -> int:
         """Key-based upsert in ONE commit, no file rewrites: a deletion
         vector marks every VISIBLE target row whose key tuple appears
         in ``source``, and the staged source files are appended — the
@@ -387,7 +389,10 @@ class TxnTable:
         untouched rows never move. Atomic: the DV and the adds land in
         the same log version, so readers see either the old state or
         the complete upsert. Duplicate key tuples in ``source`` are
-        rejected (same contract as the planner's merge).
+        rejected (same contract as the planner's merge) unless
+        ``allow_duplicate_keys`` — the delete+insert strategy's INSERT
+        keeps every source row, duplicates included, so its router
+        opts out.
 
         The source key set is broadcast for the match (an upsert batch
         is small relative to the table by definition); a batch too big
@@ -397,9 +402,12 @@ class TxnTable:
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
-        if dup:
-            raise ValueError("delete_insert_dv: duplicate key tuples in source")
+        if not allow_duplicate_keys:
+            dup = (
+                source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError("delete_insert_dv: duplicate key tuples in source")
         snap = self.snapshot()
         if not snap.files:
             # nothing to match: the upsert degenerates to an append

@@ -169,3 +169,28 @@ def test_non_transactional_read_rejects_version(spark, cat):
     cat.create_table("p", _r(spark, 0, 5))
     with pytest.raises(ValueError, match="transactional"):
         cat.read("p", version=0)
+
+
+def test_delete_insert_routes_through_deletion_vectors(spark, cat):
+    # no incremental_predicates -> the row-level DV fast path: the
+    # upsert commit rewrites ZERO data files (set_dv + adds only) and
+    # duplicate source keys are inserted verbatim (delete+insert
+    # semantics, unlike merge)
+    run_incremental(
+        cat, "t", _r(spark, 0, 40), strategy="delete+insert", unique_key="id",
+        transactional=True, primary_keys=["id"],
+    )
+    t = cat.txn("t")
+    files_before = set(t.snapshot().files)
+    dup_src = spark.createDataFrame(
+        [(10, 111), (10, 222), (50, 500)], "id bigint, v bigint"
+    )
+    dml.delete_insert(cat, "t", dup_src, unique_key="id")
+    # every pre-existing file survived; the delete landed as a vector
+    assert files_before <= set(t.snapshot().files)
+    assert t.history()[-1]["n_remove"] == 0
+    assert t.snapshot().dv_file is not None
+    rows = sorted((r.id, r.v) for r in cat.read("t").collect())
+    assert (10, 111) in rows and (10, 222) in rows and (50, 500) in rows
+    assert sum(1 for r in rows if r[0] == 10) == 2  # both duplicates inserted
+    assert len(rows) == 42  # 40 original - 1 deleted (id=10) + 3 source rows
