@@ -40,6 +40,8 @@ def salted_aggregate(
 ) -> DataFrame:
     """Two-phase aggregation for skewed/low-cardinality group keys:
     ``aggs`` is (column, op, alias) with op in sum/count/min/max.
+    ``("x", "count", a)`` is SQL COUNT(x) — nulls excluded; use
+    ``("*", "count", a)`` (or column None) for COUNT(*).
 
     Phase 1 groups by (key, salt) — the shuffle spreads every hot key
     over ``salt`` reducers; phase 2 merges the ``salt`` partials per
@@ -60,9 +62,15 @@ def salted_aggregate(
             raise ValueError(f"unsupported op {op!r} (need sum/count/min/max)")
     src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(src), F.lit(salt)))
+    # SQL COUNT semantics: count(col) skips nulls; pass "*" (or None)
+    # for count(*). Partials merge by sum either way.
     partial = salted.groupBy(*group_cols, "__salt").agg(
         *[
-            (F.count(F.lit(1)) if op == "count" else _PARTIAL[op](c)).alias(f"__p_{a}")
+            (
+                (F.count(F.lit(1)) if c in (None, "*") else F.count(F.col(c)))
+                if op == "count"
+                else _PARTIAL[op](c)
+            ).alias(f"__p_{a}")
             for c, op, a in aggs
         ]
     )

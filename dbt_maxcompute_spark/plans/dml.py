@@ -191,12 +191,37 @@ def _listed_partition_dirs(
     frame and reading the dir names back — metadata-sized, and the
     escaping can never drift from the engine's own."""
     fields = [result.schema[c] for c in pt]
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
     schema = StructType(list(fields) + [StructField("__probe", IntegerType())])
     rows = [tuple(p[c] for c in pt) + (1,) for p in parts]
     try:
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        try:
+            probe_df = spark.createDataFrame(rows, schema)
+        except TypeError:
+            # Mis-typed static partition values (e.g. '5' for an int
+            # column) must keep degrading gracefully, not raise from the
+            # probe write: route them through strings and CAST to the
+            # target column types; values no cast can represent drop out
+            # (null partition value ≙ partition that cannot exist).
+            str_schema = StructType(
+                [StructField(f.name, StringType()) for f in fields]
+                + [StructField("__probe", IntegerType())]
+            )
+            str_rows = [
+                tuple(None if v is None else str(v) for v in r[:-1]) + (1,)
+                for r in rows
+            ]
+            probe_df = spark.createDataFrame(str_rows, str_schema).select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in fields
+                ],
+                "__probe",
+            )
+            for f in fields:
+                probe_df = probe_df.filter(F.col(f.name).isNotNull())
+        probe_df.coalesce(1).write.mode(
             "overwrite"
         ).partitionBy(*pt).parquet(probe)
         return _leaf_partition_dirs(probe, len(pt))
@@ -223,6 +248,27 @@ def _leaf_partition_dirs(base: str, depth: int) -> list[str]:
 
 
 _TXN_MAX_ATTEMPTS = 3
+
+# Distinct-key ceiling for the deletion-vector upsert fast path: the op
+# broadcasts source.select(keys).distinct(), so above this the batch
+# routes to the copy-on-write recompute instead of risking a broadcast/
+# driver OOM. ~1M short key tuples ≈ tens of MB broadcast — comfortably
+# inside Spark's defaults; override for fat multi-column string keys.
+DV_BROADCAST_MAX_KEYS = 1_000_000
+
+
+def _dv_key_set_fits_broadcast(src: DataFrame, keys: list[str]) -> bool:
+    """True when the source's distinct key-tuple count is small enough
+    to broadcast. The probe is bounded: limit(N+1).count() stops
+    counting at the ceiling instead of materializing the full distinct
+    cardinality."""
+    n = (
+        src.select(*keys)
+        .distinct()
+        .limit(DV_BROADCAST_MAX_KEYS + 1)
+        .count()
+    )
+    return n <= DV_BROADCAST_MAX_KEYS
 
 
 def _txn_commit_loop(catalog: EngineCatalog, name: str, compute) -> int:
@@ -512,7 +558,7 @@ def delete_insert(
     pt_cols = meta.all_partition_cols()
 
     if meta.transactional:
-        if not incremental_predicates:
+        if not incremental_predicates and _dv_key_set_fits_broadcast(src, keys):
             # Row-level fast path (Delta DV shape): the delete phase is
             # exactly "keys in source", so the commit is a deletion
             # vector + appended source files — zero data-file rewrites,
@@ -520,6 +566,10 @@ def delete_insert(
             # hot key touches. delete+insert INSERTs every source row
             # (duplicates included), hence allow_duplicate_keys. A
             # commit race re-reads and recomputes inside the op.
+            # Gated on the distinct-key count: delete_insert_dv
+            # broadcasts the key set, so a batch whose keys would blow
+            # the broadcast/driver limit falls through to the
+            # snapshot-pinned COW recompute below instead of failing.
             from dbt_maxcompute_spark.txnlog import CommitConflict
 
             t = catalog.txn(name)
@@ -532,9 +582,11 @@ def delete_insert(
                         raise
             return
 
-        # predicate-scoped deletes fall back to the snapshot-pinned
-        # full recompute (the predicate narrows the delete set in ways
-        # the DV matcher does not model)
+        # predicate-scoped deletes (the predicate narrows the delete
+        # set in ways the DV matcher does not model) and batches whose
+        # key set is too large to broadcast fall back to the
+        # snapshot-pinned full recompute — copy-on-write is the right
+        # trade once the upsert is a meaningful fraction of the table
         def compute(snap_tgt: DataFrame) -> DataFrame:
             return _delete_insert_survivors(
                 snap_tgt, src, keys, incremental_predicates

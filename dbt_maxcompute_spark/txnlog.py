@@ -453,16 +453,35 @@ class TxnTable:
         writer re-reads the ledger and retries, re-checking idempotence
         each time so the retry itself cannot double-append.
 
-        Returns True if the batch was appended, False if skipped."""
+        Returns True if the batch was appended, False if skipped.
+
+        The ledger check and the commit are pinned to the SAME snapshot:
+        committing at ``snap.version + 1`` means any writer that slipped
+        in between the check and the commit makes the rename lose with
+        :class:`CommitConflict`, which re-reads the ledger before
+        retrying — a same-app duplicate landing concurrently can never
+        double-append (the naive check-then-``append()`` re-read the
+        latest version independently and could)."""
+        adds: list[dict[str, Any]] | None = None
         for _ in range(16):
-            last = self.last_batch(app_id)
+            snap = self.snapshot()
+            last = snap.app_versions.get(str(app_id))
             if last is not None and batch_id <= last:
+                # staged-but-unreferenced files (if we lost a race to our
+                # own duplicate) are orphans; vacuum() reclaims them
                 return False
+            if adds is None:
+                adds = self._stage_files(df)
             try:
-                self.append(df, txn={"app_id": app_id, "batch_id": batch_id})
+                self._commit(
+                    snap.version + 1,
+                    adds,
+                    df.schema.json(),
+                    txn={"app_id": app_id, "batch_id": batch_id},
+                )
                 return True
             except CommitConflict:
-                continue  # re-read ledger, re-check, retry
+                continue  # re-read ledger at the new version, re-check, retry
         raise CommitConflict(
             f"idempotent_append lost {16} consecutive commit races at {self.log_path}"
         )
@@ -666,9 +685,22 @@ class TxnTable:
         rewrite plan is sample-pass + one range shuffle. NULLs rank 0.
         """
         from pyspark.sql import functions as F
+        from pyspark.sql.types import DateType, TimestampType
 
         nb = 1 << bits
-        casted = [F_col(c).cast("double") for c in cols]
+
+        def _as_double(c: str):
+            f = df.schema[c].dataType
+            if isinstance(f, DateType):
+                # DATE has no double cast — route through epoch days
+                return F.datediff(F_col(c), F.lit("1970-01-01").cast("date")).cast(
+                    "double"
+                )
+            if isinstance(f, TimestampType):
+                return F.unix_timestamp(F_col(c)).cast("double")
+            return F_col(c).cast("double")
+
+        casted = [_as_double(c) for c in cols]
         probe = df.select(*[e.alias(f"__zc{i}") for i, e in enumerate(casted)])
         probs = [j / nb for j in range(1, nb)]
         bounds = probe.approxQuantile(
@@ -683,6 +715,10 @@ class TxnTable:
 
         z = F.lit(0).cast("long")
         for i, e in enumerate(casted):
+            if not bounds[i]:
+                # all-null (or uncastable) column: no quantile bounds —
+                # it contributes rank 0 everywhere, so skip its bits
+                continue
             rank = _rank_of(e, bounds[i])
             rank = F.when(e.isNull(), 0).otherwise(rank).cast("long")
             for j in range(bits):

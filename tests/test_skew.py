@@ -56,3 +56,20 @@ def test_salted_join_shuffle_key_includes_salt(spark):
         assert all("__salt" in ln for ln in parts), plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_aggregate_count_skips_nulls_like_sql(spark):
+    """COUNT(col) excludes nulls; COUNT(*) keeps them — both must match
+    the unsalted plan exactly (advisor round-4 finding)."""
+    df = spark.createDataFrame(
+        [(0, 1), (0, None), (0, 3), (1, None), (1, None)], "k long, v long"
+    )
+    got = {
+        r.k: (r.n_v, r.n_star)
+        for r in skew.salted_aggregate(
+            df, ["k"],
+            [("v", "count", "n_v"), ("*", "count", "n_star")],
+            salt=4, salt_on="k",
+        ).collect()
+    }
+    assert got == {0: (2, 3), 1: (0, 2)}
