@@ -884,3 +884,49 @@ class EngineCatalog:
         """EXPLAIN-based validation (reference impl.py:430-433) — analysis
         only, no execution."""
         return self.sql(query)._jdf.queryExecution().analyzed().toString()
+
+    # -- SQL DML / scripts --------------------------------------------------------
+
+    def execute(self, stmt: str):
+        """One SQL statement with the full surface: DELETE/UPDATE/MERGE
+        INTO on transactional tables route to the transaction log,
+        INSERT INTO/OVERWRITE to the write paths, ``FOR VERSION AS OF``
+        / ``FOR TIMESTAMP AS OF`` reads resolve pinned snapshots, and
+        everything else is ``sql()``. Returns the statement's frame
+        (a one-row summary for DML)."""
+        from dbt_maxcompute_spark.plans.sqldml import execute_statement
+
+        return execute_statement(self, stmt)
+
+    def execute_script(
+        self,
+        script: str,
+        query_comment: "dict | str | None" = None,
+        comment_append: bool = False,
+    ):
+        """Multi-statement raw script against the catalog — the
+        reference's raw materialization posture
+        (raw.sql:1-6, showcase 04_operations/*.sql issues DELETE /
+        UPDATE / MERGE as plain SQL): SET preamble becomes scoped
+        confs, each statement routes through :meth:`execute`, the last
+        statement's DataFrame is returned (lazy). Returns
+        (df, recorded_hints, parse_errors) like ``run_raw``."""
+        from dbt_maxcompute_spark.materializations.raw import (
+            inject_query_comment,
+            split_statements,
+        )
+        from dbt_maxcompute_spark.plans.settings import (
+            parse_set_preamble,
+            scoped_confs,
+            split_hints,
+        )
+
+        parsed = parse_set_preamble(script)
+        apply, record = split_hints(parsed.settings)
+        last = None
+        with scoped_confs(self.spark, apply):
+            for stmt in split_statements(parsed.remaining_query):
+                last = self.execute(
+                    inject_query_comment(stmt, query_comment, comment_append)
+                )
+        return last, record, parsed.errors

@@ -1,0 +1,651 @@
+"""SQL surface for row-level DML and time travel on catalog tables.
+
+The reference drives everything through SQL: its raw materialization
+submits user scripts containing plain ``DELETE`` / ``UPDATE`` /
+``MERGE INTO`` statements against transactional tables and the remote
+engine executes them (raw.sql:1-6; showcase
+examples/maxcompute-showcase/models/04_operations/*.sql), and
+``transactional=true`` is what unlocks row-level DML there
+(create.sql:44-49). Round 4 wired those semantics behind the Python
+API (``TxnTable.delete_where_dv`` etc.); this module is the missing
+SQL entry point: a statement router that recognises
+
+- ``DELETE FROM t [WHERE ...]``               → deletion-vector commit
+- ``UPDATE t SET c=e,... [WHERE ...]``        → snapshot-pinned COW commit
+- ``MERGE INTO t USING s ON ... WHEN ...``    → generic SQL MERGE commit
+- ``INSERT INTO | OVERWRITE t <query>``       → append / overwrite
+- ``... FROM t FOR VERSION AS OF n`` and
+  ``... FOR TIMESTAMP AS OF '...'``           → pinned-snapshot reads
+
+and routes everything else to ``catalog.sql`` unchanged. Row-level
+DELETE/UPDATE/MERGE require ``transactional=true`` — the same
+contract the reference enforces server-side.
+
+Parsing works on a MASK of the statement (string literals and comments
+blanked to spaces, length-preserving) so keyword scans and split
+points can use plain regex without being fooled by quoted text, while
+every extracted fragment is sliced from the ORIGINAL text.
+
+All execution is Spark-declarative: UPDATE and MERGE build ONE
+projection over a (joined) snapshot frame — no per-row Python — and
+commit through the transaction log's optimistic loop, so a concurrent
+writer triggers recompute-and-retry, never a lost update.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F
+
+if TYPE_CHECKING:
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+_TXN_MAX_ATTEMPTS = 3
+
+
+# ---------------------------------------------------------------------------
+# masking + top-level scanning
+# ---------------------------------------------------------------------------
+
+def mask_sql(sql: str) -> str:
+    """Length-preserving mask: string literals, quoted identifiers and
+    comments become runs of spaces so regexes over the mask cannot
+    match inside them, and every match position is valid in ``sql``."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            q = ch
+            i += 1
+            while i < n:
+                if sql[i] == "\\" and i + 1 < n:
+                    out[i] = out[i + 1] = " "
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    # '' style escaped quote
+                    if q == "'" and i + 1 < n and sql[i + 1] == q:
+                        out[i] = out[i + 1] = " "
+                        i += 2
+                        continue
+                    break
+                out[i] = " "
+                i += 1
+            i += 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _split_top_level(text: str, masked: str, sep: str = ",") -> list[str]:
+    """Split ``text`` on ``sep`` occurring at paren depth 0 (depth
+    tracked on the mask)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _top_level_iter(masked: str, pattern: str) -> list[re.Match]:
+    """Regex matches in the mask at paren depth 0 only."""
+    depth_at = []
+    d = 0
+    for ch in masked:
+        depth_at.append(d)
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+    return [
+        m
+        for m in re.finditer(pattern, masked, re.IGNORECASE)
+        if depth_at[m.start()] == 0
+    ]
+
+
+# ---------------------------------------------------------------------------
+# time travel
+# ---------------------------------------------------------------------------
+
+_TT_RE = (
+    r"(?P<tbl>[A-Za-z_][\w]*(?:\.[\w]+)?)\s+FOR\s+"
+    r"(?:(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+))|"
+    r"(?:TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*')))"
+)
+
+
+def rewrite_time_travel(catalog: "EngineCatalog", sql: str) -> str:
+    """Replace ``t FOR VERSION AS OF n`` / ``t FOR TIMESTAMP AS OF
+    'iso'`` references with temp views bound to the pinned snapshot
+    (Spark's own v2 syntax, usable here on any transactional catalog
+    table). Timestamps resolve to the newest version committed at or
+    before the given instant — exactly Delta's rule."""
+    masked = mask_sql(sql)
+    out, last = [], 0
+    for m in re.finditer(_TT_RE, masked, re.IGNORECASE):
+        tbl = sql[m.start("tbl"):m.end("tbl")]
+        if m.group("ver") is not None:
+            version = int(m.group("ver"))
+        else:
+            version = _version_at_timestamp(catalog, tbl, sql[m.start("ts") + 1:m.end("ts") - 1])
+        view = f"__tt_{tbl.replace('.', '_')}_v{version}"
+        catalog.read(tbl, version=version).createOrReplaceTempView(view)
+        out.append(sql[last:m.start()])
+        out.append(view)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _version_at_timestamp(catalog: "EngineCatalog", tbl: str, ts_text: str) -> int:
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(ts_text)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    epoch = dt.timestamp()
+    best = None
+    for entry in catalog.txn(tbl).history():
+        at = entry.get("committed_at")
+        if at is not None and at <= epoch:
+            best = max(best, entry["version"]) if best is not None else entry["version"]
+    if best is None:
+        raise ValueError(f"no version of {tbl} committed at or before {ts_text!r}")
+    return best
+
+
+# ---------------------------------------------------------------------------
+# statement classification
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MergeClause:
+    matched: bool
+    cond: str | None          # extra AND condition (original text) or None
+    action: str               # "update" | "delete" | "insert"
+    sets: dict[str, str] = field(default_factory=dict)  # update: col -> expr
+    star: bool = False        # UPDATE SET * / INSERT *
+    insert_cols: list[str] = field(default_factory=list)
+    insert_vals: list[str] = field(default_factory=list)
+
+
+@dataclass
+class MergeStmt:
+    target: str
+    target_alias: str
+    source_sql: str           # table name or (subquery) body
+    source_is_query: bool
+    source_alias: str
+    on: str
+    clauses: list[MergeClause]
+
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<tbl>[A-Za-z_][\w.]*)\s*", re.IGNORECASE
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+SET\s+", re.IGNORECASE
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<tbl>[A-Za-z_][\w.]*)\s*",
+    re.IGNORECASE,
+)
+_MERGE_RE = re.compile(r"^\s*MERGE\s+INTO\s+", re.IGNORECASE)
+
+
+def classify(stmt: str):
+    """Return ("delete", tbl, where) | ("update", tbl, sets, where) |
+    ("insert", tbl, overwrite, cols, query) | ("merge", MergeStmt) |
+    None (not a routed DML statement)."""
+    masked = mask_sql(stmt)
+    m = _DELETE_RE.match(masked)
+    if m:
+        wms = _top_level_iter(masked, r"\bWHERE\b")
+        where = stmt[wms[0].end():].strip() if wms else None
+        return ("delete", m.group("tbl"), where)
+    m = _UPDATE_RE.match(masked)
+    if m:
+        body, mbody = stmt[m.end():], masked[m.end():]
+        wms = _top_level_iter(mbody, r"\bWHERE\b")
+        if wms:
+            sets_text, sets_mask = body[: wms[0].start()], mbody[: wms[0].start()]
+            where = body[wms[0].end():].strip()
+        else:
+            sets_text, sets_mask, where = body, mbody, None
+        sets: dict[str, str] = {}
+        for part in _split_top_level(sets_text, sets_mask):
+            col, _, expr = part.partition("=")
+            if not expr:
+                raise ValueError(f"malformed SET assignment: {part!r}")
+            sets[col.strip().strip("`")] = expr.strip()
+        return ("update", m.group("tbl"), sets, where)
+    m = _INSERT_RE.match(masked)
+    if m:
+        rest, mrest = stmt[m.end():], masked[m.end():]
+        cols: list[str] = []
+        if mrest.lstrip().startswith("("):
+            # a column list only if the parenthesised list is followed
+            # by SELECT/VALUES/WITH (otherwise it IS the query)
+            open_i = mrest.index("(")
+            depth, close_i = 0, -1
+            for i in range(open_i, len(mrest)):
+                if mrest[i] == "(":
+                    depth += 1
+                elif mrest[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close_i = i
+                        break
+            after = mrest[close_i + 1:].lstrip()
+            if re.match(r"(SELECT|VALUES|WITH)\b", after, re.IGNORECASE):
+                cols = [
+                    c.strip().strip("`")
+                    for c in rest[open_i + 1:close_i].split(",")
+                ]
+                rest = rest[close_i + 1:]
+        return ("insert", m.group("tbl"), m.group("mode").upper() == "OVERWRITE", cols, rest.strip())
+    if _MERGE_RE.match(masked):
+        return ("merge", parse_merge(stmt, masked))
+    return None
+
+
+def _ident_and_alias(text: str) -> tuple[str, str]:
+    toks = text.strip().split()
+    name = toks[0]
+    alias = name
+    if len(toks) >= 2:
+        alias = toks[2] if toks[1].upper() == "AS" and len(toks) >= 3 else toks[1]
+    return name, alias.strip("`")
+
+
+def parse_merge(stmt: str, masked: str) -> MergeStmt:
+    mm = re.match(r"^\s*MERGE\s+INTO\s+", masked, re.IGNORECASE)
+    rest_off = mm.end()
+    using = _top_level_iter(masked, r"\bUSING\b")
+    if not using:
+        raise ValueError("MERGE: missing USING")
+    u = using[0]
+    target, target_alias = _ident_and_alias(stmt[rest_off:u.start()])
+    on = _top_level_iter(masked, r"\bON\b")
+    on = [m for m in on if m.start() > u.end()]
+    if not on:
+        raise ValueError("MERGE: missing ON")
+    o = on[0]
+    src_text = stmt[u.end():o.start()]
+    src_mask = masked[u.end():o.start()]
+    if src_mask.lstrip().startswith("("):
+        open_i = src_mask.index("(")
+        depth, close_i = 0, -1
+        for i in range(open_i, len(src_mask)):
+            if src_mask[i] == "(":
+                depth += 1
+            elif src_mask[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_i = i
+                    break
+        source_sql = src_text[open_i + 1:close_i].strip()
+        _, source_alias = _ident_and_alias("q " + src_text[close_i + 1:])
+        source_is_query = True
+    else:
+        source_sql, source_alias = _ident_and_alias(src_text)
+        source_is_query = False
+    whens = _top_level_iter(masked, r"\bWHEN\s+(NOT\s+)?MATCHED\b")
+    whens = [m for m in whens if m.start() > o.end()]
+    if not whens:
+        raise ValueError("MERGE: no WHEN clauses")
+    on_text = stmt[o.end():whens[0].start()].strip()
+    clauses: list[MergeClause] = []
+    for i, w in enumerate(whens):
+        end = whens[i + 1].start() if i + 1 < len(whens) else len(stmt)
+        ctext = stmt[w.start():end].strip()
+        cmask = masked[w.start():end]
+        clauses.append(_parse_when(ctext, cmask))
+    return MergeStmt(
+        target=target,
+        target_alias=target_alias.strip("`"),
+        source_sql=source_sql,
+        source_is_query=source_is_query,
+        source_alias=source_alias,
+        on=on_text,
+        clauses=clauses,
+    )
+
+
+def _parse_when(text: str, mask: str) -> MergeClause:
+    m = re.match(r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*", mask, re.IGNORECASE)
+    matched = m.group("not") is None
+    rest, rmask = text[m.end():], mask[m.end():]
+    cond = None
+    if re.match(r"AND\b", rmask, re.IGNORECASE):
+        thens = _top_level_iter(rmask, r"\bTHEN\b")
+        if not thens:
+            raise ValueError(f"MERGE: WHEN without THEN: {text!r}")
+        cond = rest[3:thens[0].start()].strip()
+        rest, rmask = rest[thens[0].end():], rmask[thens[0].end():]
+    else:
+        thens = _top_level_iter(rmask, r"\bTHEN\b")
+        if not thens:
+            raise ValueError(f"MERGE: WHEN without THEN: {text!r}")
+        rest, rmask = rest[thens[0].end():], rmask[thens[0].end():]
+    rest = rest.strip()
+    rmask = mask_sql(rest)  # re-mask the trimmed text for alignment
+    if re.match(r"DELETE\b", rmask, re.IGNORECASE):
+        if not matched:
+            raise ValueError("MERGE: WHEN NOT MATCHED THEN DELETE is invalid")
+        return MergeClause(matched=True, cond=cond, action="delete")
+    mu = re.match(r"UPDATE\s+SET\s+", rmask, re.IGNORECASE)
+    if mu:
+        if not matched:
+            raise ValueError("MERGE: WHEN NOT MATCHED THEN UPDATE is invalid")
+        body, bmask = rest[mu.end():], rmask[mu.end():]
+        if body.strip() == "*":
+            return MergeClause(matched=True, cond=cond, action="update", star=True)
+        sets = {}
+        for part in _split_top_level(body, bmask):
+            col, _, expr = part.partition("=")
+            if not expr:
+                raise ValueError(f"MERGE: malformed SET: {part!r}")
+            col = col.strip().strip("`")
+            col = col.split(".")[-1]  # allow t.col = ...
+            sets[col] = expr.strip()
+        return MergeClause(matched=True, cond=cond, action="update", sets=sets)
+    mi = re.match(r"INSERT\s*", rmask, re.IGNORECASE)
+    if mi:
+        if matched:
+            raise ValueError("MERGE: WHEN MATCHED THEN INSERT is invalid")
+        body, bmask = rest[mi.end():], rmask[mi.end():]
+        if body.strip() == "*":
+            return MergeClause(matched=False, cond=cond, action="insert", star=True)
+        bm = re.match(
+            r"\((?P<cols>[^)]*)\)\s*VALUES\s*\(", bmask, re.IGNORECASE | re.DOTALL
+        )
+        if not bm:
+            raise ValueError(f"MERGE: malformed INSERT clause: {text!r}")
+        cols = [c.strip().strip("`") for c in body[bm.start("cols"):bm.end("cols")].split(",")]
+        vals_text = body[bm.end():]
+        vals_mask = bmask[bm.end():]
+        close = vals_mask.rfind(")")
+        vals = _split_top_level(vals_text[:close], vals_mask[:close])
+        if len(cols) != len(vals):
+            raise ValueError("MERGE: INSERT column/value count mismatch")
+        return MergeClause(
+            matched=False, cond=cond, action="insert",
+            insert_cols=cols, insert_vals=vals,
+        )
+    raise ValueError(f"MERGE: unrecognised THEN action: {rest[:60]!r}")
+
+
+# ---------------------------------------------------------------------------
+# execution
+# ---------------------------------------------------------------------------
+
+def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
+    """Route one SQL statement: DML on catalog tables executes through
+    the transaction log / write paths and returns a one-row summary
+    frame; everything else (time-travel rewritten first) runs through
+    ``catalog.sql``."""
+    parsed = classify(stmt)
+    if parsed is None:
+        return catalog.sql(rewrite_time_travel(catalog, stmt))
+    op = parsed[0]
+    if op == "delete":
+        _, tbl, where = parsed
+        n = _exec_delete(catalog, tbl, where)
+        return _summary(catalog, "DELETE", tbl, n)
+    if op == "update":
+        _, tbl, sets, where = parsed
+        n = _exec_update(catalog, tbl, sets, where)
+        return _summary(catalog, "UPDATE", tbl, n)
+    if op == "insert":
+        _, tbl, overwrite, cols, query = parsed
+        n = _exec_insert(catalog, tbl, overwrite, cols, query)
+        return _summary(catalog, "INSERT", tbl, n)
+    if op == "merge":
+        n = _exec_merge(catalog, parsed[1])
+        return _summary(catalog, "MERGE", parsed[1].target, n)
+    raise AssertionError(op)
+
+
+def _summary(catalog: "EngineCatalog", op: str, tbl: str, n: int) -> DataFrame:
+    return catalog.spark.createDataFrame(
+        [(op, tbl, n)], "operation string, table string, affected_rows bigint"
+    )
+
+
+def _require_txn(catalog: "EngineCatalog", tbl: str, op: str):
+    meta = catalog.meta(tbl)
+    if not meta.transactional:
+        # the reference's own contract: row-level DML needs
+        # transactional=true (create.sql:44-49)
+        raise ValueError(f"{op} requires a transactional table: {tbl}")
+    return catalog.txn(tbl)
+
+
+def _exec_delete(catalog: "EngineCatalog", tbl: str, where: str | None) -> int:
+    from dbt_maxcompute_spark.txnlog import CommitConflict
+
+    t = _require_txn(catalog, tbl, "DELETE")
+    if where is None:
+        # unconditional delete = truncate: one empty-overwrite commit
+        snap_df = t.read()
+        before = snap_df.count()
+        t.overwrite(snap_df.limit(0))
+        return before
+    for attempt in range(_TXN_MAX_ATTEMPTS):
+        matched = t.read().filter(F.expr(where)).count()
+        try:
+            t.delete_where_dv(where)
+            return matched
+        except CommitConflict:
+            if attempt == _TXN_MAX_ATTEMPTS - 1:
+                raise
+    raise AssertionError
+
+
+def _exec_update(
+    catalog: "EngineCatalog", tbl: str, sets: dict[str, str], where: str | None
+) -> int:
+    """SQL UPDATE semantics: every SET expression is evaluated against
+    the PRE-update row (one select over the snapshot guarantees this —
+    chained withColumn would leak updated values into later
+    assignments), committed copy-on-write through the optimistic loop."""
+    from dbt_maxcompute_spark.txnlog import CommitConflict
+
+    t = _require_txn(catalog, tbl, "UPDATE")
+    cond = F.expr(where) if where is not None else F.lit(True)
+    affected = 0
+    for attempt in range(_TXN_MAX_ATTEMPTS):
+        v = t.latest_version()
+        tgt = t.read(v)
+        bad = set(sets) - set(tgt.columns)
+        if bad:
+            raise ValueError(f"UPDATE {tbl}: unknown columns {sorted(bad)}")
+        affected = tgt.filter(cond).count()
+        out = tgt.select(
+            *[
+                (
+                    F.when(cond, F.expr(sets[c])).otherwise(F.col(c))
+                    .cast(tgt.schema[c].dataType)
+                    .alias(c)
+                    if c in sets
+                    else F.col(c)
+                )
+                for c in tgt.columns
+            ]
+        )
+        try:
+            t.overwrite_from(v, out)
+            return affected
+        except CommitConflict:
+            if attempt == _TXN_MAX_ATTEMPTS - 1:
+                raise
+    return affected
+
+
+def _exec_insert(
+    catalog: "EngineCatalog", tbl: str, overwrite: bool, cols: list[str], query: str
+) -> int:
+    from dbt_maxcompute_spark.plans import dml
+
+    src = catalog.sql(rewrite_time_travel(catalog, query))
+    tgt_cols = [c for c, _ in catalog.columns(tbl)]
+    if cols:
+        if len(cols) != len(src.columns):
+            raise ValueError("INSERT: column list / query arity mismatch")
+        src = src.toDF(*cols)
+    elif len(src.columns) == len(tgt_cols):
+        # positional insert: adopt target names (SQL INSERT semantics)
+        src = src.toDF(*tgt_cols)
+    n = src.count()
+    meta = catalog.meta(tbl)
+    if overwrite:
+        if meta.all_partition_cols():
+            dml.insert_overwrite(catalog, tbl, src)
+        elif meta.transactional:
+            from dbt_maxcompute_spark.txnlog import CommitConflict
+
+            t = catalog.txn(tbl)
+            for attempt in range(_TXN_MAX_ATTEMPTS):
+                try:
+                    t.overwrite(dml._align_columns(src, t.read()))
+                    break
+                except CommitConflict:
+                    if attempt == _TXN_MAX_ATTEMPTS - 1:
+                        raise
+        else:
+            aligned = dml._align_columns(src, catalog.read(tbl))
+            catalog._rewrite(tbl, aligned, meta)
+    else:
+        dml.append(catalog, tbl, src)
+    return n
+
+
+def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
+    """Generic SQL MERGE as ONE full-outer join + ONE projection.
+
+    - clauses are evaluated in order; the first applicable wins
+      (SQL:2003 / Delta semantics),
+    - a target row matched by >1 source row raises (the standard's
+      cardinality violation — silently picking one is a data bug),
+    - unmatched target rows pass through, unmatched source rows insert
+      only via a WHEN NOT MATCHED clause.
+
+    The action decision and every output column are computed in a
+    single select over the joined frame — pure Catalyst, one shuffle
+    for the join (AQE picks broadcast when the source is small), and
+    the commit is snapshot-pinned with recompute-on-conflict.
+    """
+    from dbt_maxcompute_spark.txnlog import CommitConflict
+
+    t = _require_txn(catalog, m.target, "MERGE")
+    spark = catalog.spark
+    ta, sa = m.target_alias, m.source_alias
+    if m.source_is_query:
+        src = catalog.sql(rewrite_time_travel(catalog, m.source_sql))
+    else:
+        src = catalog.read(m.source_sql)
+
+    affected = 0
+    for attempt in range(_TXN_MAX_ATTEMPTS):
+        v = t.latest_version()
+        tgt = t.read(v)
+        out_cols = tgt.columns
+        tj = tgt.withColumn("__tid", F.monotonically_increasing_id()).alias(ta)
+        sj = src.withColumn("__smark", F.lit(1)).alias(sa)
+        j = tj.join(sj, F.expr(m.on), "full_outer")
+        t_present = F.col(f"{ta}.__tid").isNotNull()
+        s_present = F.col(f"{sa}.__smark").isNotNull()
+
+        dup = (
+            j.filter(t_present & s_present)
+            .groupBy(F.col(f"{ta}.__tid"))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE: a target row matches multiple source rows "
+                "(cardinality violation)"
+            )
+
+        # first-applicable clause index, encoded as an action tag
+        matched_clauses = [(i, c) for i, c in enumerate(m.clauses) if c.matched]
+        notm_clauses = [(i, c) for i, c in enumerate(m.clauses) if not c.matched]
+
+        def chain(clauses, default_tag):
+            expr = F.lit(default_tag)
+            for i, c in reversed(clauses):
+                cnd = F.expr(c.cond) if c.cond else F.lit(True)
+                expr = F.when(cnd, F.lit(f"{c.action[0]}{i}")).otherwise(expr)
+            return expr
+
+        action = (
+            F.when(t_present & s_present, chain(matched_clauses, "keep"))
+            .when(t_present, F.lit("keep"))
+            .otherwise(chain(notm_clauses, "drop"))
+        )
+        j = j.withColumn("__action", action)
+
+        def out_col(c: str):
+            dt = tgt.schema[c].dataType
+            expr = F.when(F.col("__action") == "keep", F.col(f"{ta}.{c}"))
+            for i, cl in matched_clauses:
+                if cl.action != "update":
+                    continue
+                if cl.star:
+                    val = F.col(f"{sa}.{c}") if c in src.columns else F.col(f"{ta}.{c}")
+                else:
+                    val = (
+                        F.expr(cl.sets[c]) if c in cl.sets else F.col(f"{ta}.{c}")
+                    )
+                expr = expr.when(F.col("__action") == f"u{i}", val)
+            for i, cl in notm_clauses:
+                if cl.star:
+                    val = F.col(f"{sa}.{c}") if c in src.columns else F.lit(None)
+                elif c in cl.insert_cols:
+                    val = F.expr(cl.insert_vals[cl.insert_cols.index(c)])
+                else:
+                    val = F.lit(None)
+                expr = expr.when(F.col("__action") == f"i{i}", val)
+            return expr.cast(dt).alias(c)
+
+        result = (
+            j.filter(~F.col("__action").isin("drop", *[f"d{i}" for i, _ in matched_clauses]))
+            .select(*[out_col(c) for c in out_cols])
+        )
+        affected = j.filter(F.col("__action") != "keep").filter(
+            F.col("__action") != "drop"
+        ).count()
+        try:
+            t.overwrite_from(v, result)
+            return affected
+        except CommitConflict:
+            if attempt == _TXN_MAX_ATTEMPTS - 1:
+                raise
+    return affected
