@@ -17,6 +17,7 @@ from dbt_maxcompute_spark.suite import (
     dml_suite,
     events_suite,
     extras2_suite,
+    extras3_suite,
     extras_suite,
     functions_suite,
     pipeline_suite,
@@ -33,6 +34,7 @@ _SUITES = [
     events_suite,
     extras_suite,
     extras2_suite,
+    extras3_suite,
     functions_suite,
     relational2,
     tpch2,
@@ -42,80 +44,59 @@ _SUITES = [
 ]
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
-# FIRST 50 ``queries()`` entries only. After round 3 every query had a
-# green driver row at least once (r3 re-proved 50 incl. all former
-# failures); round 4 rotates FRESHNESS into the window: the twenty-two new
-# round-4 queries (log-committed transactional merge, MV auto-rewrite,
-# compaction+lifecycle probe, txn data skipping, exact heavy hitters,
-# mixture sampling, streaming late-data drop, stream-stream interval
-# join, bloom-prefilter join, Z-order skipping, PQ ANN, exactly-once
-# txn streaming sink, incremental LSH dedup, deletion vectors,
-# mergeable HLL sketches, DV upsert, salted skew rollup, txn schema
-# evolution, shared-chunk dedup, streaming session windows,
-# custom-state totals, IVF-PQ ANN) lead, followed by 28 of the 48
-# queries whose only
-# hard driver row is from round 1 — the relational / TPC-H / functions
-# families, least-changed code but the stalest signal. cartesian_regions
-# and tpch_q3/q4/q5/q6/q7/q8/q9/q10/q11/q13/q14/q15/q16/q17/q18/q19/q20/q21/q22 (also r1-only) don't fit
-# the 50-slot window; they head round 5's rotation together with the
-# seventeen r2-last queries.
+# FIRST 50 ``queries()`` entries only. After round 4 every query has had
+# a hard driver-green row at least once; round 5 completes the freshness
+# rotation the round-4 verdict prescribed: the new round-5 queries
+# (SQL-surface DML + time travel, and the other round-5 additions) lead,
+# followed by ALL remaining queries whose last hard driver row is r1
+# (cartesian_regions, tpch_q3–q22) or r2 (text_*, multimodal_*,
+# sample_*, events_funnel/json_props, exact_distinct_users,
+# hash_split_counts, corpus_zipf_profile, decontam_ngram_overlap).
+# After this round no query's last driver row is older than r3.
 _PRIORITY = [
-    # new in round 4 — never driver-checked
-    "stream_interval_join",
-    "bloom_prefilter_join",
-    "txn_zorder_skipping",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "stream_txn_exactly_once",
-    "dedup_incremental_lsh",
-    "txn_deletion_vectors",
-    "sketch_mergeable_distinct",
-    "txn_dv_upsert",
-    "skew_salted_rollup",
-    "txn_schema_evolution",
-    "dedup_shared_chunks",
-    "stream_session_windows",
-    "stream_custom_state_totals",
-    "txn_incremental_merge",
-    "mv_auto_rewrite",
-    "ops_compact_probe",
-    "txn_file_skipping",
-    "sketch_heavy_hitters",
-    "mixture_sample_langs",
-    "stream_late_data_drop",
-    # r1-only greens: functions family
-    "fn_string_ops",
-    "fn_datetime_ops",
-    "fn_listagg_lineitems",
-    "fn_any_value",
-    # r1-only greens: relational2 (grouping sets / pivot / lateral)
-    "rollup_revenue",
-    "cube_orders",
-    "pivot_status_priority",
-    "exists_suppliers",
-    "explode_order_lines",
-    # r1-only greens: relational3 (stats / ranking / regex)
-    "stats_moments",
-    "percentiles_exact",
-    "ranking_family",
-    "regexp_ops",
-    # r1-only greens: core relational
-    "flagship_customers",
-    "agg_daily_orders",
-    "pricing_summary",
-    "revenue_by_nation",
-    "anti_join_customers_without_orders",
-    "semi_join_parts_with_lineitems",
-    "window_top_orders_per_segment",
-    "window_running_revenue",
-    "setops_nationkeys",
-    "top10_expensive_orders",
-    "distinct_counts",
-    "scalar_subquery_recent_orders",
-    "tuple_in_subquery",
-    "date_spine",
-    # r1-only greens: the TPC-H shapes
-    "tpch_q2_min_cost_supplier",
+    # new in round 5 — never driver-checked
+    "sql_dml_script",
+    # r2-last: text analysis / multimodal / sampling / events families
+    "text_repetition",
+    "text_stats",
+    "text_langid",
+    "text_fingerprint",
+    "text_chunking",
+    "text_pii_redaction",
+    "text_tfidf_top_terms",
+    "multimodal_metadata",
+    "multimodal_features",
+    "hash_split_counts",
+    "events_json_props",
+    "events_funnel",
+    "decontam_ngram_overlap",
+    "exact_distinct_users",
+    "corpus_zipf_profile",
+    "sample_stratified_lang",
+    "sample_domain_quota",
+    "sample_quality_weighted",
+    # r1-only: the deliberate cartesian + the TPC-H long tail
+    "cartesian_regions",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_late_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_lateness_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_small_part_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Round-5 suite: SQL-surface DML + time travel, indexed ANN, MV
+predicate-containment rewrite — each driver-checked against a DuckDB
+oracle (same numeric-determinism conventions as the other suites).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.sources.registry import load_table
+
+
+def q_sql_dml_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's raw-materialization posture: a user drives
+    # row-level DML as PLAIN SQL against a transactional table
+    # (raw.sql:1-6; showcase 04_operations/*.sql issues DELETE/UPDATE/
+    # MERGE server-side). Here the same script runs through
+    # catalog.execute_script: DV delete (no file rewrite), COW update,
+    # a MERGE whose source time-travels to version 0, and a final
+    # SELECT mixing current state with pinned-version row counts.
+    # The whole ledger is predicted by the DuckDB oracle.
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="sqldml_wh_"))
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    cat.create_table(
+        "ord", base, transactional=True, primary_keys=["o_orderkey"]
+    )
+    df, _hints, errors = cat.execute_script(
+        """
+        SET spark.sql.shuffle.partitions=16;
+        DELETE FROM ord WHERE o_orderstatus = 'F';
+        UPDATE ord SET o_totalprice = o_totalprice * 2 WHERE o_custkey % 10 = 0;
+        MERGE INTO ord USING (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM ord FOR VERSION AS OF 0
+            WHERE o_custkey % 5 = 0
+        ) AS up
+        ON ord.o_orderkey = up.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = up.o_totalprice + 1
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+            VALUES (up.o_orderkey, up.o_custkey, 'R', up.o_totalprice);
+        SELECT status, n, total FROM (
+            SELECT o_orderstatus AS status, count(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+            FROM ord GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'v0_rows', count(*), CAST(NULL AS DOUBLE) FROM ord FOR VERSION AS OF 0
+            UNION ALL
+            SELECT 'v1_rows', count(*), CAST(NULL AS DOUBLE) FROM ord FOR VERSION AS OF 1
+        ) ORDER BY status
+        """
+    )
+    if errors or df is None:
+        raise RuntimeError(f"sql dml script failed: {errors}")
+    return df
+
+
+ORACLE_SQL_DML_SCRIPT = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+v1 AS (SELECT * FROM base WHERE o_orderstatus <> 'F'),
+v2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM v1
+),
+src AS (SELECT * FROM base WHERE o_custkey % 5 = 0),
+final AS (
+  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice + 1
+              ELSE t.o_totalprice END AS o_totalprice
+  FROM v2 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+  UNION ALL
+  SELECT s.o_orderkey, s.o_custkey, 'R', s.o_totalprice
+  FROM src s LEFT JOIN v2 t ON s.o_orderkey = t.o_orderkey
+  WHERE t.o_orderkey IS NULL
+)
+SELECT status, n, total FROM (
+  SELECT o_orderstatus AS status, count(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+  FROM final GROUP BY o_orderstatus
+  UNION ALL SELECT 'v0_rows', (SELECT count(*) FROM base), CAST(NULL AS DOUBLE)
+  UNION ALL SELECT 'v1_rows', (SELECT count(*) FROM v1), CAST(NULL AS DOUBLE)
+) ORDER BY status
+"""
+
+
+QUERIES = {
+    "sql_dml_script": q_sql_dml_script,
+}
+
+ORACLES = {
+    "sql_dml_script": ORACLE_SQL_DML_SCRIPT,
+}
