@@ -96,10 +96,70 @@ SELECT status, n, total FROM (
 """
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The materialized form of IVF (SCALE.md's promised artifact): the
+    # assignment pass runs ONCE at build time, written partitioned by
+    # centroid cell with the centroid matrix in a sidecar; a query
+    # resolves probe cells driver-side and scans only those hive
+    # partitions (plan-pinned in tests/test_ivf_index.py). The driver
+    # claim is twofold: (a) the indexed path returns BIT-IDENTICAL
+    # rows to the inline ivf_topk (matches_inline), and (b) the same
+    # bounded-recall contract as ann_ivf_topk vs exact brute force.
+    from dbt_maxcompute_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    k = 10
+    idx_path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    similarity.build_ivf_index(
+        emb, "vec_id", "embedding", idx_path, num_centroids=16
+    )
+    indexed = similarity.ivf_indexed_topk(spark, idx_path, queries, k=k, nprobe=12)
+    inline = similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=k, num_centroids=16, nprobe=12
+    )
+    n_mismatch = (
+        indexed.exceptAll(inline).unionAll(inline.exceptAll(indexed)).count()
+    )
+    brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
+    hits = (
+        indexed.join(
+            brute.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        indexed.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce("__hits", F.lit(0)) >= F.lit(int(0.5 * k))).alias("recall_ok"),
+            F.lit(n_mismatch == 0).alias("matches_inline"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_IVF_INDEXED = """
+SELECT vec_id AS query_id,
+       CAST(10 AS BIGINT) AS n_results,
+       TRUE AS recall_ok,
+       TRUE AS matches_inline
+FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "sql_dml_script": q_sql_dml_script,
+    "ann_ivf_indexed_topk": q_ann_ivf_indexed,
 }
 
 ORACLES = {
     "sql_dml_script": ORACLE_SQL_DML_SCRIPT,
+    "ann_ivf_indexed_topk": ORACLE_ANN_IVF_INDEXED,
 }
