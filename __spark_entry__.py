@@ -56,6 +56,8 @@ _SUITES = [
 _PRIORITY = [
     # new in round 5 — never driver-checked
     "sql_dml_script",
+    "ann_ivf_indexed_topk",
+    "mv_rewrite_containment",
     # r2-last: text analysis / multimodal / sampling / events families
     "text_repetition",
     "text_stats",

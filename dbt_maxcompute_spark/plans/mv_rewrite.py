@@ -54,7 +54,15 @@ _ROLLUP_RX = re.compile(
 
 
 def _norm(s: str) -> str:
-    return re.sub(r"\s+", " ", s.strip().rstrip(";").strip()).lower()
+    """Whitespace/case normalization that PRESERVES string literals:
+    normalized text is both compared (exact/containment match — still
+    symmetric) and EMITTED into the rewritten SQL, where lowercasing a
+    literal like 'R' would silently change the predicate's meaning."""
+    s = s.strip().rstrip(";").strip()
+    parts = re.split(r"('[^']*')", s)
+    return "".join(
+        p if p.startswith("'") else re.sub(r"\s+", " ", p).lower() for p in parts
+    )
 
 
 def _split_top(s: str) -> list[str]:
@@ -151,6 +159,45 @@ def _where_identifiers(where: str) -> set[str]:
     }
 
 
+def _conjuncts(where: str | None) -> list[str]:
+    """Split a (normalized) WHERE into top-level AND conjuncts.
+
+    Paren depth nests; a top-level OR makes the whole clause ONE
+    conjunct (an OR is not decomposable into containment checks); the
+    AND belonging to a BETWEEN is consumed by the BETWEEN, not treated
+    as a split point. Purely syntactic — used for the containment test
+    ``conjuncts(MV) ⊆ conjuncts(user)``, which is sound (equal text ⇒
+    equal predicate) and fail-closed (a range implication like
+    ``x > 5 ⇒ x > 0`` is NOT detected; the caller just skips the
+    rewrite)."""
+    if not where:
+        return []
+    toks = re.findall(r"\(|\)|'[^']*'|[^\s()]+", where)
+    depth = 0
+    between_pending = 0
+    parts: list[list[str]] = [[]]
+    top_level_or = False
+    for t in toks:
+        low = t.lower()
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and low == "between":
+            between_pending += 1
+        if depth == 0 and low == "and" and between_pending == 0:
+            parts.append([])
+            continue
+        if depth == 0 and low == "and" and between_pending:
+            between_pending -= 1
+        if depth == 0 and low == "or":
+            top_level_or = True
+        parts[-1].append(t)
+    if top_level_or:
+        return [" ".join(toks)]
+    return [" ".join(p) for p in parts if p]
+
+
 # re-aggregation function per user aggregate: sums and counts add,
 # mins/maxes nest
 _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -159,18 +206,25 @@ _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
     if user.table != mv.table:
         return None
-    if mv.where is not None:
-        # MV is a filtered rollup: only an identically-filtered query
-        # (or one with no extra filter) can be answered from it
-        if user.where != mv.where:
-            return None
-        effective_where = None  # filter already baked into MV rows
-    else:
-        effective_where = user.where
-        if effective_where is not None and not (
-            _where_identifiers(effective_where) <= set(mv.group_keys)
-        ):
-            return None
+    # Predicate containment at conjunct granularity: every MV conjunct
+    # must appear verbatim among the user's conjuncts (the MV's filter
+    # is baked into its rows — a user query NOT implying it would need
+    # rows the MV never stored), and the RESIDUAL user conjuncts are
+    # re-applied over the MV scan — but only if they reference MV
+    # grouping keys alone (any other column does not survive the
+    # rollup). Covers exact-match (residual = ∅) and the common
+    # "user tightens the MV's filter" shape; anything subtler fails
+    # closed to the base tables.
+    mv_conj = set(_conjuncts(mv.where))
+    user_conj = _conjuncts(user.where)
+    if not mv_conj <= set(user_conj):
+        return None
+    residual = [c for c in user_conj if c not in mv_conj]
+    if residual and not (
+        _where_identifiers(" ".join(residual)) <= set(mv.group_keys)
+    ):
+        return None
+    effective_where = " and ".join(residual) if residual else None
     mv_keys = set(mv.group_keys)
     if not set(user.group_keys) <= mv_keys:
         return None

@@ -154,12 +154,83 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
 """
 
 
+def q_mv_rewrite_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Predicate-containment MV rewrite (round-4 verdict item 6): the
+    # MV is a FILTERED rollup; a user query whose WHERE contains every
+    # MV conjunct plus a residual on a grouping key is answered from
+    # the MV with the residual re-applied (plan-pinned: MV scanned,
+    # fact absent; literal case preserved — 'R' stays 'R'). A user
+    # query MISSING one MV conjunct needs rows the MV never stored, so
+    # it must fall back to the base table (negative plan-pin). Values
+    # hash-checked against DuckDB computing from the base table.
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+    from dbt_maxcompute_spark.materializations.materialized_view import (
+        create_materialized_view,
+    )
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="mvc_wh_"))
+    cat.create_table("lineitem", load_table(spark, sf_dir, "lineitem"))
+    create_materialized_view(
+        cat,
+        "mv_filtered",
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+           FROM lineitem
+           WHERE l_shipdate >= '1995-01-01' AND l_discount > 0.02
+           GROUP BY l_returnflag, l_linestatus""",
+    )
+
+    def plan_of(df: DataFrame) -> str:
+        return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    served = cat.sql(
+        """SELECT l_returnflag, count(*) AS n_rows,
+                  CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+           FROM lineitem
+           WHERE l_shipdate >= '1995-01-01' AND l_discount > 0.02
+             AND l_returnflag = 'R'
+           GROUP BY l_returnflag"""
+    )
+    p1 = plan_of(served)
+    used_mv = ("mv_filtered" in p1) and ("default/lineitem" not in p1)
+
+    p2 = plan_of(
+        cat.sql(
+            """SELECT l_returnflag, count(*) AS n
+               FROM lineitem WHERE l_shipdate >= '1995-01-01'
+               GROUP BY l_returnflag"""
+        )
+    )
+    fell_back = ("mv_filtered" not in p2) and ("default/lineitem" in p2)
+
+    return (
+        served.withColumn("used_mv", F.lit(bool(used_mv)))
+        .withColumn("weaker_filter_fell_back", F.lit(bool(fell_back)))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_MV_CONTAINMENT = """
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty,
+       TRUE AS used_mv, TRUE AS weaker_filter_fell_back
+FROM lineitem
+WHERE l_shipdate >= '1995-01-01' AND l_discount > 0.02
+  AND l_returnflag = 'R'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "sql_dml_script": q_sql_dml_script,
     "ann_ivf_indexed_topk": q_ann_ivf_indexed,
+    "mv_rewrite_containment": q_mv_rewrite_containment,
 }
 
 ORACLES = {
     "sql_dml_script": ORACLE_SQL_DML_SCRIPT,
     "ann_ivf_indexed_topk": ORACLE_ANN_IVF_INDEXED,
+    "mv_rewrite_containment": ORACLE_MV_CONTAINMENT,
 }

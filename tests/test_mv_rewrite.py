@@ -74,7 +74,7 @@ def test_where_on_group_key_allowed_other_columns_block():
         "SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_returnflag",
         [("m", MV_SQL)],
     )
-    assert ok is not None and "WHERE l_linestatus = 'o'" in ok
+    assert ok is not None and "WHERE l_linestatus = 'O'" in ok
     blocked = try_rewrite(
         "SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_quantity > 5 GROUP BY l_returnflag",
         [("m", MV_SQL)],
@@ -176,3 +176,88 @@ def test_refresh_does_not_read_own_mv(spark, mv_cat):
     refresh_materialized_view(mv_cat, "mv_roll")
     after = mv_cat.read("mv_roll").collect()
     assert sum(r.n for r in after) == sum(r.n for r in before) + 100
+
+
+# ---------------------------------------------------------------------------
+# predicate containment (round 5)
+# ---------------------------------------------------------------------------
+
+FILTERED_MV_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+FROM lineitem
+WHERE l_shipdate >= '1995-01-01' AND l_discount > 0.02
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def test_containment_user_tightens_mv_filter():
+    # user WHERE ⊃ MV WHERE: residual conjunct on a grouping key is
+    # re-applied over the MV scan
+    user = """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01' AND l_discount > 0.02
+      AND l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """
+    out = try_rewrite(user, [("default_mv2", FILTERED_MV_SQL)])
+    assert out is not None and "default_mv2" in out
+    # the literal's CASE survives normalization — 'R' must not become 'r'
+    assert "l_returnflag = 'R'" in out
+    assert "l_shipdate" not in out  # baked into the MV, not re-applied
+
+
+def test_containment_fails_when_user_misses_mv_conjunct():
+    user = """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01'
+    GROUP BY l_returnflag
+    """
+    assert try_rewrite(user, [("default_mv2", FILTERED_MV_SQL)]) is None
+
+
+def test_containment_fails_on_nonkey_residual():
+    user = """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01' AND l_discount > 0.02 AND l_tax > 0.01
+    GROUP BY l_returnflag
+    """
+    assert try_rewrite(user, [("default_mv2", FILTERED_MV_SQL)]) is None
+
+
+def test_containment_between_and_or_are_one_conjunct():
+    from dbt_maxcompute_spark.plans.mv_rewrite import _conjuncts
+
+    assert _conjuncts("a between 1 and 2 and b = 3") == [
+        "a between 1 and 2", "b = 3",
+    ]
+    assert _conjuncts("a = 1 or b = 2") == ["a = 1 or b = 2"]
+    assert _conjuncts("(a = 1 or b = 2) and c = 3") == [
+        "( a = 1 or b = 2 )", "c = 3",
+    ]
+
+
+def test_containment_rewrite_values_match_base(spark, tmp_path, sf_dir):
+    cat = EngineCatalog(spark, str(tmp_path / "wh"))
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    li = spark.table("lineitem")
+    cat.create_table("lineitem", li)
+    create_materialized_view(cat, "mvf", FILTERED_MV_SQL)
+    user = """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01' AND l_discount > 0.02
+      AND l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """
+    got = cat.sql(user)
+    # plan-pin: the rewritten query scans the MV table, not the fact
+    files = "\n".join(got.inputFiles())
+    assert "mvf" in files and "lineitem" not in files
+    want = cat.sql(user, mv_rewrite=False).collect()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
