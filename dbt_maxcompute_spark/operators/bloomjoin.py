@@ -69,23 +69,8 @@ def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 20, k: int = 7) -
     m_bits/64 rows, and the collect is the bitmap itself — bounded by
     m_bits regardless of build-side row count.
     """
-    if m_bits & (m_bits - 1):
-        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
-    pos = F.explode(F.array(*_positions(key, m_bits, k))).alias("p")
-    words = (
-        df.select(pos)
-        .select(
-            (F.col("p") / 64).cast("long").alias("w"),
-            # call_function: SQL shiftleft takes a column bit count; the
-            # python wrapper's numBits is int-only
-            F.call_function(
-                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
-            ).alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("b").alias("bits"))
-        .collect()  # <= m_bits/64 rows of (long, long): metadata-sized
-    )
+    # <= m_bits/64 collected rows of (long, long): metadata-sized
+    words = bloom_words(df, key, m_bits, k).collect()
     bitmap = [0] * (m_bits // 64)
     for r in words:
         bitmap[r["w"]] = r["bits"]
@@ -110,6 +95,68 @@ def bloom_might_contain(
     return test
 
 
+#: bitmaps up to this many bits embed as a plan literal (2^22 bits =
+#: 64K longs ≈ 512 KiB — comfortably plan-sized); larger ones ship as
+#: BROADCAST DATA instead, because a plan literal is serialized into
+#: every task description, pretty-printed by explain, and held by the
+#: driver — at a billion-key build (m ≈ 2^33, ~1 GiB) that kills the
+#: driver long before the filter runs.
+LITERAL_MAX_BITS = 1 << 22
+
+
+def bloom_words(df: DataFrame, key: Column, m_bits: int, k: int = 7) -> DataFrame:
+    """The bitmap as a DISTRIBUTED sparse (word_index, bits) frame —
+    the shared aggregation both representation paths consume. Map-side
+    ``bit_or`` partials reduce each word locally; the shuffle moves at
+    most m_bits/64 rows of 16 bytes."""
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    pos = F.explode(F.array(*_positions(key, m_bits, k))).alias("p")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_prefilter_broadcast(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m_bits: int,
+    k: int = 7,
+) -> DataFrame:
+    """The large-m path: the bitmap NEVER touches the driver or the
+    plan. The sparse words aggregate into ONE row holding a
+    word→bits MAP (only set words are stored — ≤ min(k·n, m/64)
+    entries), that row is broadcast and attached to the probe via a
+    single-row BroadcastNestedLoopJoin, and the k bit tests read the
+    map column. Absent word = 0 bits, so sparsity is free. The filter
+    still runs in the probe's scan stage, before any exchange —
+    identical survivors to the literal path, bit for bit."""
+    one = bloom_words(build, F.col(build_key), m_bits, k).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col("w"), F.col("bits"))))
+        ).alias("__bloom")
+    )
+    test = None
+    for p in _positions(F.col(probe_key), m_bits, k):
+        word = F.coalesce(
+            F.element_at(F.col("__bloom"), (p / 64).cast("long")), F.lit(0).cast("long")
+        )
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        t = word.bitwiseAND(bit) != F.lit(0)
+        test = t if test is None else test & t
+    return probe.join(F.broadcast(one)).filter(test).drop("__bloom")
+
+
 def bloom_prefilter(
     probe: DataFrame,
     build: DataFrame,
@@ -117,14 +164,23 @@ def bloom_prefilter(
     build_key: str,
     m_bits: int | None = None,
     k: int = 7,
+    literal_max_bits: int = LITERAL_MAX_BITS,
 ) -> DataFrame:
     """Filter ``probe`` down to rows whose key *might* appear in
     ``build`` (exact superset of the true matches).  The caller then
     runs the real join on the survivors; results are identical to the
     unfiltered join, but the shuffle moves ~FP-rate extra rows instead
-    of the whole probe side."""
+    of the whole probe side.
+
+    Representation is size-routed: small bitmaps embed as a plan
+    literal (fastest probe — pure codegen array indexing); bitmaps
+    above ``literal_max_bits`` ship as broadcast data via
+    :func:`bloom_prefilter_broadcast`, keeping gigabyte-scale filters
+    off the driver and out of the plan."""
     if m_bits is None:
         n = build.select(build_key).count()
         m_bits = 1 << max(10, (10 * max(n, 1) - 1).bit_length())
+    if m_bits > literal_max_bits:
+        return bloom_prefilter_broadcast(probe, build, probe_key, build_key, m_bits, k)
     bitmap = bloom_build(build, F.col(build_key), m_bits, k)
     return probe.filter(bloom_might_contain(F.col(probe_key), bitmap, m_bits, k))

@@ -73,3 +73,45 @@ def test_probe_filter_sits_below_the_exchange(spark, sf_dir):
         assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_broadcast_path_matches_literal_path(spark):
+    build = spark.range(0, 2000, 11).select(F.col("id").alias("k"))
+    probe = spark.range(0, 8000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    m = 1 << 14
+    lit_rows = sorted(
+        (r.k, r.v)
+        for r in bloomjoin.bloom_prefilter(
+            probe, build, "k", "k", m_bits=m
+        ).collect()
+    )
+    bc_rows = sorted(
+        (r.k, r.v)
+        for r in bloomjoin.bloom_prefilter_broadcast(
+            probe, build, "k", "k", m_bits=m
+        ).collect()
+    )
+    # bit-identical survivor sets: same hashes, same m, same k
+    assert bc_rows == lit_rows
+
+
+def test_size_routing_and_no_giant_literal(spark):
+    build = spark.range(0, 100, 3).select(F.col("id").alias("k"))
+    probe = spark.range(0, 500).select(F.col("id").alias("k"))
+    m = 1 << 24  # above LITERAL_MAX_BITS -> broadcast path
+    pre = bloomjoin.bloom_prefilter(probe, build, "k", "k", m_bits=m)
+    plan = plan_of(spark, pre, "simple")
+    # bitmap must NOT be a plan literal: no 262144-element array in the
+    # plan text; the broadcast join carries it instead
+    assert "BroadcastNestedLoopJoin" in plan
+    assert len(plan) < 100_000, "plan text blew up — bitmap leaked into the plan"
+    # and survivors are still an exact superset of true matches
+    got = {r.k for r in pre.collect()}
+    assert set(range(0, 100, 3)) <= got
+
+
+def test_broadcast_path_empty_build(spark):
+    build = spark.range(0).select(F.col("id").alias("k"))
+    probe = spark.range(10).select(F.col("id").alias("k"))
+    out = bloomjoin.bloom_prefilter_broadcast(probe, build, "k", "k", m_bits=1 << 12)
+    assert out.count() == 0
