@@ -16,8 +16,8 @@ def t(spark, tmp_path):
     return TxnTable(spark, str(tmp_path / "txn"))
 
 
-def _r(spark, lo, hi):
-    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+def _r(spark, lo, hi, mult=2):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * mult).alias("v"))
 
 
 def test_create_append_overwrite_time_travel(spark, t):
@@ -476,3 +476,119 @@ def test_delete_insert_dv_upsert(spark, t):
     )
     got2 = {r.id: r.v for r in t.read().collect()}
     assert got2[10] == 1000 and len(got2) == 51
+
+
+def test_concurrent_writers_all_land_versions_dense(spark, t):
+    """True concurrency (round-4 verdict item 7): N barrier-started
+    writer threads x M appends each, every append retried through the
+    optimistic loop. All N*M commits must land, versions must be dense
+    0..N*M, and the final row count must equal the sum of all appends —
+    no lost update, no double-land."""
+    import threading
+
+    t.create(_r(spark, 0, 10))
+    n_writers, n_appends = 4, 3
+    barrier = threading.Barrier(n_writers)
+    errors: list[Exception] = []
+
+    def writer(wid: int) -> None:
+        try:
+            barrier.wait(timeout=30)
+            for j in range(n_appends):
+                lo = 1000 * (wid + 1) + 10 * j
+                df = _r(spark, lo, lo + 10)
+                for _ in range(64):  # optimistic retry loop
+                    try:
+                        t.append(df)
+                        break
+                    except CommitConflict:
+                        continue
+                else:
+                    raise RuntimeError(f"writer {wid} starved")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    total = n_writers * n_appends
+    assert t.latest_version() == total
+    versions = sorted(
+        int(f.split(".")[0]) for f in os.listdir(t.log_path)
+        if f.endswith(".json") and not f.startswith(".") and "checkpoint" not in f
+    )
+    assert versions == list(range(total + 1))  # dense, no gaps
+    assert t.read().count() == 10 + total * 10
+
+
+def test_concurrent_idempotent_append_lands_exactly_once(spark, t):
+    """The round-4 advisor TOCTOU: two threads replaying the SAME
+    (app_id, batch_id) concurrently must land the batch exactly once —
+    the commit is pinned to the snapshot the ledger check used, so the
+    loser's retry re-reads the ledger and skips."""
+    import threading
+
+    t.create(_r(spark, 0, 10))
+    barrier = threading.Barrier(2)
+    outcomes: list[bool] = []
+    errors: list[Exception] = []
+
+    def replayer() -> None:
+        try:
+            barrier.wait(timeout=30)
+            outcomes.append(
+                t.idempotent_append(_r(spark, 100, 110), "appA", batch_id=1)
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=replayer) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errors, errors
+    assert sorted(outcomes) == [False, True]  # exactly one appended
+    assert t.read().count() == 20
+    assert t.last_batch("appA") == 1
+
+
+def test_concurrent_dv_upserts_converge(spark, t):
+    """Racing DV upserts on disjoint key ranges, each retried through
+    the conflict loop: both commits land and the final visible state
+    reflects BOTH upserts (DV + adds are atomic per commit)."""
+    import threading
+
+    t.create(_r(spark, 0, 40))
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def upserter(lo: int) -> None:
+        try:
+            barrier.wait(timeout=30)
+            df = _r(spark, lo, lo + 10, mult=100)
+            for _ in range(32):
+                try:
+                    t.delete_insert_dv(df, ["id"])
+                    return
+                except CommitConflict:
+                    continue
+            raise RuntimeError("starved")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=upserter, args=(lo,)) for lo in (0, 20)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert len(rows) == 40
+    for i in list(range(0, 10)) + list(range(20, 30)):
+        assert rows[i] == i * 100, (i, rows[i])
+    for i in list(range(10, 20)) + list(range(30, 40)):
+        assert rows[i] == i * 2, (i, rows[i])
