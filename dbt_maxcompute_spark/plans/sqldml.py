@@ -214,6 +214,19 @@ _INSERT_RE = re.compile(
     re.IGNORECASE,
 )
 _MERGE_RE = re.compile(r"^\s*MERGE\s+INTO\s+", re.IGNORECASE)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<tbl>[A-Za-z_][\w.]*)"
+    r"(?:\s+ZORDER\s+BY\s+\(?(?P<cols>[\w.,\s]+?)\)?)?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<tbl>[A-Za-z_][\w.]*)"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[A-Za-z_][\w.]*)\s*$", re.IGNORECASE
+)
 
 
 def classify(stmt: str):
@@ -269,6 +282,21 @@ def classify(stmt: str):
         return ("insert", m.group("tbl"), m.group("mode").upper() == "OVERWRITE", cols, rest.strip())
     if _MERGE_RE.match(masked):
         return ("merge", parse_merge(stmt, masked))
+    m = _OPTIMIZE_RE.match(masked)
+    if m:
+        cols = (
+            [c.strip() for c in stmt[m.start("cols"):m.end("cols")].split(",")]
+            if m.group("cols")
+            else None
+        )
+        return ("optimize", m.group("tbl"), cols)
+    m = _VACUUM_RE.match(masked)
+    if m:
+        hours = float(m.group("hours")) if m.group("hours") else None
+        return ("vacuum", m.group("tbl"), hours)
+    m = _HISTORY_RE.match(masked)
+    if m:
+        return ("history", m.group("tbl"))
     return None
 
 
@@ -427,6 +455,35 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
     if op == "merge":
         n = _exec_merge(catalog, parsed[1])
         return _summary(catalog, "MERGE", parsed[1].target, n)
+    if op == "optimize":
+        # Delta's OPTIMIZE [ZORDER BY (...)] surface: compaction +
+        # (optionally multi-dimension Z-curve) clustering in one commit
+        _, tbl, cols = parsed
+        t = _require_txn(catalog, tbl, "OPTIMIZE")
+        v = t.optimize(cluster_by=cols, zorder=bool(cols and len(cols) > 1))
+        return _summary(catalog, "OPTIMIZE", tbl, v)
+    if op == "vacuum":
+        _, tbl, hours = parsed
+        t = _require_txn(catalog, tbl, "VACUUM")
+        kw = {"retention_seconds": hours * 3600.0} if hours is not None else {}
+        removed = t.vacuum(**kw)
+        return _summary(catalog, "VACUUM", tbl, len(removed))
+    if op == "history":
+        _, tbl = parsed
+        t = _require_txn(catalog, tbl, "DESCRIBE HISTORY")
+        hist = t.history()
+        return catalog.spark.createDataFrame(
+            [
+                (
+                    int(e["version"]),
+                    int(e.get("n_add") or 0),
+                    int(e.get("n_remove") or 0),
+                    float(e["committed_at"]) if e.get("committed_at") else None,
+                )
+                for e in hist
+            ],
+            "version bigint, n_add bigint, n_remove bigint, committed_at double",
+        )
     raise AssertionError(op)
 
 

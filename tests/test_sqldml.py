@@ -174,3 +174,24 @@ def test_execute_script_mixed_dml(spark, cat):
     # ids 0..7 survive; v doubled for 0,1 → sum = (0+10)*2 + 20..70
     assert row.n == 8
     assert row.total == (0 + 10) * 2 + sum(i * 10 for i in range(2, 8))
+
+
+def test_sql_optimize_vacuum_history(spark, cat):
+    _mk(cat, spark, n=30)
+    cat.execute("INSERT INTO t SELECT id + 500, v, s FROM t WHERE id < 5")
+    out = cat.execute("OPTIMIZE t ZORDER BY (id, v)").collect()[0]
+    assert out.operation == "OPTIMIZE"
+    assert cat.read("t").count() == 35
+    hist = cat.execute("DESCRIBE HISTORY t").collect()
+    assert [r.version for r in hist] == [0, 1, 2]
+    vac = cat.execute("VACUUM t RETAIN 0 HOURS").collect()[0]
+    assert vac.operation == "VACUUM" and vac.affected_rows >= 1
+    assert cat.read("t").count() == 35  # live snapshot untouched
+
+
+def test_sql_optimize_requires_transactional(spark, cat):
+    cat.create_table("plain", spark.range(3).select("id"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="transactional"):
+        cat.execute("OPTIMIZE plain")
