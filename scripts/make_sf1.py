@@ -76,11 +76,25 @@ def main() -> None:
         for tbl, col in members
     }
 
+    def write_single_file(df, tbl: str) -> None:
+        # match the driver fixture layout exactly: ONE parquet FILE per
+        # table (the streaming suites symlink `<tbl>.parquet` as a file
+        # into their source dirs; Spark splits single files by row
+        # group, so scan parallelism survives)
+        import shutil
+
+        stage = f"{OUT}/.stage_{tbl}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = f"{OUT}/{tbl}.parquet"
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.replace(os.path.join(stage, part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+
     os.makedirs(OUT, exist_ok=True)
     for tbl in FIXED:
-        spark.read.parquet(f"{SRC}/{tbl}.parquet").write.mode("overwrite").parquet(
-            f"{OUT}/{tbl}.parquet"
-        )
+        write_single_file(spark.read.parquet(f"{SRC}/{tbl}.parquet"), tbl)
         print(f"{tbl}: copied (fixed dim)")
 
     for tbl in SCALED:
@@ -114,7 +128,7 @@ def main() -> None:
                 ),
             ).withColumn("n_chars", F.length("text").cast("long"))
         out = out.drop("__i")
-        out.repartition(32).write.mode("overwrite").parquet(f"{OUT}/{tbl}.parquet")
+        write_single_file(out, tbl)
         n = spark.read.parquet(f"{OUT}/{tbl}.parquet").count()
         print(f"{tbl}: {n} rows")
 
