@@ -110,6 +110,16 @@ def main() -> None:
                 out = out.withColumn(
                     col, F.col(col) + F.col("__i").cast("long") * F.lit(off)
                 )
+        if tbl == "embeddings":
+            # label is a BLOCKING key (bounded-size block stand-in for
+            # an LSH bucket in the blocked self-join operators); keep
+            # blocks copy-local so block SIZE stays constant under the
+            # scale-up — identical labels across copies would grow
+            # every block 10x and quadratic pair growth would measure
+            # the replication artifact, not the operator
+            out = out.withColumn(
+                "label", F.col("label") + F.col("__i") * F.lit(1000)
+            )
         if tbl == "documents":
             # copy-distinct text: suffix every word with the copy id
             # (copy 0 untouched) — kills cross-copy shingle overlap

@@ -60,6 +60,11 @@ def main() -> int:
         tag = ""
         if fl:
             tag = "floor-adj"
+            # a run AT or UNDER its floor has no measurable
+            # data-dependent part — the exponent is pure noise
+            # amplification (e.g. 3.7s vs a 4.5s floor → a1/1e-3)
+            if t0 < fl * 1.1 or t1 < fl * 1.1:
+                tag = "floor-dominated"
         if t0 < MIN_BASE_S:
             tag = (tag + " tiny").strip()
         rows.append((name, (t0, t1), e, tag))
@@ -70,12 +75,12 @@ def main() -> int:
             print(f"{name:42s}  {tag}")
             continue
         mark = ""
-        if e > args.flag and "tiny" not in tag:
+        if e > args.flag and "tiny" not in tag and "dominated" not in tag:
             mark = " <-- SUPER-LINEAR"
             flagged.append(name)
         print(f"{name:42s} {ts[0]:8.2f}s -> {ts[1]:8.2f}s  e={e:+.2f} {tag}{mark}")
 
-    es = [e for _, ts, e, tag in rows if ts and "tiny" not in tag]
+    es = [e for _, ts, e, tag in rows if ts and "tiny" not in tag and "dominated" not in tag]
     if es:
         es.sort()
         print(
