@@ -223,14 +223,75 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_sql_maintenance_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Delta-style maintenance surface as SQL (round-5 §2.11):
+    # OPTIMIZE ... ZORDER BY rewrites the table clustered in ONE commit,
+    # DESCRIBE HISTORY exposes the ledger, VACUUM reclaims dead files —
+    # and none of it may change visible DATA. The driver-checkable
+    # claim: after appends + OPTIMIZE + VACUUM, (a) the ledger has
+    # exactly [create, append, optimize] with the optimize replacing
+    # every file, (b) vacuum removed at least the pre-optimize files,
+    # and (c) the table's aggregate still equals the DuckDB oracle
+    # computed from the raw input — maintenance is value-neutral.
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="sqlmaint_wh_"))
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 11 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    cat.create_table(
+        "li", li.filter(F.col("l_linenumber") <= 3),
+        transactional=True, primary_keys=["l_orderkey", "l_linenumber"],
+    )
+    li.createOrReplaceTempView("__maint_src")
+    cat.execute("INSERT INTO li SELECT * FROM __maint_src WHERE l_linenumber > 3")
+    hist0 = cat.execute("DESCRIBE HISTORY li").collect()
+    opt = cat.execute("OPTIMIZE li ZORDER BY (l_orderkey, l_quantity)").collect()[0]
+    hist = cat.execute("DESCRIBE HISTORY li").collect()
+    vac = cat.execute("VACUUM li RETAIN 0 HOURS").collect()[0]
+    agg = cat.execute(
+        """SELECT count(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
+           FROM li"""
+    ).collect()[0]
+    last = hist[-1]
+    return spark.createDataFrame(
+        [
+            (
+                int(agg.n),
+                float(agg.qty),
+                bool(len(hist0) == 2 and len(hist) == 3),
+                bool(last.n_add >= 1 and last.n_remove >= 1),
+                bool(opt.operation == "OPTIMIZE"),
+                bool(vac.affected_rows >= 1),
+            )
+        ],
+        "n bigint, qty double, ledger_shape boolean, optimize_rewrote boolean, "
+        "optimize_ran boolean, vacuum_reclaimed boolean",
+    )
+
+
+ORACLE_SQL_MAINTENANCE = """
+SELECT count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty,
+       TRUE AS ledger_shape, TRUE AS optimize_rewrote,
+       TRUE AS optimize_ran, TRUE AS vacuum_reclaimed
+FROM lineitem WHERE l_orderkey % 11 = 0
+"""
+
+
 QUERIES = {
     "sql_dml_script": q_sql_dml_script,
     "ann_ivf_indexed_topk": q_ann_ivf_indexed,
     "mv_rewrite_containment": q_mv_rewrite_containment,
+    "sql_maintenance_script": q_sql_maintenance_script,
 }
 
 ORACLES = {
     "sql_dml_script": ORACLE_SQL_DML_SCRIPT,
     "ann_ivf_indexed_topk": ORACLE_ANN_IVF_INDEXED,
     "mv_rewrite_containment": ORACLE_MV_CONTAINMENT,
+    "sql_maintenance_script": ORACLE_SQL_MAINTENANCE,
 }

@@ -79,12 +79,21 @@ def main() -> None:
     def write_single_file(df, tbl: str) -> None:
         # match the driver fixture layout exactly: ONE parquet FILE per
         # table (the streaming suites symlink `<tbl>.parquet` as a file
-        # into their source dirs; Spark splits single files by row
-        # group, so scan parallelism survives)
+        # into their source dirs), but with ~8 MB ROW GROUPS so Spark's
+        # file-range splitting still parallelizes the scan — a
+        # single-row-group 6M-row file pins every scan stage to one
+        # task, and a "growth exponent" then measures the serialization
+        # artifact, not the operator (a real 100 TB table has thousands
+        # of splits)
         import shutil
 
         stage = f"{OUT}/.stage_{tbl}"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.block.size", 8 * 1024 * 1024)
+            .parquet(stage)
+        )
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
         dst = f"{OUT}/{tbl}.parquet"
         if os.path.isdir(dst):
