@@ -58,6 +58,7 @@ _PRIORITY = [
     "sql_dml_script",
     "ann_ivf_indexed_topk",
     "mv_rewrite_containment",
+    "sql_maintenance_script",
     # r2-last: text analysis / multimodal / sampling / events families
     "text_repetition",
     "text_stats",
