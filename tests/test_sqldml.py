@@ -195,3 +195,67 @@ def test_sql_optimize_requires_transactional(spark, cat):
 
     with _pytest.raises(ValueError, match="transactional"):
         cat.execute("OPTIMIZE plain")
+
+
+# -- pure parsing for the maintenance + insert surface (no Spark) -----------
+
+def test_classify_maintenance_statements():
+    op, tbl, cols = sqldml.classify("OPTIMIZE core.t ZORDER BY (a, b)")
+    assert (op, tbl, cols) == ("optimize", "core.t", ["a", "b"])
+    op, tbl, cols = sqldml.classify("optimize t")
+    assert (op, tbl, cols) == ("optimize", "t", None)
+    op, tbl, hours = sqldml.classify("VACUUM t RETAIN 168 HOURS")
+    assert (op, tbl, hours) == ("vacuum", "t", 168.0)
+    op, tbl, hours = sqldml.classify("VACUUM t")
+    assert hours is None
+    op, tbl = sqldml.classify("DESCRIBE HISTORY core.t")
+    assert (op, tbl) == ("history", "core.t")
+    # DESCRIBE TABLE must NOT route to history
+    assert sqldml.classify("DESCRIBE TABLE t") is None
+
+
+def test_classify_insert_variants():
+    op, tbl, over, cols, q = sqldml.classify(
+        "INSERT OVERWRITE TABLE t SELECT * FROM s"
+    )
+    assert (op, over, cols) == ("insert", True, [])
+    op, tbl, over, cols, q = sqldml.classify("INSERT INTO t VALUES (1, 'a')")
+    assert (op, over, cols) == ("insert", False, [])
+    assert q.startswith("VALUES")
+    # parenthesised subquery (not a column list) stays in the query
+    op, tbl, over, cols, q = sqldml.classify(
+        "INSERT INTO t (SELECT a FROM s) UNION ALL (SELECT b FROM u)"
+    )
+    assert cols == [] and q.startswith("(SELECT")
+
+
+def test_classify_delete_without_where():
+    op, tbl, where = sqldml.classify("DELETE FROM t")
+    assert (op, tbl, where) == ("delete", "t", None)
+    # WHERE inside a string literal is not a clause boundary
+    op, tbl, where = sqldml.classify("DELETE FROM t WHERE s = ' WHERE '")
+    assert where == "s = ' WHERE '"
+
+
+def test_time_travel_regex_scope():
+    import re
+
+    m = re.search(sqldml._TT_RE, sqldml.mask_sql(
+        "SELECT * FROM t FOR VERSION AS OF 12 JOIN u ON t.k = u.k"
+    ), re.IGNORECASE)
+    assert m and m.group("ver") == "12"
+    # quoted text never matches
+    assert not re.search(sqldml._TT_RE, sqldml.mask_sql(
+        "SELECT 't FOR VERSION AS OF 3' AS lit"
+    ), re.IGNORECASE)
+
+
+def test_merge_parser_rejects_malformed():
+    with pytest.raises(ValueError, match="USING"):
+        sqldml.classify("MERGE INTO t WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="WHEN"):
+        sqldml.classify("MERGE INTO t USING s ON t.k = s.k")
+    with pytest.raises(ValueError, match="NOT MATCHED THEN UPDATE"):
+        sqldml.classify(
+            "MERGE INTO t USING s ON t.k = s.k WHEN NOT MATCHED THEN UPDATE SET v = 1"
+        )
