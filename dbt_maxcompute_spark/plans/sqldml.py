@@ -227,6 +227,21 @@ _VACUUM_RE = re.compile(
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[A-Za-z_][\w.]*)\s*$", re.IGNORECASE
 )
+_CTAS_RE = re.compile(
+    # CREATE TEMP VIEW / CREATE VIEW never match (no TABLE keyword) and
+    # stay with spark.sql
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?P<txn>TRANSACTIONAL\s+)?TABLE\s+"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s+"
+    r"(?:PRIMARY\s+KEY\s*\((?P<pk>[\w,\s]+)\)\s+)?AS\s+",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<tbl>[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s*$", re.IGNORECASE
+)
 
 
 def classify(stmt: str):
@@ -297,6 +312,28 @@ def classify(stmt: str):
     m = _HISTORY_RE.match(masked)
     if m:
         return ("history", m.group("tbl"))
+    m = _CTAS_RE.match(masked)
+    if m:
+        pk = (
+            [c.strip() for c in stmt[m.start("pk"):m.end("pk")].split(",")]
+            if m.group("pk")
+            else None
+        )
+        return (
+            "ctas",
+            m.group("tbl"),
+            bool(m.group("replace")),
+            bool(m.group("txn")),
+            pk,
+            stmt[m.end():].strip(),
+        )
+    m = _DROP_RE.match(masked)
+    if m:
+        if_exists = "IF" in masked.upper()
+        return ("drop", m.group("tbl"), if_exists)
+    m = _TRUNCATE_RE.match(masked)
+    if m:
+        return ("truncate", m.group("tbl"))
     return None
 
 
@@ -468,6 +505,31 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         kw = {"retention_seconds": hours * 3600.0} if hours is not None else {}
         removed = t.vacuum(**kw)
         return _summary(catalog, "VACUUM", tbl, len(removed))
+    if op == "ctas":
+        _, tbl, replace, txn, pk, query = parsed
+        df = catalog.sql(rewrite_time_travel(catalog, query))
+        if replace and catalog.exists(tbl):
+            catalog.drop(tbl)
+        kw = {}
+        if txn:
+            # TRANSACTIONAL TABLE ... PRIMARY KEY (...) mirrors the
+            # reference's create.sql:44-49 surface in one statement
+            kw = {"transactional": True, "primary_keys": pk or []}
+        catalog.create_table(tbl, df, **kw)
+        return _summary(catalog, "CREATE TABLE", tbl, df.count())
+    if op == "drop":
+        _, tbl, if_exists = parsed
+        if not catalog.exists(tbl):
+            if if_exists:
+                return _summary(catalog, "DROP TABLE", tbl, 0)
+            raise ValueError(f"table not found: {tbl}")
+        catalog.drop(tbl)
+        return _summary(catalog, "DROP TABLE", tbl, 1)
+    if op == "truncate":
+        _, tbl = parsed
+        n = catalog.read(tbl).count()
+        catalog.truncate(tbl)
+        return _summary(catalog, "TRUNCATE TABLE", tbl, n)
     if op == "history":
         _, tbl = parsed
         t = _require_txn(catalog, tbl, "DESCRIBE HISTORY")

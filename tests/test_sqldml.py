@@ -259,3 +259,43 @@ def test_merge_parser_rejects_malformed():
         sqldml.classify(
             "MERGE INTO t USING s ON t.k = s.k WHEN NOT MATCHED THEN UPDATE SET v = 1"
         )
+
+
+def test_classify_ctas_drop_truncate():
+    op, tbl, replace, txn, pk, q = sqldml.classify(
+        "CREATE TABLE agg AS SELECT k, count(*) AS n FROM t GROUP BY k"
+    )
+    assert (op, tbl, replace, txn, pk) == ("ctas", "agg", False, False, None)
+    assert q.startswith("SELECT")
+    op, tbl, replace, txn, pk, q = sqldml.classify(
+        "CREATE OR REPLACE TRANSACTIONAL TABLE t2 PRIMARY KEY (k1, k2) AS SELECT * FROM t"
+    )
+    assert (replace, txn, pk) == (True, True, ["k1", "k2"])
+    assert sqldml.classify("CREATE OR REPLACE TEMP VIEW v AS SELECT 1") is None
+    assert sqldml.classify("DROP TABLE IF EXISTS core.t") == ("drop", "core.t", True)
+    assert sqldml.classify("TRUNCATE TABLE t") == ("truncate", "t")
+
+
+def test_ctas_drop_truncate_execute(spark, cat):
+    _mk(cat, spark, n=6)
+    out = cat.execute(
+        "CREATE TABLE agg AS SELECT CAST(id % 2 AS BIGINT) AS even, "
+        "CAST(sum(v) AS BIGINT) AS sv FROM t GROUP BY id % 2"
+    ).collect()[0]
+    assert out.operation == "CREATE TABLE" and out.affected_rows == 2
+    rows = {r.even: r.sv for r in cat.read("agg").collect()}
+    assert rows == {0: (0 + 2 + 4) * 10, 1: (1 + 3 + 5) * 10}
+    # CTAS into a TRANSACTIONAL table lands version 0 in the log
+    cat.execute(
+        "CREATE TRANSACTIONAL TABLE t2 PRIMARY KEY (id) AS SELECT id, v FROM t"
+    )
+    assert cat.meta("t2").transactional
+    assert cat.txn("t2").latest_version() == 0
+    n = cat.execute("TRUNCATE TABLE agg").collect()[0]
+    assert n.affected_rows == 2 and cat.read("agg").count() == 0
+    cat.execute("DROP TABLE agg")
+    assert not cat.exists("agg")
+    # IF EXISTS is a no-op on a missing table; bare DROP raises
+    assert cat.execute("DROP TABLE IF EXISTS agg").collect()[0].affected_rows == 0
+    with pytest.raises(ValueError, match="not found"):
+        cat.execute("DROP TABLE agg")
