@@ -95,13 +95,16 @@ def bloom_might_contain(
     return test
 
 
-#: bitmaps up to this many bits embed as a plan literal (2^22 bits =
-#: 64K longs ≈ 512 KiB — comfortably plan-sized); larger ones ship as
-#: BROADCAST DATA instead, because a plan literal is serialized into
-#: every task description, pretty-printed by explain, and held by the
-#: driver — at a billion-key build (m ≈ 2^33, ~1 GiB) that kills the
-#: driver long before the filter runs.
-LITERAL_MAX_BITS = 1 << 22
+#: bitmaps up to this many bits embed as a plan literal (2^17 bits =
+#: 2048 longs ≈ 16 KiB); larger ones ship as BROADCAST DATA instead —
+#: for correctness at the top (a billion-key build's m ≈ 2^33 ≈ 1 GiB
+#: literal would kill the driver: plan literals are serialized into
+#: every task description and pretty-printed by explain), and for
+#: SPEED well before that: measured at sf0.1 with m = 2^20, the
+#: literal path runs 9.5-12.2 s vs 7.2-8.5 s for the broadcast path —
+#: codegen over a 16K-element literal array costs more than the
+#: single-row BroadcastNestedLoopJoin that replaces it.
+LITERAL_MAX_BITS = 1 << 17
 
 
 def bloom_words(df: DataFrame, key: Column, m_bits: int, k: int = 7) -> DataFrame:
