@@ -236,7 +236,7 @@ _CTAS_RE = re.compile(
     re.IGNORECASE,
 )
 _DROP_RE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<tbl>[A-Za-z_][\w.]*)\s*$",
+    r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<tbl>[A-Za-z_][\w.]*)\s*$",
     re.IGNORECASE,
 )
 _TRUNCATE_RE = re.compile(
@@ -329,8 +329,7 @@ def classify(stmt: str):
         )
     m = _DROP_RE.match(masked)
     if m:
-        if_exists = "IF" in masked.upper()
-        return ("drop", m.group("tbl"), if_exists)
+        return ("drop", m.group("tbl"), bool(m.group("ifex")))
     m = _TRUNCATE_RE.match(masked)
     if m:
         return ("truncate", m.group("tbl"))
