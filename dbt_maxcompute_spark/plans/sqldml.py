@@ -684,8 +684,11 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
     ta, sa = m.target_alias, m.source_alias
     if m.source_is_query:
         src = catalog.sql(rewrite_time_travel(catalog, m.source_sql))
-    else:
+    elif catalog.exists(m.source_sql):
         src = catalog.read(m.source_sql)
+    else:
+        # session temp views are legal MERGE sources too
+        src = catalog.spark.table(m.source_sql)
 
     affected = 0
     for attempt in range(_TXN_MAX_ATTEMPTS):

@@ -299,3 +299,16 @@ def test_ctas_drop_truncate_execute(spark, cat):
     assert cat.execute("DROP TABLE IF EXISTS agg").collect()[0].affected_rows == 0
     with pytest.raises(ValueError, match="not found"):
         cat.execute("DROP TABLE agg")
+
+
+def test_merge_source_can_be_temp_view(spark, cat):
+    _mk(cat, spark, n=5)
+    spark.createDataFrame([(2, 999)], "id long, v long").createOrReplaceTempView(
+        "tv_src"
+    )
+    cat.execute(
+        "MERGE INTO t USING tv_src AS up ON t.id = up.id "
+        "WHEN MATCHED THEN UPDATE SET v = up.v"
+    )
+    rows = {r.id: r.v for r in cat.read("t").collect()}
+    assert rows[2] == 999 and rows[3] == 30
