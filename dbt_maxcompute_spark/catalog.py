@@ -500,17 +500,14 @@ class EngineCatalog:
             reader = reader.schema(schema)
         return reader.parquet(self.table_dir(name))
 
-    def sql(self, query: str, mv_rewrite: bool = True) -> DataFrame:
-        """Run SQL with every catalog table registered (schema-qualified
-        names become schema_table temp views; bare names too for the
-        default schema).
-
-        ``mv_rewrite=True`` (default) first tries to answer the query
-        from a materialized view whose stored defining query matches it
-        (exact text or container rollup — plans/mv_rewrite.py), honoring
-        each MV's ``disable_rewrite`` flag; any miss or analysis error
-        falls back to the original query transparently. MV build/refresh
-        paths pass False (a defining query must never read its own MV)."""
+    def register_views(self) -> list[tuple[str, str]]:
+        """Register every catalog table as a session temp view (bare
+        name for the default schema, ``schema_table`` for all), with
+        transactional tables bound to their SNAPSHOT (a directory
+        listing would also pick up dead and staged-uncommitted files).
+        Returns the MV rewrite candidates. Called by :meth:`sql` and by
+        the SQL DML executors, whose conditions may contain subqueries
+        over other catalog tables."""
         rewrite_candidates: list[tuple[str, str]] = []
         for schema in self.list_schemas():
             for t in self.list_tables(schema):
@@ -519,8 +516,6 @@ class EngineCatalog:
                 if m.table_type == "view":
                     continue  # views resolve recursively via their SQL
                 if m.transactional:
-                    # snapshot read: a directory listing would also pick
-                    # up dead (pre-overwrite) and staged-uncommitted files
                     df = self.read(full)
                 else:
                     df = self.spark.read.parquet(self.table_dir(full))
@@ -534,6 +529,20 @@ class EngineCatalog:
                     and not (m.mv_config or {}).get("build_deferred")
                 ):
                     rewrite_candidates.append((f"{schema}_{t}", m.view_sql))
+        return rewrite_candidates
+
+    def sql(self, query: str, mv_rewrite: bool = True) -> DataFrame:
+        """Run SQL with every catalog table registered (schema-qualified
+        names become schema_table temp views; bare names too for the
+        default schema).
+
+        ``mv_rewrite=True`` (default) first tries to answer the query
+        from a materialized view whose stored defining query matches it
+        (exact text or container rollup — plans/mv_rewrite.py), honoring
+        each MV's ``disable_rewrite`` flag; any miss or analysis error
+        falls back to the original query transparently. MV build/refresh
+        paths pass False (a defining query must never read its own MV)."""
+        rewrite_candidates = self.register_views()
         if mv_rewrite and rewrite_candidates:
             from dbt_maxcompute_spark.plans.mv_rewrite import try_rewrite
 

@@ -242,6 +242,38 @@ _DROP_RE = re.compile(
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s*$", re.IGNORECASE
 )
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+ADD\s+COLUMNS?\s+"
+    r"(?P<cols>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+DROP\s+COLUMNS?\s+"
+    r"(?P<cols>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_CHANGE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+"
+    r"(?:ALTER|CHANGE)\s+COLUMN\s+(?P<col>\w+)\s+(?:TYPE\s+)?"
+    r"(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _strip_outer_parens(text: str) -> str:
+    """Remove ONE balanced outer paren pair if it wraps the whole text."""
+    s = text.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        return s
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and i < len(s) - 1:
+                return s  # closes early: not a wrapping pair
+    return s[1:-1].strip()
 
 
 def classify(stmt: str):
@@ -333,6 +365,24 @@ def classify(stmt: str):
     m = _TRUNCATE_RE.match(masked)
     if m:
         return ("truncate", m.group("tbl"))
+    m = _ALTER_ADD_RE.match(masked)
+    if m:
+        text = _strip_outer_parens(stmt[m.start("cols"):m.end("cols")])
+        add: dict[str, str] = {}
+        for part in _split_top_level(text, mask_sql(text)):
+            toks = part.strip().split(None, 1)
+            if len(toks) != 2:
+                raise ValueError(f"ALTER ADD COLUMNS: malformed {part!r}")
+            add[toks[0].strip("`")] = toks[1].strip()
+        return ("alter_add", m.group("tbl"), add)
+    m = _ALTER_DROP_RE.match(masked)
+    if m:
+        text = _strip_outer_parens(stmt[m.start("cols"):m.end("cols")])
+        cols = [c.strip().strip("`") for c in text.split(",")]
+        return ("alter_drop", m.group("tbl"), cols)
+    m = _ALTER_CHANGE_RE.match(masked)
+    if m:
+        return ("alter_type", m.group("tbl"), m.group("col"), m.group("type"))
     return None
 
 
@@ -529,6 +579,20 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         n = catalog.read(tbl).count()
         catalog.truncate(tbl)
         return _summary(catalog, "TRUNCATE TABLE", tbl, n)
+    if op == "alter_add":
+        _, tbl, add = parsed
+        catalog.add_remove_columns(tbl, add=add)
+        return _summary(catalog, "ALTER TABLE ADD COLUMNS", tbl, len(add))
+    if op == "alter_drop":
+        _, tbl, cols = parsed
+        catalog.add_remove_columns(tbl, remove=cols)
+        return _summary(catalog, "ALTER TABLE DROP COLUMNS", tbl, len(cols))
+    if op == "alter_type":
+        _, tbl, col, new_type = parsed
+        # string-family expansion only — the catalog enforces the
+        # reference's can_expand_to contract and raises otherwise
+        catalog.alter_column_type(tbl, col, new_type)
+        return _summary(catalog, "ALTER TABLE CHANGE COLUMN", tbl, 1)
     if op == "history":
         _, tbl = parsed
         t = _require_txn(catalog, tbl, "DESCRIBE HISTORY")
@@ -567,6 +631,10 @@ def _exec_delete(catalog: "EngineCatalog", tbl: str, where: str | None) -> int:
     from dbt_maxcompute_spark.txnlog import CommitConflict
 
     t = _require_txn(catalog, tbl, "DELETE")
+    # conditions may contain subqueries over other catalog tables
+    # (the reference's delete+insert issues tuple-IN DELETEs —
+    # merge.sql:75-83); Spark resolves them against the temp views
+    catalog.register_views()
     if where is None:
         # unconditional delete = truncate: one empty-overwrite commit
         snap_df = t.read()
@@ -594,6 +662,7 @@ def _exec_update(
     from dbt_maxcompute_spark.txnlog import CommitConflict
 
     t = _require_txn(catalog, tbl, "UPDATE")
+    catalog.register_views()  # subquery-capable WHERE, as in DELETE
     cond = F.expr(where) if where is not None else F.lit(True)
     affected = 0
     for attempt in range(_TXN_MAX_ATTEMPTS):

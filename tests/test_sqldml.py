@@ -312,3 +312,47 @@ def test_merge_source_can_be_temp_view(spark, cat):
     )
     rows = {r.id: r.v for r in cat.read("t").collect()}
     assert rows[2] == 999 and rows[3] == 30
+
+
+def test_sql_delete_with_in_subquery(spark, cat):
+    """The reference's delete+insert shape: DELETE ... WHERE (keys) IN
+    (SELECT keys FROM src) as plain SQL — subqueries over other catalog
+    tables resolve against the registered views."""
+    _mk(cat, spark, n=10)
+    cat.create_table(
+        "blocklist", spark.createDataFrame([(2,), (5,), (7,)], "bad_id long")
+    )
+    out = cat.execute(
+        "DELETE FROM t WHERE id IN (SELECT bad_id FROM blocklist)"
+    ).collect()[0]
+    assert out.affected_rows == 3
+    assert sorted(r.id for r in cat.read("t").collect()) == [0, 1, 3, 4, 6, 8, 9]
+
+
+def test_sql_update_with_scalar_subquery(spark, cat):
+    _mk(cat, spark, n=5)
+    cat.create_table("ref", spark.createDataFrame([(1000,)], "base long"))
+    cat.execute(
+        "UPDATE t SET v = v + (SELECT max(base) FROM ref) WHERE id >= 3"
+    )
+    rows = {r.id: r.v for r in cat.read("t").collect()}
+    assert rows[2] == 20 and rows[3] == 1030 and rows[4] == 1040
+
+
+def test_alter_table_sql(spark, cat):
+    _mk(cat, spark, n=3)
+    cat.create_table("plain", spark.range(3).select("id"))
+    cat.execute("ALTER TABLE plain ADD COLUMNS (note string, score double)")
+    assert dict(cat.columns("plain")) == {
+        "id": "bigint", "note": "string", "score": "double",
+    }
+    cat.execute("ALTER TABLE plain DROP COLUMN score")
+    assert "score" not in dict(cat.columns("plain"))
+    # parquet erases varchar length: the stored type is string, so a
+    # re-type to bounded varchar(20) is NARROWING and must refuse —
+    # as must any non-string-family retype (can_expand_to contract)
+    cat.execute("ALTER TABLE plain ADD COLUMN tag varchar(5)")
+    with pytest.raises(ValueError, match="expansion"):
+        cat.execute("ALTER TABLE plain ALTER COLUMN tag TYPE varchar(20)")
+    with pytest.raises(ValueError, match="expansion"):
+        cat.execute("ALTER TABLE plain ALTER COLUMN id TYPE int")
