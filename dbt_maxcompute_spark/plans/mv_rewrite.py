@@ -45,7 +45,13 @@ _SQL_KEYWORDS = frozenset(
 )
 
 _ROLLUP_RX = re.compile(
-    r"^select\s+(?P<select>.+?)\s+from\s+(?P<table>[\w.]+)"
+    # <table> is the whole FROM text: a bare table name OR a join tree
+    # ("a join b on ..."). Join-containing MVs rewrite when the user's
+    # normalized FROM text is IDENTICAL to the MV's (plus the usual
+    # key/aggregate/predicate containment) — equal text ⇒ equal
+    # relation, so the match stays fail-closed; differently-written
+    # but equivalent joins simply fall back to the base tables.
+    r"^select\s+(?P<select>.+?)\s+from\s+(?P<table>.+?)"
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"\s+group\s+by\s+(?P<group>[\w,\s.]+?)"
     r"(?:\s+order\s+by\s+(?P<order>.+?))?$",

@@ -261,3 +261,53 @@ def test_containment_rewrite_values_match_base(spark, tmp_path, sf_dir):
     assert "mvf" in files and "lineitem" not in files
     want = cat.sql(user, mv_rewrite=False).collect()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+
+
+# ---------------------------------------------------------------------------
+# join-containing MVs (round 5): exact-FROM-text match
+# ---------------------------------------------------------------------------
+
+JOIN_MV_SQL = """
+SELECT o_orderstatus, l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus, l_returnflag
+"""
+
+
+def test_join_mv_rewrites_on_identical_from_text():
+    user = """
+    SELECT o_orderstatus, count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """
+    out = try_rewrite(user, [("default_mvj", JOIN_MV_SQL)])
+    assert out is not None and "default_mvj" in out
+    assert "join" not in out.lower()  # the join itself is gone
+
+
+def test_join_mv_no_rewrite_on_different_join_text():
+    user = """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """
+    assert try_rewrite(user, [("default_mvj", JOIN_MV_SQL)]) is None
+
+
+def test_join_mv_values_match_base(spark, tmp_path, sf_dir):
+    cat = EngineCatalog(spark, str(tmp_path / "whj"))
+    cat.create_table("lineitem", load_table(spark, sf_dir, "lineitem"))
+    cat.create_table("orders", load_table(spark, sf_dir, "orders"))
+    create_materialized_view(cat, "mvj", JOIN_MV_SQL)
+    user = """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """
+    got = cat.sql(user)
+    files = "\n".join(got.inputFiles())
+    assert "mvj" in files and "lineitem" not in files
+    want = cat.sql(user, mv_rewrite=False).collect()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
