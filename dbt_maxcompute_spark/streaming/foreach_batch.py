@@ -90,3 +90,47 @@ def stream_into_txn_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_upsert_txn_table(
+    stream: DataFrame,
+    table,
+    keys: list[str],
+    app_id: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """EXACTLY-ONCE streaming key-upsert into a transaction-log table.
+
+    Each micro-batch commits through :meth:`TxnTable.idempotent_upsert`:
+    the deletion vector (marking superseded target rows), the appended
+    source files, and the ``(app_id, batch_id)`` txn marker land in ONE
+    atomic commit. Plain merge-per-batch is only key-idempotent —
+    a replayed batch still commits a new version and re-deletes rows;
+    here the replay finds its batch id in the ledger and commits
+    NOTHING, so both the data and the version history are replay-clean.
+    CDC-style streaming upsert with Delta semantics, on vanilla parquet.
+    """
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # a micro-batch can legitimately carry several rows per key
+        # (multiple updates within the trigger window): keep the LAST
+        # occurrence per key — arrival order within a batch is the
+        # stream's order contract
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        table.idempotent_upsert(latest, keys, app_id, batch_id)
+
+    writer = stream.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -375,7 +375,12 @@ class TxnTable:
         return self.snapshot().app_versions.get(str(app_id))
 
     def delete_insert_dv(
-        self, source: DataFrame, keys: list[str], allow_duplicate_keys: bool = False
+        self,
+        source: DataFrame,
+        keys: list[str],
+        allow_duplicate_keys: bool = False,
+        txn: dict[str, Any] | None = None,
+        base_snapshot: "Snapshot | None" = None,
     ) -> int:
         """Key-based upsert in ONE commit, no file rewrites: a deletion
         vector marks every VISIBLE target row whose key tuple appears
@@ -408,11 +413,11 @@ class TxnTable:
             )
             if dup:
                 raise ValueError("delete_insert_dv: duplicate key tuples in source")
-        snap = self.snapshot()
+        snap = base_snapshot if base_snapshot is not None else self.snapshot()
         if not snap.files:
             # nothing to match: the upsert degenerates to an append
             adds = self._stage_files(source)
-            return self._commit(snap.version + 1, adds, source.schema.json())
+            return self._commit(snap.version + 1, adds, source.schema.json(), txn=txn)
         if snap.schema_json:
             schema = StructType.fromJson(json.loads(snap.schema_json))
             raw = self.spark.read.schema(schema).parquet(
@@ -442,6 +447,7 @@ class TxnTable:
             snap.version + 1,
             [{"set_dv": dv_name}] + adds,
             source.schema.json(),
+            txn=txn,
         )
 
     def idempotent_append(self, df: DataFrame, app_id: str, batch_id: int) -> bool:
@@ -484,6 +490,44 @@ class TxnTable:
                 continue  # re-read ledger at the new version, re-check, retry
         raise CommitConflict(
             f"idempotent_append lost {16} consecutive commit races at {self.log_path}"
+        )
+
+    def idempotent_upsert(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        app_id: str,
+        batch_id: int,
+        allow_duplicate_keys: bool = False,
+    ) -> bool:
+        """Exactly-once key-upsert for foreachBatch: the deletion-vector
+        delete+insert and the Delta ``txn`` marker land in ONE commit,
+        pinned to the snapshot the ledger check used (same race-free
+        shape as :meth:`idempotent_append`). A replayed micro-batch
+        (driver retry, checkpoint replay, full re-run under the same
+        app id) finds its batch id in the ledger and commits NOTHING —
+        not even a converging re-upsert, so the table's version history
+        stays replay-clean.
+
+        Returns True if the upsert committed, False if skipped."""
+        for _ in range(16):
+            snap = self.snapshot()
+            last = snap.app_versions.get(str(app_id))
+            if last is not None and batch_id <= last:
+                return False
+            try:
+                self.delete_insert_dv(
+                    df,
+                    keys,
+                    allow_duplicate_keys=allow_duplicate_keys,
+                    txn={"app_id": app_id, "batch_id": batch_id},
+                    base_snapshot=snap,
+                )
+                return True
+            except CommitConflict:
+                continue  # re-read ledger at the new version, re-check
+        raise CommitConflict(
+            f"idempotent_upsert lost {16} consecutive commit races at {self.log_path}"
         )
 
     def overwrite(self, df: DataFrame) -> int:

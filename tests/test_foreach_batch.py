@@ -61,3 +61,46 @@ def test_stream_merge_requires_key(spark, sf_dir, tmp_path, cat):
         stream_into_table(
             _events_stream(spark, sf_dir, tmp_path), cat, "x", strategy="merge"
         )
+
+
+def test_stream_upsert_txn_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming DV upsert with replay protection: run the same
+    bounded stream TWICE with the checkpoint deleted in between (the
+    worst-case at-least-once replay). The second run's batches find
+    their ids in the ledger and commit NOTHING — version history and
+    data both replay-clean."""
+    import shutil
+
+    from dbt_maxcompute_spark.streaming.foreach_batch import stream_upsert_txn_table
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TxnTable(spark, str(tmp_path / "txn_upsert"))
+    # pre-seed with stale values for half the ids
+    t.create(
+        ev.filter(F.col("event_id") % 2 == 0).withColumn("value", F.lit(-1.0))
+    )
+
+    def run_once(tag):
+        d = tmp_path / f"src_{tag}"
+        d.mkdir()
+        (d / "events.parquet").symlink_to(table_path(sf_dir, "events"))
+        stream = sw.read_events_stream(spark, str(d)).select(
+            "event_id", "event_type", "value"
+        )
+        q = stream_upsert_txn_table(
+            stream, t, ["event_id"], app_id="upsert_stream",
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination()
+
+    run_once("a")
+    v_after_first = t.latest_version()
+    got = t.read()
+    assert got.count() == ev.count()
+    assert got.filter(F.col("value") == -1.0).count() == 0  # all refreshed
+
+    # full replay: fresh checkpoint, same app id, same batch ids
+    run_once("b")
+    assert t.latest_version() == v_after_first  # ZERO new commits
+    assert t.read().count() == ev.count()
