@@ -59,6 +59,7 @@ _PRIORITY = [
     "ann_ivf_indexed_topk",
     "mv_rewrite_containment",
     "sql_maintenance_script",
+    "stream_txn_upsert",
     # r2-last: text analysis / multimodal / sampling / events families
     "text_repetition",
     "text_stats",

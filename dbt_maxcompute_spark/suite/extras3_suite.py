@@ -282,11 +282,74 @@ FROM lineitem WHERE l_orderkey % 11 = 0
 """
 
 
+def q_stream_txn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exactly-once streaming KEY-UPSERT (CDC shape): the deletion
+    # vector, appended files, and (app_id, batch_id) txn marker land in
+    # ONE commit per micro-batch. The stream upserts fresh values over
+    # a stale pre-seed, then the ENTIRE stream replays under the same
+    # app id with a fresh checkpoint (worst-case at-least-once
+    # delivery) — the ledger makes the replay commit NOTHING: version
+    # count unchanged, values unchanged. Oracle: the plain batch
+    # aggregate of the events table (every stale row refreshed, no
+    # duplicates), plus the replay-cleanliness booleans.
+    import os
+    import tempfile
+
+    from dbt_maxcompute_spark.sources.registry import table_path
+    from dbt_maxcompute_spark.streaming import windows as sw
+    from dbt_maxcompute_spark.streaming.foreach_batch import stream_upsert_txn_table
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    base = tempfile.mkdtemp(prefix="stream_upsert_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TxnTable(spark, os.path.join(base, "tbl"))
+    t.create(ev.filter(F.col("event_id") % 2 == 0).withColumn("value", F.lit(-1.0)))
+
+    def run_once(tag: str) -> None:
+        d = os.path.join(base, f"src_{tag}")
+        os.makedirs(d)
+        os.symlink(table_path(sf_dir, "events"), os.path.join(d, "events.parquet"))
+        stream = sw.read_events_stream(spark, d, max_files_per_trigger=1).select(
+            "event_id", "event_type", "value"
+        )
+        q = stream_upsert_txn_table(
+            stream, t, ["event_id"], app_id="drv_upsert",
+            checkpoint_dir=os.path.join(base, f"ckpt_{tag}"),
+        )
+        q.awaitTermination()
+
+    run_once("a")
+    v1 = t.latest_version()
+    run_once("b")  # full replay, fresh checkpoint, same app id
+    replay_clean = t.latest_version() == v1
+    no_stale = t.read().filter(F.col("value") == -1.0).count() == 0
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+        .withColumn("replay_clean", F.lit(bool(replay_clean)))
+        .withColumn("no_stale_rows", F.lit(bool(no_stale)))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_TXN_UPSERT = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+       TRUE AS replay_clean, TRUE AS no_stale_rows
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "sql_dml_script": q_sql_dml_script,
     "ann_ivf_indexed_topk": q_ann_ivf_indexed,
     "mv_rewrite_containment": q_mv_rewrite_containment,
     "sql_maintenance_script": q_sql_maintenance_script,
+    "stream_txn_upsert": q_stream_txn_upsert,
 }
 
 ORACLES = {
@@ -294,4 +357,5 @@ ORACLES = {
     "ann_ivf_indexed_topk": ORACLE_ANN_IVF_INDEXED,
     "mv_rewrite_containment": ORACLE_MV_CONTAINMENT,
     "sql_maintenance_script": ORACLE_SQL_MAINTENANCE,
+    "stream_txn_upsert": ORACLE_STREAM_TXN_UPSERT,
 }
