@@ -60,6 +60,7 @@ _PRIORITY = [
     "mv_rewrite_containment",
     "sql_maintenance_script",
     "stream_txn_upsert",
+    "txn_change_feed",
     # r2-last: text analysis / multimodal / sampling / events families
     "text_repetition",
     "text_stats",

@@ -344,12 +344,77 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Row-level NET change feed between snapshots (Delta CDF shape,
+    # round 5): create → append → DV upsert, then feed(v0→latest).
+    # An update surfaces as its delete+insert pair; the append-only
+    # interval fast path (zero-shuffle scan of just the added files)
+    # is plan-pinned in tests/test_txnlog.py. Oracle: DuckDB EXCEPT ALL
+    # between the simulated endpoint states.
+    import tempfile
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    t = TxnTable(spark, tempfile.mkdtemp(prefix="cdf_") + "/t")
+    t.create(base.filter(F.col("o_custkey") % 2 == 0))
+    t.append(base.filter(F.col("o_custkey") % 2 != 0))
+    t.delete_insert_dv(
+        base.filter(F.col("o_orderstatus") == "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        ["o_orderkey"],
+    )
+    feed = t.change_feed(0)
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("change_type")
+    )
+
+
+ORACLE_TXN_CHANGE_FEED = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+v0 AS (SELECT * FROM base WHERE o_custkey % 2 = 0),
+final AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM base
+),
+ins AS (SELECT * FROM final EXCEPT ALL SELECT * FROM v0),
+del AS (SELECT * FROM v0 EXCEPT ALL SELECT * FROM final)
+SELECT change_type, n, total FROM (
+  SELECT 'insert' AS change_type, count(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+  FROM ins
+  UNION ALL
+  SELECT 'delete', count(*),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+  FROM del
+) ORDER BY change_type
+"""
+
+
 QUERIES = {
     "sql_dml_script": q_sql_dml_script,
     "ann_ivf_indexed_topk": q_ann_ivf_indexed,
     "mv_rewrite_containment": q_mv_rewrite_containment,
     "sql_maintenance_script": q_sql_maintenance_script,
     "stream_txn_upsert": q_stream_txn_upsert,
+    "txn_change_feed": q_txn_change_feed,
 }
 
 ORACLES = {
@@ -358,4 +423,5 @@ ORACLES = {
     "mv_rewrite_containment": ORACLE_MV_CONTAINMENT,
     "sql_maintenance_script": ORACLE_SQL_MAINTENANCE,
     "stream_txn_upsert": ORACLE_STREAM_TXN_UPSERT,
+    "txn_change_feed": ORACLE_TXN_CHANGE_FEED,
 }

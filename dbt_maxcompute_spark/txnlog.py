@@ -711,6 +711,67 @@ class TxnTable:
             )
         return out
 
+    def change_feed(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level NET change feed between two snapshots (the Delta
+        CDF contract's net form): rows present at ``to_version`` but
+        not at ``from_version`` carry ``_change_type='insert'``, rows
+        present at ``from`` but gone at ``to`` carry ``'delete'`` (an
+        update appears as its delete + insert pair). This is what an
+        incremental MV / downstream sync actually needs: apply deletes,
+        apply inserts, done.
+
+        Two plans, chosen from the LOG, not the data:
+
+        * **append-only fast path** — if every commit in
+          ``(from, to]`` only ADDS files (no removes, no deletion
+          vectors, no overwrites), the feed is exactly the rows of the
+          added files: a pruned scan of just those files, ZERO
+          shuffles, no reading of the from-snapshot at all. This is
+          the 100 TB case — streaming-ingest history is pure appends,
+          and the feed cost is proportional to the new data, not the
+          table.
+        * **general path** — any interval containing row-level deletes
+          or rewrites falls back to two snapshot reads + ``exceptAll``
+          both ways: always correct (file-set diffs cannot express DV
+          semantics), cost ~ one shuffle over both snapshots.
+        """
+        from pyspark.sql import functions as F
+
+        to_version = self.latest_version() if to_version is None else to_version
+        if to_version < from_version:
+            raise ValueError("change_feed: to_version < from_version")
+        append_only, interval_adds = True, []
+        for v in range(from_version + 1, to_version + 1):
+            with open(self._entry_path(v)) as fh:
+                e = json.load(fh)
+            for a in e["actions"]:
+                if "add" in a:
+                    interval_adds.append(a["add"])
+                else:  # remove / set_dv / clear_dv: row-level semantics
+                    append_only = False
+        new = self.read(to_version)
+        if append_only:
+            if not interval_adds:
+                return new.limit(0).withColumn("_change_type", F.lit("insert"))
+            paths = [os.path.join(self.path, f) for f in interval_adds]
+            from pyspark.sql.types import StructType
+
+            snap = self.snapshot(to_version)
+            reader = self.spark.read
+            if snap.schema_json:
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(snap.schema_json))
+                )
+            return reader.parquet(*paths).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        old = self.read(from_version)
+        inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     def _zorder_key(self, df: DataFrame, cols: list[str], bits: int):
         """Interleaved-bit (Z-curve) sort key over ``cols``.
 

@@ -592,3 +592,50 @@ def test_concurrent_dv_upserts_converge(spark, t):
         assert rows[i] == i * 100, (i, rows[i])
     for i in list(range(10, 20)) + list(range(30, 40)):
         assert rows[i] == i * 2, (i, rows[i])
+
+
+def test_change_feed_append_only_fast_path(spark, t):
+    """Append-only interval: the feed scans ONLY the added files —
+    no exceptAll, no shuffle, no from-snapshot read."""
+    t.create(_r(spark, 0, 100))
+    t.append(_r(spark, 100, 150))
+    t.append(_r(spark, 150, 170))
+    feed = t.change_feed(0)
+    rows = sorted(r.id for r in feed.collect())
+    assert rows == list(range(100, 170))
+    assert feed.filter(F.col("_change_type") != "insert").count() == 0
+    # plan fact: only the 2 appended commits' files are in the scan
+    files = {f.split("/")[-1] for f in feed.inputFiles()}
+    v0_files = set(t.snapshot(0).files)
+    assert not (files & v0_files)
+    # no shuffle in the fast path
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_change_feed_general_path_with_dv_delete(spark, t):
+    t.create(_r(spark, 0, 50))
+    t.delete_where_dv("id < 10")
+    t.append(_r(spark, 100, 110))
+    feed = t.change_feed(0)
+    by_type = {
+        k: sorted(r["id"] for r in g)
+        for k, g in __import__("itertools").groupby(
+            sorted(feed.collect(), key=lambda r: r["_change_type"]),
+            key=lambda r: r["_change_type"],
+        )
+    }
+    assert by_type["delete"] == list(range(0, 10))
+    assert by_type["insert"] == list(range(100, 110))
+
+
+def test_change_feed_update_is_delete_plus_insert(spark, t):
+    t.create(_r(spark, 0, 20))
+    t.delete_insert_dv(_r(spark, 5, 8, mult=100), ["id"])
+    feed = t.change_feed(0, 1)
+    got = sorted((r.id, r.v, r._change_type) for r in feed.collect())
+    want = sorted(
+        [(i, i * 2, "delete") for i in (5, 6, 7)]
+        + [(i, i * 100, "insert") for i in (5, 6, 7)]
+    )
+    assert got == want
