@@ -287,8 +287,11 @@ class EngineCatalog:
             contract=contract_obj.to_dict() if contract_obj else None,
             created_at=time.time(),
         )
-        if transactional and not meta.primary_keys:
-            raise ValueError("transactional table requires primary_keys")
+        # transactional WITHOUT primary_keys is legal (reference
+        # create.sql:17,44-49: `transactional=true` alone makes an ACID
+        # table; the pk + bucket form is the delta/upsert variant) —
+        # such a table supports row-level DELETE/UPDATE/MERGE but the
+        # key-upsert planner paths require explicit keys per call.
         if transactional and (partition_by or auto_partition):
             # the txn path is file-granular copy-on-write over a commit
             # log; hive-style partition dirs would put layout ownership
@@ -515,10 +518,11 @@ class EngineCatalog:
                 m = self.meta(full)
                 if m.table_type == "view":
                     continue  # views resolve recursively via their SQL
-                if m.transactional:
-                    df = self.read(full)
-                else:
-                    df = self.spark.read.parquet(self.table_dir(full))
+                # transactional tables bind to their SNAPSHOT; plain
+                # tables go through read() too — it applies the stored
+                # schema and serves EMPTY tables (no data files yet)
+                # as empty frames instead of failing schema inference
+                df = self.read(full)
                 if schema == self.default_schema:
                     df.createOrReplaceTempView(t)
                 df.createOrReplaceTempView(f"{schema}_{t}")
@@ -768,6 +772,38 @@ class EngineCatalog:
         self._write_meta(name, meta)
         return {"granted": {k: v for k, v in to_grant.items() if v},
                 "revoked": {k: v for k, v in to_revoke.items() if v}}
+
+    def grant(self, name: str, privileges: list[str], grantees: list[str]) -> None:
+        """Incremental GRANT — the one-statement-at-a-time form the
+        reference emits (apply_grants.sql:11-13: ``grant <priv> on
+        table <t> to USER <grantees>``). Recorded in metadata; same
+        no-op-executor posture as :meth:`apply_grants`."""
+        meta = self.meta(name)
+        for p in privileges:
+            p = p.lower()
+            meta.grants[p] = sorted(set(meta.grants.get(p, [])) | set(grantees))
+        self._write_meta(name, meta)
+
+    def revoke(self, name: str, privileges: list[str], grantees: list[str]) -> None:
+        """Incremental REVOKE (reference apply_grants.sql:16-18)."""
+        meta = self.meta(name)
+        for p in privileges:
+            p = p.lower()
+            left = sorted(set(meta.grants.get(p, [])) - set(grantees))
+            if left:
+                meta.grants[p] = left
+            else:
+                meta.grants.pop(p, None)
+        self._write_meta(name, meta)
+
+    def show_grants(self, name: str) -> DataFrame:
+        """SHOW GRANTS ON <t> (reference apply_grants.sql:6-8): one row
+        per (privilege, grantee) from the recorded ACL."""
+        meta = self.meta(name)
+        rows = [(p, g) for p in sorted(meta.grants) for g in meta.grants[p]]
+        return self.spark.createDataFrame(
+            rows, "privilege string, grantee string"
+        )
 
     # -- schema evolution (reference macros/adapters/columns.sql) --------------
 

@@ -235,6 +235,31 @@ _CTAS_RE = re.compile(
     r"(?:PRIMARY\s+KEY\s*\((?P<pk>[\w,\s]+)\)\s+)?AS\s+",
     re.IGNORECASE,
 )
+_CREATE_COLS_RE = re.compile(
+    # explicit-column CREATE TABLE — the reference's own two-statement
+    # create-then-insert shape (table/create.sql:13-76). Matched AFTER
+    # _CTAS_RE so `CREATE TABLE t AS (...)` keeps its route.
+    r"^\s*CREATE\s+(?P<txn>TRANSACTIONAL\s+)?TABLE\s+"
+    r"(?P<ifnex>IF\s+NOT\s+EXISTS\s+)?(?P<tbl>[A-Za-z_][\w.]*)\s*\(",
+    re.IGNORECASE,
+)
+_GRANT_RE = re.compile(
+    # reference apply_grants.sql:11-13: grant <priv> on table <t> to USER a, b
+    r"^\s*GRANT\s+(?P<privs>[\w\s,]+?)\s+ON\s+(?:TABLE\s+)?"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s+TO\s+(?:USER\s+|ROLE\s+)?(?P<who>.+?)\s*$",
+    re.IGNORECASE,
+)
+_REVOKE_RE = re.compile(
+    # reference apply_grants.sql:16-18
+    r"^\s*REVOKE\s+(?P<privs>[\w\s,]+?)\s+ON\s+(?:TABLE\s+)?"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s+FROM\s+(?:USER\s+|ROLE\s+)?(?P<who>.+?)\s*$",
+    re.IGNORECASE,
+)
+_SHOW_GRANTS_RE = re.compile(
+    # reference apply_grants.sql:6-8
+    r"^\s*SHOW\s+GRANTS\s+ON\s+(?:TABLE\s+)?(?P<tbl>[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<tbl>[A-Za-z_][\w.]*)\s*$",
     re.IGNORECASE,
@@ -276,6 +301,135 @@ def _strip_outer_parens(text: str) -> str:
     return s[1:-1].strip()
 
 
+def _find_close(masked: str, open_i: int) -> int:
+    depth = 0
+    for i in range(open_i, len(masked)):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses")
+
+
+_COLDEF_RE = re.compile(
+    r"^\s*(?P<name>`?\w+`?)\s+"
+    r"(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)(?P<rest>.*)$",
+    re.DOTALL,
+)
+
+
+def parse_create_columns(stmt: str, masked: str, m: re.Match) -> dict:
+    """Parse the reference's explicit-column CREATE TABLE form
+    (table/create.sql:13-76): column defs w/ COMMENT + NOT NULL, an
+    inline PRIMARY KEY entry, [AUTO] PARTITIONED BY, TBLPROPERTIES,
+    LIFECYCLE and a table COMMENT. Returns a spec dict for
+    ``_exec_create_table``."""
+    open_i = masked.index("(", m.end() - 1)
+    close_i = _find_close(masked, open_i)
+    cols: list[dict] = []
+    pk: list[str] = []
+    for entry in _split_top_level(
+        stmt[open_i + 1:close_i], masked[open_i + 1:close_i]
+    ):
+        emask = mask_sql(entry)
+        pm = re.match(r"^\s*PRIMARY\s+KEY\s*\(", emask, re.IGNORECASE)
+        if pm:
+            k_open = emask.index("(", pm.start())
+            k_close = _find_close(emask, k_open)
+            pk = [
+                c.strip().strip("`")
+                for c in entry[k_open + 1:k_close].split(",")
+            ]
+            continue
+        cm = _COLDEF_RE.match(entry)
+        if not cm:
+            raise ValueError(f"CREATE TABLE: malformed column def {entry!r}")
+        rest = cm["rest"]
+        comment = None
+        com = re.search(r"\bCOMMENT\s+'((?:[^']|'')*)'", rest, re.IGNORECASE)
+        if com:
+            comment = com.group(1).replace("''", "'")
+        cols.append(
+            {
+                "name": cm["name"].strip("`"),
+                "type": cm["type"].strip(),
+                "comment": comment,
+                "not_null": bool(
+                    re.search(r"\bNOT\s+NULL\b", mask_sql(rest), re.IGNORECASE)
+                ),
+            }
+        )
+    tail, tmask = stmt[close_i + 1:], masked[close_i + 1:]
+    spec: dict = {
+        "table": m.group("tbl"),
+        "if_not_exists": bool(m.group("ifnex")),
+        "transactional": bool(m.group("txn")),
+        "columns": cols,
+        "primary_keys": pk,
+        "partition_by": [],
+        "auto_partition": None,
+        "tblproperties": {},
+        "lifecycle": None,
+        "comment": None,
+    }
+    am = re.search(r"\bAUTO\s+PARTITIONED\s+BY\s*\(", tmask, re.IGNORECASE)
+    if am:
+        a_open = tmask.index("(", am.end() - 1)
+        a_close = _find_close(tmask, a_open)
+        body = tail[a_open + 1:a_close]
+        tm = re.match(
+            r"^\s*trunc_time\s*\(\s*`?(?P<col>\w+)`?\s*,\s*"
+            r"[\"'](?P<gran>\w+)[\"']\s*\)\s*(?:AS\s+`?(?P<gen>\w+)`?)?\s*$",
+            body,
+            re.IGNORECASE,
+        )
+        if not tm:
+            raise ValueError(f"CREATE TABLE: malformed auto partition {body!r}")
+        spec["auto_partition"] = {
+            "source_column": tm["col"],
+            "granularity": tm["gran"].lower(),
+            "generated_column": tm["gen"] or "_pt",
+        }
+    else:
+        ptm = re.search(r"\bPARTITIONED\s+BY\s*\(", tmask, re.IGNORECASE)
+        if ptm:
+            p_open = tmask.index("(", ptm.end() - 1)
+            p_close = _find_close(tmask, p_open)
+            for entry in _split_top_level(
+                tail[p_open + 1:p_close], tmask[p_open + 1:p_close]
+            ):
+                toks = entry.strip().split(None, 1)
+                spec["partition_by"].append(
+                    {"name": toks[0].strip("`"), "type": toks[1] if len(toks) > 1 else "string"}
+                )
+    tpm = re.search(r"\bTBLPROPERTIES\s*\(", tmask, re.IGNORECASE)
+    if tpm:
+        t_open = tmask.index("(", tpm.end() - 1)
+        t_close = _find_close(tmask, t_open)
+        for entry in _split_top_level(
+            tail[t_open + 1:t_close], tmask[t_open + 1:t_close]
+        ):
+            k, _, v = entry.partition("=")
+            spec["tblproperties"][k.strip().strip("\"'")] = v.strip().strip("\"'")
+    lm = re.search(r"\bLIFECYCLE\s+(\d+)", tmask, re.IGNORECASE)
+    if lm:
+        spec["lifecycle"] = int(lm.group(1))
+    # table-level COMMENT: the first top-level COMMENT in the tail that
+    # is NOT part of a partition/tblproperties clause (those were
+    # handled above on their own slices)
+    for cmatch in _top_level_iter(tmask, r"\bCOMMENT\b"):
+        lit = re.match(r"\s*'", tmask[cmatch.end():])
+        if lit is not None or tail[cmatch.end():].lstrip().startswith("'"):
+            seg = tail[cmatch.end():].lstrip()
+            em = re.match(r"'((?:[^']|'')*)'", seg)
+            if em:
+                spec["comment"] = em.group(1).replace("''", "'")
+                break
+    return spec
+
+
 def classify(stmt: str):
     """Return ("delete", tbl, where) | ("update", tbl, sets, where) |
     ("insert", tbl, overwrite, cols, query) | ("merge", MergeStmt) |
@@ -305,10 +459,37 @@ def classify(stmt: str):
     m = _INSERT_RE.match(masked)
     if m:
         rest, mrest = stmt[m.end():], masked[m.end():]
+        # optional PARTITION(pt [= literal][, ...]) clause — the shape
+        # the reference's own generated DML emits (merge.sql:107,136
+        # dynamic append; insert_overwrite.sql:57,75 overwrite; table
+        # create.sql:66-69 CTAS-follow-up INSERT). Bare names are
+        # DYNAMIC (values come from the query's trailing columns);
+        # name=literal is STATIC (the literal is bound as a column).
+        parts: list[tuple[str, str | None]] = []
+        pm = re.match(r"\s*PARTITION\s*\(", mrest, re.IGNORECASE)
+        if pm:
+            open_i, close_i = mrest.index("(", pm.start()), -1
+            depth = 0
+            for i in range(open_i, len(mrest)):
+                if mrest[i] == "(":
+                    depth += 1
+                elif mrest[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close_i = i
+                        break
+            for part in _split_top_level(
+                rest[open_i + 1:close_i], mrest[open_i + 1:close_i]
+            ):
+                pname, _, pval = part.partition("=")
+                parts.append((pname.strip().strip("`"), pval.strip() or None))
+            rest, mrest = rest[close_i + 1:], mrest[close_i + 1:]
         cols: list[str] = []
         if mrest.lstrip().startswith("("):
-            # a column list only if the parenthesised list is followed
-            # by SELECT/VALUES/WITH (otherwise it IS the query)
+            # a column list only if every comma-separated entry is a
+            # bare identifier AND query text follows the close paren
+            # (otherwise the parenthesised text IS the query — the
+            # reference wraps inserted SELECTs in parens)
             open_i = mrest.index("(")
             depth, close_i = 0, -1
             for i in range(open_i, len(mrest)):
@@ -319,14 +500,23 @@ def classify(stmt: str):
                     if depth == 0:
                         close_i = i
                         break
-            after = mrest[close_i + 1:].lstrip()
-            if re.match(r"(SELECT|VALUES|WITH)\b", after, re.IGNORECASE):
-                cols = [
-                    c.strip().strip("`")
-                    for c in rest[open_i + 1:close_i].split(",")
-                ]
+            cand = [
+                c.strip().strip("`")
+                for c in rest[open_i + 1:close_i].split(",")
+            ]
+            if rest[close_i + 1:].strip() and all(
+                re.fullmatch(r"[A-Za-z_]\w*", c) for c in cand
+            ):
+                cols = cand
                 rest = rest[close_i + 1:]
-        return ("insert", m.group("tbl"), m.group("mode").upper() == "OVERWRITE", cols, rest.strip())
+        return (
+            "insert",
+            m.group("tbl"),
+            m.group("mode").upper() == "OVERWRITE",
+            cols,
+            parts,
+            rest.strip(),
+        )
     if _MERGE_RE.match(masked):
         return ("merge", parse_merge(stmt, masked))
     m = _OPTIMIZE_RE.match(masked)
@@ -359,6 +549,22 @@ def classify(stmt: str):
             pk,
             stmt[m.end():].strip(),
         )
+    m = _CREATE_COLS_RE.match(masked)
+    if m:
+        return ("create_cols", parse_create_columns(stmt, masked, m))
+    m = _GRANT_RE.match(masked)
+    if m:
+        privs = [p.strip().lower() for p in m.group("privs").split(",") if p.strip()]
+        who = [w.strip().strip("`") for w in stmt[m.start("who"):m.end("who")].split(",")]
+        return ("grant", m.group("tbl"), privs, who)
+    m = _REVOKE_RE.match(masked)
+    if m:
+        privs = [p.strip().lower() for p in m.group("privs").split(",") if p.strip()]
+        who = [w.strip().strip("`") for w in stmt[m.start("who"):m.end("who")].split(",")]
+        return ("revoke", m.group("tbl"), privs, who)
+    m = _SHOW_GRANTS_RE.match(masked)
+    if m:
+        return ("show_grants", m.group("tbl"))
     m = _DROP_RE.match(masked)
     if m:
         return ("drop", m.group("tbl"), bool(m.group("ifex")))
@@ -535,8 +741,8 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         n = _exec_update(catalog, tbl, sets, where)
         return _summary(catalog, "UPDATE", tbl, n)
     if op == "insert":
-        _, tbl, overwrite, cols, query = parsed
-        n = _exec_insert(catalog, tbl, overwrite, cols, query)
+        _, tbl, overwrite, cols, parts, query = parsed
+        n = _exec_insert(catalog, tbl, overwrite, cols, parts, query)
         return _summary(catalog, "INSERT", tbl, n)
     if op == "merge":
         n = _exec_merge(catalog, parsed[1])
@@ -555,8 +761,12 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         removed = t.vacuum(**kw)
         return _summary(catalog, "VACUUM", tbl, len(removed))
     if op == "ctas":
+        from pyspark.sql import Observation
+
         _, tbl, replace, txn, pk, query = parsed
-        df = catalog.sql(rewrite_time_travel(catalog, query))
+        df = catalog.sql(rewrite_time_travel(catalog, _strip_outer_parens(query)))
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         if replace and catalog.exists(tbl):
             catalog.drop(tbl)
         kw = {}
@@ -565,7 +775,22 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
             # reference's create.sql:44-49 surface in one statement
             kw = {"transactional": True, "primary_keys": pk or []}
         catalog.create_table(tbl, df, **kw)
-        return _summary(catalog, "CREATE TABLE", tbl, df.count())
+        # row count observed on the create's own write — re-running the
+        # defining query for the summary would double the cost and can
+        # disagree with the written data for nondeterministic queries
+        return _summary(catalog, "CREATE TABLE", tbl, int(obs.get["n"] or 0))
+    if op == "create_cols":
+        return _exec_create_table(catalog, parsed[1])
+    if op == "grant":
+        _, tbl, privs, who = parsed
+        catalog.grant(tbl, privs, who)
+        return _summary(catalog, "GRANT", tbl, len(privs) * len(who))
+    if op == "revoke":
+        _, tbl, privs, who = parsed
+        catalog.revoke(tbl, privs, who)
+        return _summary(catalog, "REVOKE", tbl, len(privs) * len(who))
+    if op == "show_grants":
+        return catalog.show_grants(parsed[1])
     if op == "drop":
         _, tbl, if_exists = parsed
         if not catalog.exists(tbl):
@@ -642,10 +867,12 @@ def _exec_delete(catalog: "EngineCatalog", tbl: str, where: str | None) -> int:
         t.overwrite(snap_df.limit(0))
         return before
     for attempt in range(_TXN_MAX_ATTEMPTS):
-        matched = t.read().filter(F.expr(where)).count()
         try:
-            t.delete_where_dv(where)
-            return matched
+            # single pass: the DV write itself observes the visible
+            # matched-row count — no separate pre-count scan, and the
+            # count is pinned to the snapshot the delete committed on
+            _v, affected = t.delete_where_dv(where, return_count=True)
+            return affected
         except CommitConflict:
             if attempt == _TXN_MAX_ATTEMPTS - 1:
                 raise
@@ -661,21 +888,34 @@ def _exec_update(
     assignments), committed copy-on-write through the optimistic loop."""
     from dbt_maxcompute_spark.txnlog import CommitConflict
 
+    from pyspark.sql import Observation
+
     t = _require_txn(catalog, tbl, "UPDATE")
     catalog.register_views()  # subquery-capable WHERE, as in DELETE
-    cond = F.expr(where) if where is not None else F.lit(True)
-    affected = 0
     for attempt in range(_TXN_MAX_ATTEMPTS):
         v = t.latest_version()
         tgt = t.read(v)
         bad = set(sets) - set(tgt.columns)
         if bad:
             raise ValueError(f"UPDATE {tbl}: unknown columns {sorted(bad)}")
-        affected = tgt.filter(cond).count()
-        out = tgt.select(
+        # single pass: the update condition is materialized once as a
+        # flag column, the affected count is OBSERVED on the committed
+        # write (no separate count scan), and every SET expression
+        # evaluates against the pre-update row
+        cond = (
+            F.coalesce(F.expr(f"({where})"), F.lit(False))
+            if where is not None
+            else F.lit(True)
+        )
+        flagged = tgt.withColumn("__chg", cond)
+        obs = Observation()
+        flagged = flagged.observe(
+            obs, F.count(F.when(F.col("__chg"), F.lit(1))).alias("n")
+        )
+        out = flagged.select(
             *[
                 (
-                    F.when(cond, F.expr(sets[c])).otherwise(F.col(c))
+                    F.when(F.col("__chg"), F.expr(sets[c])).otherwise(F.col(c))
                     .cast(tgt.schema[c].dataType)
                     .alias(c)
                     if c in sets
@@ -686,70 +926,202 @@ def _exec_update(
         )
         try:
             t.overwrite_from(v, out)
-            return affected
+            return int(obs.get["n"] or 0)
         except CommitConflict:
             if attempt == _TXN_MAX_ATTEMPTS - 1:
                 raise
-    return affected
+    raise AssertionError
 
 
 def _exec_insert(
-    catalog: "EngineCatalog", tbl: str, overwrite: bool, cols: list[str], query: str
+    catalog: "EngineCatalog",
+    tbl: str,
+    overwrite: bool,
+    cols: list[str],
+    parts: list[tuple[str, str | None]],
+    query: str,
 ) -> int:
+    """INSERT INTO/OVERWRITE with the reference's generated shapes:
+    an optional PARTITION clause (static ``pt='v'`` binds the literal,
+    bare ``pt`` is dynamic — values come from the query's trailing
+    columns, merge.sql:107-109), an optional column list (missing
+    target columns null-fill per SQL INSERT semantics), and a possibly
+    paren-wrapped query. The inserted row count is OBSERVED on the
+    write itself — the source query executes exactly once."""
+    from pyspark.sql import Observation
+
     from dbt_maxcompute_spark.plans import dml
 
-    src = catalog.sql(rewrite_time_travel(catalog, query))
-    tgt_cols = [c for c, _ in catalog.columns(tbl)]
+    src = catalog.sql(rewrite_time_travel(catalog, _strip_outer_parens(query)))
+    meta = catalog.meta(tbl)
+    tcols = catalog.columns(tbl)  # data cols first, then visible pt cols
+    tgt_names = [c for c, _ in tcols]
+    ttypes = dict(tcols)
+    pt_cols = meta.all_partition_cols()
+    static: dict[str, str] = {}
+    for pname, pval in parts or []:
+        if pname not in pt_cols:
+            raise ValueError(
+                f"INSERT: {pname!r} is not a partition column of {tbl}"
+            )
+        if pval is not None:
+            static[pname] = pval
     if cols:
+        unknown = [c for c in cols if c not in tgt_names]
+        if unknown:
+            raise ValueError(f"INSERT {tbl}: unknown columns {unknown}")
         if len(cols) != len(src.columns):
             raise ValueError("INSERT: column list / query arity mismatch")
         src = src.toDF(*cols)
-    elif len(src.columns) == len(tgt_cols):
-        # positional insert: adopt target names (SQL INSERT semantics)
-        src = src.toDF(*tgt_cols)
-    n = src.count()
-    meta = catalog.meta(tbl)
+        named = list(cols)
+    else:
+        # positional: the query supplies every target column except the
+        # statically-bound partition values, in table order (data cols
+        # then dynamic partition cols — the reference's dynamic shape)
+        expected = [c for c in tgt_names if c not in static]
+        if len(src.columns) != len(expected):
+            raise ValueError(
+                f"INSERT {tbl}: query arity {len(src.columns)} != "
+                f"{len(expected)} insertable columns {expected}"
+            )
+        src = src.toDF(*expected)
+        named = expected
+    full = src.select(
+        *[
+            (
+                F.col(c)
+                if c in named
+                else (
+                    F.expr(static[c]).cast(ttypes[c]).alias(c)
+                    if c in static
+                    else F.lit(None).cast(ttypes[c]).alias(c)
+                )
+            )
+            for c in tgt_names
+        ]
+    )
+    obs = Observation()
+    full = full.observe(obs, F.count(F.lit(1)).alias("n"))
     if overwrite:
-        if meta.all_partition_cols():
-            dml.insert_overwrite(catalog, tbl, src)
+        if pt_cols:
+            static_parts = None
+            if static and set(static) == set(pt_cols):
+                # fully-static overwrite: resolve the literal partition
+                # tuple driver-side so an EMPTY source still truncates
+                # the listed partition (reference insert_overwrite.sql
+                # static branch deletes the partition before inserting)
+                row = (
+                    catalog.spark.range(1)
+                    .select(
+                        *[
+                            F.expr(static[c]).cast(ttypes[c]).alias(c)
+                            for c in pt_cols
+                        ]
+                    )
+                    .first()
+                )
+                static_parts = [row.asDict()]
+            dml.insert_overwrite(catalog, tbl, full, partitions=static_parts)
         elif meta.transactional:
             from dbt_maxcompute_spark.txnlog import CommitConflict
 
             t = catalog.txn(tbl)
             for attempt in range(_TXN_MAX_ATTEMPTS):
                 try:
-                    t.overwrite(dml._align_columns(src, t.read()))
+                    t.overwrite(dml._align_columns(full, t.read()))
                     break
                 except CommitConflict:
                     if attempt == _TXN_MAX_ATTEMPTS - 1:
                         raise
         else:
-            aligned = dml._align_columns(src, catalog.read(tbl))
+            aligned = dml._align_columns(full, catalog.read(tbl))
             catalog._rewrite(tbl, aligned, meta)
     else:
-        dml.append(catalog, tbl, src)
-    return n
+        dml.append(catalog, tbl, full)
+    return int(obs.get["n"] or 0)
+
+
+# MaxCompute type spellings → Spark DDL types (everything else is
+# already a valid Spark type name: string/bigint/int/double/decimal/...)
+_TYPE_MAP = {"datetime": "timestamp", "bool": "boolean", "text": "string"}
+
+
+def _spark_type(t: str) -> str:
+    return _TYPE_MAP.get(t.strip().lower(), t.strip())
+
+
+def _exec_create_table(catalog: "EngineCatalog", spec: dict) -> DataFrame:
+    """Explicit-column CREATE TABLE routed through the ENGINE catalog —
+    the reference creates tables exactly this way (two-statement create
+    then insert, table/create.sql:13-76). Without this route the
+    column-list form would land in the Spark session catalog untracked
+    by EngineCatalog: a silent split-brain where `exists()` says no but
+    the name resolves in SQL."""
+    from pyspark.sql.types import StructType
+
+    tbl = spec["table"]
+    if catalog.exists(tbl):
+        if spec["if_not_exists"]:
+            return _summary(catalog, "CREATE TABLE", tbl, 0)
+        raise ValueError(f"table {tbl} already exists")
+    ddl = [f"{c['name']} {_spark_type(c['type'])}" for c in spec["columns"]]
+    ddl += [f"{p['name']} {_spark_type(p['type'])}" for p in spec["partition_by"]]
+    schema = StructType.fromDDL(", ".join(ddl))
+    empty = catalog.spark.createDataFrame([], schema)
+    props = dict(spec["tblproperties"])
+    transactional = (
+        spec["transactional"] or props.get("transactional", "").lower() == "true"
+    )
+    catalog.create_table(
+        tbl,
+        empty,
+        partition_by=[p["name"] for p in spec["partition_by"]],
+        auto_partition=spec["auto_partition"],
+        primary_keys=spec["primary_keys"],
+        transactional=transactional,
+        bucket_num=int(props.get("write.bucket.num", 16)),
+        lifecycle=spec["lifecycle"],
+        tblproperties=props,
+        comment=spec["comment"],
+    )
+    for c in spec["columns"]:
+        if c["comment"]:
+            catalog.set_column_comment(tbl, c["name"], c["comment"])
+    return _summary(catalog, "CREATE TABLE", tbl, 0)
+
+
+_CARDINALITY_MSG = "MERGE_CARDINALITY_VIOLATION"
 
 
 def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
-    """Generic SQL MERGE as ONE full-outer join + ONE projection.
+    """Generic SQL MERGE as ONE full-outer join + ONE projection,
+    executed in a SINGLE pass.
 
     - clauses are evaluated in order; the first applicable wins
       (SQL:2003 / Delta semantics),
-    - a target row matched by >1 source row raises (the standard's
-      cardinality violation — silently picking one is a data bug),
+    - with a WHEN MATCHED clause present, a target row matched by >1
+      source row raises (the standard's cardinality violation). The
+      probe is folded into the committed job: a per-target-row window
+      count + a ``raise_error`` guard abort the write before anything
+      can commit — no separate probe pass over the join,
+    - an INSERT-ONLY merge (no WHEN MATCHED clauses) legally tolerates
+      multiple matches: the matched-target fan-out collapses back to
+      one row per target (SQL/Delta execute these fine),
+    - the affected-row count is OBSERVED on the committed write — no
+      separate count pass,
     - unmatched target rows pass through, unmatched source rows insert
       only via a WHEN NOT MATCHED clause.
 
-    The action decision and every output column are computed in a
-    single select over the joined frame — pure Catalyst, one shuffle
-    for the join (AQE picks broadcast when the source is small), and
-    the commit is snapshot-pinned with recompute-on-conflict.
+    One job per attempt: the join shuffle, the window (partitioned by
+    target row id — source-only rows get singleton partitions keyed by
+    their own id, so the null group never skews), the projection, and
+    the staged write all execute together.
     """
+    from pyspark.sql import Observation, Window
+
     from dbt_maxcompute_spark.txnlog import CommitConflict
 
     t = _require_txn(catalog, m.target, "MERGE")
-    spark = catalog.spark
     ta, sa = m.target_alias, m.source_alias
     if m.source_is_query:
         src = catalog.sql(rewrite_time_travel(catalog, m.source_sql))
@@ -759,34 +1131,45 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
         # session temp views are legal MERGE sources too
         src = catalog.spark.table(m.source_sql)
 
-    affected = 0
+    matched_clauses = [(i, c) for i, c in enumerate(m.clauses) if c.matched]
+    notm_clauses = [(i, c) for i, c in enumerate(m.clauses) if not c.matched]
+
     for attempt in range(_TXN_MAX_ATTEMPTS):
         v = t.latest_version()
         tgt = t.read(v)
         out_cols = tgt.columns
         tj = tgt.withColumn("__tid", F.monotonically_increasing_id()).alias(ta)
-        sj = src.withColumn("__smark", F.lit(1)).alias(sa)
+        sj = (
+            src.withColumn("__smark", F.lit(1))
+            .withColumn("__sid", F.monotonically_increasing_id())
+            .alias(sa)
+        )
         j = tj.join(sj, F.expr(m.on), "full_outer")
-        t_present = F.col(f"{ta}.__tid").isNotNull()
+        tid = F.col(f"{ta}.__tid")
+        sid = F.col(f"{sa}.__sid")
+        t_present = tid.isNotNull()
         s_present = F.col(f"{sa}.__smark").isNotNull()
 
-        dup = (
-            j.filter(t_present & s_present)
-            .groupBy(F.col(f"{ta}.__tid"))
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
+        w = Window.partitionBy(
+            F.coalesce(tid, F.lit(-1)),
+            F.when(tid.isNull(), sid).otherwise(F.lit(0)),
         )
-        if dup:
-            raise ValueError(
-                "MERGE: a target row matches multiple source rows "
-                "(cardinality violation)"
+        j = j.withColumn(
+            "__nmatch", F.count(F.when(t_present & s_present, F.lit(1))).over(w)
+        )
+        guard = None
+        if matched_clauses:
+            guard = F.when(
+                t_present & s_present & (F.col("__nmatch") > 1),
+                F.raise_error(F.lit(_CARDINALITY_MSG)),
             )
-
-        # first-applicable clause index, encoded as an action tag
-        matched_clauses = [(i, c) for i, c in enumerate(m.clauses) if c.matched]
-        notm_clauses = [(i, c) for i, c in enumerate(m.clauses) if not c.matched]
+        else:
+            # insert-only: collapse the matched-target fan-out to one
+            # output row per target row (matched source rows neither
+            # update nor insert)
+            j = j.withColumn(
+                "__rn", F.row_number().over(w.orderBy(sid.asc_nulls_last()))
+            ).filter(~t_present | (F.col("__rn") == 1))
 
         def chain(clauses, default_tag):
             expr = F.lit(default_tag)
@@ -800,7 +1183,16 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
             .when(t_present, F.lit("keep"))
             .otherwise(chain(notm_clauses, "drop"))
         )
+        if guard is not None:
+            action = guard.otherwise(action)
         j = j.withColumn("__action", action)
+        obs = Observation()
+        j = j.observe(
+            obs,
+            F.count(
+                F.when(~F.col("__action").isin("keep", "drop"), F.lit(1))
+            ).alias("n"),
+        )
 
         def out_col(c: str):
             dt = tgt.schema[c].dataType
@@ -829,13 +1221,18 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
             j.filter(~F.col("__action").isin("drop", *[f"d{i}" for i, _ in matched_clauses]))
             .select(*[out_col(c) for c in out_cols])
         )
-        affected = j.filter(F.col("__action") != "keep").filter(
-            F.col("__action") != "drop"
-        ).count()
         try:
             t.overwrite_from(v, result)
-            return affected
         except CommitConflict:
             if attempt == _TXN_MAX_ATTEMPTS - 1:
                 raise
-    return affected
+            continue
+        except Exception as e:  # noqa: BLE001 — map the in-plan guard
+            if _CARDINALITY_MSG in str(e):
+                raise ValueError(
+                    "MERGE: a target row matches multiple source rows "
+                    "(cardinality violation)"
+                ) from None
+            raise
+        return int(obs.get["n"] or 0)
+    raise AssertionError

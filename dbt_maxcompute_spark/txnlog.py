@@ -647,7 +647,9 @@ class TxnTable:
         )
         return kept.select(*cols)
 
-    def delete_where_dv(self, condition: str) -> int:
+    def delete_where_dv(
+        self, condition: str, return_count: bool = False
+    ) -> int | tuple[int, int]:
         """Row-level DELETE via deletion vectors (Delta DV shape): no
         data file is rewritten — the commit writes a (file, pos) store
         naming the deleted rows and points the snapshot at it.  The new
@@ -656,10 +658,18 @@ class TxnTable:
         becomes vacuumable).  At 100 TB this turns a 10-minute
         copy-on-write rewrite of every touched file into a job bounded
         by the matched rows; OPTIMIZE/overwrite materialize the
-        deletions and clear the vector."""
+        deletions and clear the vector.
+
+        Matching runs over the VISIBLE row set (previous DV already
+        subtracted), so the matched count is exactly SQL DELETE's
+        affected-row count; with ``return_count=True`` it is observed
+        on the same job that writes the DV (no second pass) and
+        returned as ``(version, affected_rows)``."""
         snap = self.snapshot()
         if not snap.files:
-            return self._commit(snap.version + 1, [], snap.schema_json)
+            v = self._commit(snap.version + 1, [], snap.schema_json)
+            return (v, 0) if return_count else v
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
@@ -669,13 +679,18 @@ class TxnTable:
             raw = self.spark.read.schema(schema).parquet(*paths)
         else:
             raw = self.spark.read.parquet(*paths)
-        matched = (
-            raw.filter(f"coalesce(({condition}), false)")
-            .select(
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file"),
-                F.col("_metadata.row_index").alias("pos"),
-            )
+        visible = self._apply_dv(
+            raw.withColumn(
+                "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            ).withColumn("__p", F.col("_metadata.row_index")),
+            snap,
         )
+        matched = (
+            visible.filter(f"coalesce(({condition}), false)")
+            .select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
+        )
+        obs = Observation()
+        matched = matched.observe(obs, F.count(F.lit(1)).alias("n"))
         if snap.dv_file:
             old = self.spark.read.schema("file string, pos long").parquet(
                 os.path.join(self.path, snap.dv_file)
@@ -683,7 +698,9 @@ class TxnTable:
             matched = matched.unionByName(old).dropDuplicates(["file", "pos"])
         dv_name = f"dv-{uuid.uuid4().hex}"
         matched.write.parquet(os.path.join(self.path, dv_name))
-        return self._commit(snap.version + 1, [{"set_dv": dv_name}], snap.schema_json)
+        affected = int(obs.get["n"])
+        v = self._commit(snap.version + 1, [{"set_dv": dv_name}], snap.schema_json)
+        return (v, affected) if return_count else v
 
     def files_scanned(
         self, where: list[tuple] | None = None, version: int | None = None

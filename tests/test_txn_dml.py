@@ -34,8 +34,12 @@ def test_create_transactional_routes_through_log(spark, cat):
 
 
 def test_transactional_requires_pk_and_rejects_partitions(spark, cat):
-    with pytest.raises(ValueError, match="primary_keys"):
-        cat.create_table("t", _r(spark, 0, 5), transactional=True)
+    # transactional WITHOUT primary_keys is legal (reference create.sql
+    # emits transactional=true alone for non-delta ACID tables); only
+    # the partition_by combination is rejected
+    meta = cat.create_table("t0", _r(spark, 0, 5), transactional=True)
+    assert meta.transactional and meta.primary_keys == []
+    assert cat.read("t0").count() == 5
     with pytest.raises(ValueError, match="partition_by"):
         cat.create_table(
             "t", _r(spark, 0, 5), transactional=True,
