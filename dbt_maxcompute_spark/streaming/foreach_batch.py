@@ -97,6 +97,7 @@ def stream_upsert_txn_table(
     table,
     keys: list[str],
     app_id: str,
+    seq_col: str | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
@@ -110,22 +111,55 @@ def stream_upsert_txn_table(
     here the replay finds its batch id in the ledger and commits
     NOTHING, so both the data and the version history are replay-clean.
     CDC-style streaming upsert with Delta semantics, on vanilla parquet.
+
+    A micro-batch can legitimately carry several rows per key (multiple
+    updates within one trigger window). ``seq_col`` names the column
+    that orders them (event time / source offset / CDC sequence): the
+    row with the HIGHEST seq value per key wins. Without a ``seq_col``
+    there is NO reliable within-batch order — physical row order tracks
+    partition layout, not arrival — so duplicate keys in a batch RAISE
+    instead of resolving to an arbitrary row (a CDC stream silently
+    keeping the older value is a data bug; pre-dedup the batch or pass
+    the ordering column).
     """
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        # a micro-batch can legitimately carry several rows per key
-        # (multiple updates within the trigger window): keep the LAST
-        # occurrence per key — arrival order within a batch is the
-        # stream's order contract
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
-        latest = (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        if seq_col is not None:
+            # highest seq per key wins; monotonic id only breaks exact
+            # seq ties (same-partition later row wins — best available)
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(seq_col).desc_nulls_last(),
+                F.monotonically_increasing_id().desc(),
+            )
+            latest = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            # same single pass: the per-key count rides the dedup window
+            # and converts an ambiguous batch into an error in-plan
+            w = Window.partitionBy(*keys)
+            latest = (
+                batch.withColumn("__kn", F.count(F.lit(1)).over(w))
+                .withColumn(
+                    "__guard",
+                    F.when(
+                        F.col("__kn") > 1,
+                        F.raise_error(F.lit(
+                            "stream_upsert_txn_table: micro-batch has "
+                            "multiple rows per key and no seq_col — "
+                            "within-batch order is undefined; pass "
+                            "seq_col (event time / offset) or pre-dedup"
+                        )),
+                    ),
+                )
+                .filter(F.col("__guard").isNull())
+                .drop("__kn", "__guard")
+            )
         table.idempotent_upsert(latest, keys, app_id, batch_id)
 
     writer = stream.writeStream.foreachBatch(apply_batch)

@@ -249,3 +249,55 @@ def test_compact_rejects_views_and_bucketed(spark, catalog, base):
     catalog.create_bucketed_table("bkt1", b, bucket_by=["k"], bucket_num=4)
     with pytest.raises(ValueError, match="bucketed"):
         catalog.compact("bkt1")
+
+
+def test_register_views_cached_across_statements(spark, tmp_path, monkeypatch):
+    """Round-5 verdict finding #3: register_views must not re-register
+    every catalog table on every statement — only mutated tables."""
+    from pyspark.sql.classic.dataframe import DataFrame  # concrete class
+
+    cat = EngineCatalog(spark, str(tmp_path / "wh_cache"))
+    for i in range(6):
+        cat.create_table(f"tbl_{i}", spark.range(5).selectExpr("id", "id*2 AS v"))
+    cat.create_table(
+        "hot", spark.range(5).selectExpr("id", "id AS v"),
+        transactional=True, primary_keys=["id"],
+    )
+    calls = []
+    orig = DataFrame.createOrReplaceTempView
+
+    def counting(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    monkeypatch.setattr(DataFrame, "createOrReplaceTempView", counting)
+    script = "SELECT count(*) AS n FROM hot;\n" * 3 + (
+        "UPDATE hot SET v = v + 1 WHERE id = 0;\n"
+        + "SELECT count(*) AS n FROM tbl_0;\n" * 3
+        + "DELETE FROM hot WHERE id = 4;\n"
+        + "SELECT count(*) AS n FROM hot;\n" * 2
+    )
+    df, _hints, errors = cat.execute_script(script)
+    assert not errors and df.collect()[0].n == 4
+    # first statement registers all 7 tables (bare + schema-qualified =
+    # 14 views); afterwards only `hot` re-registers after each of its 2
+    # mutations (2 views each). Everything else is served from cache.
+    assert len(calls) == 14 + 2 * 2, f"{len(calls)} registrations: {calls}"
+
+
+def test_register_views_freshness_after_mutation(spark, tmp_path):
+    cat = EngineCatalog(spark, str(tmp_path / "wh_fresh"))
+    cat.create_table(
+        "t", spark.range(4).selectExpr("id"),
+        transactional=True, primary_keys=["id"],
+    )
+    assert cat.sql("SELECT count(*) AS n FROM t").collect()[0].n == 4
+    cat.execute("DELETE FROM t WHERE id >= 2")
+    # the cached view must NOT serve the old snapshot
+    assert cat.sql("SELECT count(*) AS n FROM t").collect()[0].n == 2
+    # a second catalog registering in the same session steals the slot;
+    # the first must fully re-register, not trust its cache
+    cat2 = EngineCatalog(spark, str(tmp_path / "wh_fresh2"))
+    cat2.create_table("t", spark.range(9).selectExpr("id"))
+    assert cat2.sql("SELECT count(*) AS n FROM t").collect()[0].n == 9
+    assert cat.sql("SELECT count(*) AS n FROM t").collect()[0].n == 2

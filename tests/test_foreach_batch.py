@@ -104,3 +104,57 @@ def test_stream_upsert_txn_exactly_once(spark, sf_dir, tmp_path):
     run_once("b")
     assert t.latest_version() == v_after_first  # ZERO new commits
     assert t.read().count() == ev.count()
+
+
+def test_stream_upsert_seq_col_orders_by_event_not_layout(spark, tmp_path):
+    """Round-5 advisor finding: within-batch 'last wins' must follow an
+    EXPLICIT sequence column, not physical row position. The batch file
+    is written so the physically-last row carries a STALE seq — id
+    order and event order disagree."""
+    from dbt_maxcompute_spark.streaming.foreach_batch import stream_upsert_txn_table
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    src = spark.createDataFrame(
+        [(1, 3, "newest"), (2, 1, "only"), (1, 1, "oldest"), (1, 2, "mid")],
+        "id long, seq long, payload string",
+    ).coalesce(1)
+    d = tmp_path / "seq_src"
+    d.mkdir()
+    src.write.parquet(str(d / "b0.parquet"))
+    t = TxnTable(spark, str(tmp_path / "t_seq"))
+    t.create(
+        spark.createDataFrame([(1, 0, "seed"), (9, 0, "seed")], src.schema)
+    )
+    stream = spark.readStream.schema(src.schema).parquet(str(d) + "/*")
+    q = stream_upsert_txn_table(
+        stream, t, ["id"], app_id="seq_app", seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ck_seq"),
+    )
+    q.awaitTermination()
+    rows = {r.id: (r.seq, r.payload) for r in t.read().collect()}
+    assert rows[1] == (3, "newest")     # highest seq wins, not last row
+    assert rows[2] == (1, "only")
+    assert rows[9] == (0, "seed")
+
+
+def test_stream_upsert_duplicate_keys_without_seq_col_raises(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dbt_maxcompute_spark.streaming.foreach_batch import stream_upsert_txn_table
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    src = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b")], "id long, seq long, payload string"
+    ).coalesce(1)
+    d = tmp_path / "dup_src"
+    d.mkdir()
+    src.write.parquet(str(d / "b0.parquet"))
+    t = TxnTable(spark, str(tmp_path / "t_dup"))
+    t.create(src.limit(0))
+    stream = spark.readStream.schema(src.schema).parquet(str(d) + "/*")
+    q = stream_upsert_txn_table(
+        stream, t, ["id"], app_id="dup_app",
+        checkpoint_dir=str(tmp_path / "ck_dup"),
+    )
+    with pytest.raises(StreamingQueryException, match="seq_col"):
+        q.awaitTermination()
