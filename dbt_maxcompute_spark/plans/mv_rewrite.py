@@ -18,11 +18,20 @@ SURVEY §7 scoped that out of v1; this module is the scoped counterpart:
   re-scanning the (fact-cardinality) base table — at 100 TB that is
   the entire point of maintaining the MV.
 
-Anything else — joins, expressions over aggregates, HAVING, AVG (not
-re-aggregable without its sum/count parts), window functions — does
-NOT rewrite; the caller transparently falls back to the original
-query. The grammar is deliberately tiny and fail-closed: a parse miss
-means "no rewrite", never a wrong answer.
+Round 6 additions: **AVG decomposition** — a user ``avg(x)`` rewrites
+when the MV materializes BOTH ``sum(x)`` and ``count(x)`` over the
+identical argument text (``sum(sums)/sum(counts)`` is exact; plain
+avg-of-avgs would weight groups wrongly, and an MV-side avg is never
+re-aggregated) — and **HAVING**: a user HAVING re-applies over the
+rewritten aggregates (aggregate calls map through the same MV-column
+lookup, all other identifiers must be grouping keys or select
+aliases); an MV whose own definition has HAVING stores post-filter
+groups and only ever exact-text matches.
+
+Anything else — expressions over aggregates, differently-written
+joins, window functions — does NOT rewrite; the caller transparently
+falls back to the original query. The grammar is deliberately tiny and
+fail-closed: a parse miss means "no rewrite", never a wrong answer.
 
 Known v1 caveat (documented, not silent): an *uncast* SUM over a
 DECIMAL column re-aggregates through the MV's already-widened decimal,
@@ -54,6 +63,7 @@ _ROLLUP_RX = re.compile(
     r"^select\s+(?P<select>.+?)\s+from\s+(?P<table>.+?)"
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"\s+group\s+by\s+(?P<group>[\w,\s.]+?)"
+    r"(?:\s+having\s+(?P<having>.+?))?"
     r"(?:\s+order\s+by\s+(?P<order>.+?))?$",
     re.DOTALL,
 )
@@ -105,6 +115,7 @@ class _Rollup:
     group_keys: list[str]
     where: str | None
     order: str | None
+    having: str | None = None
 
 
 def _parse_item(item: str) -> _Item | None:
@@ -119,7 +130,7 @@ def _parse_item(item: str) -> _Item | None:
     )
     if m:
         body, cast_type = m["inner"].strip(), m["type"]
-    m = re.match(r"^(?P<func>sum|count|min|max)\s*\((?P<arg>.*)\)$", body, re.DOTALL)
+    m = re.match(r"^(?P<func>sum|count|min|max|avg)\s*\((?P<arg>.*)\)$", body, re.DOTALL)
     if m:
         return _Item(
             kind="agg",
@@ -153,6 +164,7 @@ def parse_rollup(sql: str) -> _Rollup | None:
         group_keys=group_keys,
         where=m["where"].strip() if m["where"] else None,
         order=m["order"].strip() if m["order"] else None,
+        having=m["having"].strip() if m["having"] else None,
     )
 
 
@@ -208,9 +220,91 @@ def _conjuncts(where: str | None) -> list[str]:
 # mins/maxes nest
 _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
+_AGG_CALL_RX = re.compile(r"\b(sum|count|min|max|avg)\s*\(")
+
+
+def _reagg_expr(func: str, arg: str, mv_aggs: dict) -> str | None:
+    """Re-aggregation expression for one user aggregate over the MV's
+    output columns. AVG is not directly re-aggregable (avg of avgs is
+    wrong under unequal group sizes) — it DECOMPOSES into the MV's
+    sum/count pair over the same argument when both exist:
+    sum(sums)/sum(counts) is exactly avg over the base rows (nulls
+    excluded on both sides, since count(x) skips them like avg(x))."""
+    if func == "avg":
+        s = mv_aggs.get(("sum", arg))
+        c = mv_aggs.get(("count", arg))
+        if s is None or c is None:
+            return None
+        return f"(sum({s}) / sum({c}))"
+    src = mv_aggs.get((func, arg))
+    if src is None:
+        return None
+    return f"{_REAGG[func]}({src})"
+
+
+def _scan_close(text: str, open_i: int) -> int:
+    """Index of the paren closing ``text[open_i]``, skipping quoted
+    literals; -1 if unbalanced."""
+    depth, i, n = 0, open_i, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < n and text[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _rewrite_having(having: str, mv_aggs: dict, allowed_idents: set[str]) -> str | None:
+    """Rewrite a (normalized) user HAVING clause over the MV's columns:
+    each aggregate call becomes its re-aggregation expression; every
+    identifier OUTSIDE aggregate arguments must be a grouping key or a
+    select alias (anything else does not survive the rollup — fail
+    closed)."""
+    out: list[str] = []
+    plain: list[str] = []  # non-replaced segments, for the ident check
+    pos = 0
+    while True:
+        m = _AGG_CALL_RX.search(having, pos)
+        if not m:
+            seg = having[pos:]
+            out.append(seg)
+            plain.append(seg)
+            break
+        seg = having[pos:m.start()]
+        out.append(seg)
+        plain.append(seg)
+        open_i = m.end() - 1
+        close_i = _scan_close(having, open_i)
+        if close_i < 0:
+            return None
+        expr = _reagg_expr(
+            m.group(1).lower(), _norm(having[open_i + 1:close_i]), mv_aggs
+        )
+        if expr is None:
+            return None
+        out.append(expr)
+        pos = close_i + 1
+    leftover = _where_identifiers(" ".join(plain))
+    if not leftover <= allowed_idents:
+        return None
+    return "".join(out)
+
 
 def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
     if user.table != mv.table:
+        return None
+    if mv.having:
+        # an MV with HAVING stores post-aggregation FILTERED groups;
+        # re-aggregating a subset of its rows is unsound (dropped groups
+        # are gone) — only exact-text match may answer from such an MV
         return None
     # Predicate containment at conjunct granularity: every MV conjunct
     # must appear verbatim among the user's conjuncts (the MV's filter
@@ -244,6 +338,12 @@ def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
         if it.kind == "agg":
             if it.alias is None:
                 return None
+            if it.func == "avg":
+                # an MV-side avg is NOT re-aggregable (averages of
+                # averages weight groups wrongly); keep it out of the
+                # lookup so user queries fall back — users wanting
+                # avg-through-MV should materialize sum+count
+                continue
             mv_aggs[(it.func, it.arg)] = it.alias
 
     out_items: list[str] = []
@@ -258,18 +358,28 @@ def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
             # original expression text; preserving it through a rewrite
             # is not possible — fail closed
             return None
-        src = mv_aggs.get((it.func, it.arg))
-        if src is None:
+        expr = _reagg_expr(it.func, it.arg, mv_aggs)
+        if expr is None:
             return None
-        expr = f"{_REAGG[it.func]}({src})"
         if it.cast_type:
             expr = f"CAST({expr} AS {it.cast_type})"
         out_items.append(f"{expr} AS {it.alias}")
+
+    having_sql = None
+    if user.having:
+        allowed = set(user.group_keys) | {
+            it.alias for it in user.items if it.alias is not None
+        }
+        having_sql = _rewrite_having(user.having, mv_aggs, allowed)
+        if having_sql is None:
+            return None
 
     sql = f"SELECT {', '.join(out_items)} FROM {mv_table}"
     if effective_where:
         sql += f" WHERE {effective_where}"
     sql += f" GROUP BY {', '.join(user.group_keys)}"
+    if having_sql:
+        sql += f" HAVING {having_sql}"
     if user.order:
         sql += f" ORDER BY {user.order}"
     return sql

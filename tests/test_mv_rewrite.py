@@ -311,3 +311,99 @@ def test_join_mv_values_match_base(spark, tmp_path, sf_dir):
     assert "mvj" in files and "lineitem" not in files
     want = cat.sql(user, mv_rewrite=False).collect()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+
+
+# ---------------------------------------------------------------------------
+# round 6: AVG decomposition + HAVING
+# ---------------------------------------------------------------------------
+
+# AVG decomposition requires MV sum+count over the IDENTICAL argument
+# text (count(*) counts nulls, count(other_expr) may differ — fail closed)
+SUMCOUNT_MV_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS sum_qty,
+       count(CAST(l_quantity AS decimal(28,6))) AS cnt_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def test_avg_decomposes_into_mv_sum_count():
+    user = """
+    SELECT l_returnflag,
+           CAST(avg(CAST(l_quantity AS decimal(28,6))) AS double) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """
+    out = try_rewrite(user, [("m", SUMCOUNT_MV_SQL)])
+    assert out is not None
+    # wait: user avg arg is the CAST expr; MV stores sum of the SAME arg
+    assert "sum(sum_qty)" in out and "sum(cnt_qty)" in out
+
+
+def test_avg_without_matching_count_falls_back():
+    mv = """
+    SELECT l_returnflag, CAST(sum(l_quantity) AS double) AS s
+    FROM lineitem GROUP BY l_returnflag
+    """
+    user = "SELECT l_returnflag, avg(l_quantity) AS a FROM lineitem GROUP BY l_returnflag"
+    assert try_rewrite(user, [("m", mv)]) is None
+
+
+def test_mv_side_avg_is_not_reaggregable():
+    mv = "SELECT l_returnflag, avg(l_quantity) AS a FROM lineitem GROUP BY l_returnflag"
+    user = "SELECT avg(l_quantity) AS a FROM lineitem GROUP BY l_returnflag"
+    assert try_rewrite(user, [("m", mv)]) is None
+
+
+def test_having_rewrites_over_mv_aggregates():
+    user = """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    HAVING count(*) > 100 AND l_returnflag <> 'X'
+    """
+    out = try_rewrite(user, [("m", SUMCOUNT_MV_SQL)])
+    assert out is not None and "having" in out.lower()
+    assert "sum(n) > 100" in out.lower()
+
+
+def test_having_on_nonkey_column_fails_closed():
+    user = """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    HAVING max(l_discount) > 0.05
+    """
+    assert try_rewrite(user, [("m", SUMCOUNT_MV_SQL)]) is None
+
+
+def test_mv_with_having_only_exact_matches():
+    mv = """
+    SELECT l_returnflag, count(*) AS n FROM lineitem
+    GROUP BY l_returnflag HAVING count(*) > 10
+    """
+    # exact text: fine
+    assert try_rewrite(mv, [("m", mv)]) is not None
+    # rollup containment over post-HAVING rows: unsound, falls back
+    user = "SELECT count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    assert try_rewrite(user, [("m", mv)]) is None
+
+
+def test_avg_having_values_match_base(spark, tmp_path, sf_dir):
+    cat = EngineCatalog(spark, str(tmp_path / "wh_avg"))
+    cat.create_table("lineitem", load_table(spark, sf_dir, "lineitem"))
+    create_materialized_view(cat, "mvsc", SUMCOUNT_MV_SQL)
+    user = """
+    SELECT l_returnflag,
+           CAST(avg(CAST(l_quantity AS decimal(28,6))) AS double) AS avg_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    HAVING count(*) > 5
+    """
+    got = cat.sql(user)
+    files = "\n".join(got.inputFiles())
+    assert "mvsc" in files and "lineitem" not in files   # answered from MV
+    want = cat.sql(user, mv_rewrite=False).collect()
+    def norm(rows):
+        return sorted((r.l_returnflag, round(r.avg_qty, 9), r.n) for r in rows)
+    assert norm(got.collect()) == norm(want)
