@@ -18,6 +18,7 @@ from dbt_maxcompute_spark.suite import (
     events_suite,
     extras2_suite,
     extras3_suite,
+    extras4_suite,
     extras_suite,
     functions_suite,
     pipeline_suite,
@@ -35,6 +36,7 @@ _SUITES = [
     extras_suite,
     extras2_suite,
     extras3_suite,
+    extras4_suite,
     functions_suite,
     relational2,
     tpch2,
@@ -44,64 +46,64 @@ _SUITES = [
 ]
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
-# FIRST 50 ``queries()`` entries only. After round 4 every query has had
-# a hard driver-green row at least once; round 5 completes the freshness
-# rotation the round-4 verdict prescribed: the new round-5 queries
-# (SQL-surface DML + time travel, and the other round-5 additions) lead,
-# followed by ALL remaining queries whose last hard driver row is r1
-# (cartesian_regions, tpch_q3–q22) or r2 (text_*, multimodal_*,
-# sample_*, events_funnel/json_props, exact_distinct_users,
-# hash_split_counts, corpus_zipf_profile, decontam_ngram_overlap).
-# After this round no query's last driver row is older than r3.
+# FIRST 50 ``queries()`` entries only. Round 6 continues the freshness
+# rotation the round-5 verdict prescribed: the 5 NEW round-6 queries
+# (never driver-checked) lead, followed by all 45 queries whose last
+# hard driver-green row is r3 (everything newer is r4/r5-green). After
+# this round no query's last driver row is older than r4.
 _PRIORITY = [
-    # new in round 5 — never driver-checked
-    "sql_dml_script",
-    "ann_ivf_indexed_topk",
-    "mv_rewrite_containment",
-    "sql_maintenance_script",
-    "stream_txn_upsert",
-    "txn_change_feed",
-    # r2-last: text analysis / multimodal / sampling / events families
-    "text_repetition",
-    "text_stats",
-    "text_langid",
-    "text_fingerprint",
-    "text_chunking",
-    "text_pii_redaction",
-    "text_tfidf_top_terms",
-    "multimodal_metadata",
-    "multimodal_features",
-    "hash_split_counts",
-    "events_json_props",
-    "events_funnel",
-    "decontam_ngram_overlap",
-    "exact_distinct_users",
-    "corpus_zipf_profile",
-    "sample_stratified_lang",
-    "sample_domain_quota",
-    "sample_quality_weighted",
-    # r1-only: the deliberate cartesian + the TPC-H long tail
-    "cartesian_regions",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_late_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_lateness_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_small_part_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
+    # new in round 6 — never driver-checked
+    "sql_insert_partition_script",
+    "sql_txn_lifecycle_script",
+    "sql_mixed_partition_insert",
+    "mv_rewrite_avg_having",
+    "stream_seq_upsert",
+    # r3-last (45 queries, stalest first-class rows)
+    "ann_brute_force_cosine",
+    "ann_ivf_topk",
+    "bucketed_colocated_join",
+    "catalog_ddl_audit",
+    "contracts_not_null",
+    "curation_filter_funnel",
+    "decimal_fidelity",
+    "dedup_cluster_components",
+    "dedup_exact_documents",
+    "dedup_incremental_batch",
+    "dedup_keep_canonical",
+    "dedup_lsh_recall_pinned",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_token_jaccard_pairs",
+    "doc_length_histogram",
+    "emb_cosine_dup_pairs",
+    "emb_cosine_exact_pairs",
+    "emb_kmeans_profile",
+    "emb_quantize_int8",
+    "events_asof_last_purchase",
+    "events_range_click_error",
+    "events_sessionize",
+    "events_sliding_windows",
+    "events_tumbling_hourly",
+    "fn_array_ops",
+    "group_split_leakage_safe",
+    "incr_insert_overwrite_events",
+    "incr_microbatch_events",
+    "jsonl_roundtrip",
+    "mv_incremental_refresh",
+    "mv_returnflag_rollup",
+    "ops_contract_probe",
+    "pack_sequences",
+    "raw_script_passthrough",
+    "scd2_snapshot_orders",
+    "seed_roundtrip",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
+    "stream_exactly_once_dedup",
+    "stream_tumbling_hourly",
+    "train_next_event_examples",
+    "train_shuffle_order",
+    "txn_time_travel",
+    "webdataset_roundtrip",
 ]
 
 

@@ -222,6 +222,43 @@ _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 _AGG_CALL_RX = re.compile(r"\b(sum|count|min|max|avg)\s*\(")
 
+_RANGE_RX = re.compile(
+    r"^([a-z_]\w*)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)$"
+)
+
+
+def _implies(user_c: str, mv_c: str) -> bool:
+    """True when the (normalized) user conjunct IMPLIES the MV conjunct
+    — numeric range implication on the SAME column (``x > 5 ⇒ x > 0``).
+    Only single-column comparisons against numeric literals qualify;
+    anything else must match verbatim. Sound: implication means every
+    user row satisfies the MV's filter, so the MV stores it; the user
+    conjunct itself still re-applies as a residual (and the residual
+    key-only check keeps this on grouping keys)."""
+    mu, mm = _RANGE_RX.match(user_c), _RANGE_RX.match(mv_c)
+    if not mu or not mm or mu.group(1) != mm.group(1):
+        return False
+    uop, uval = mu.group(2), float(mu.group(3))
+    mop, mval = mm.group(2), float(mm.group(3))
+    if mop in (">", ">="):
+        if uop == "=":
+            return uval > mval or (uval == mval and mop == ">=")
+        if uop not in (">", ">="):
+            return False
+        if uval > mval:
+            return True
+        # equal bounds: u ⊆ m unless u includes the bound m excludes
+        return uval == mval and not (uop == ">=" and mop == ">")
+    if mop in ("<", "<="):
+        if uop == "=":
+            return uval < mval or (uval == mval and mop == "<=")
+        if uop not in ("<", "<="):
+            return False
+        if uval < mval:
+            return True
+        return uval == mval and not (uop == "<=" and mop == "<")
+    return uop == "=" and uval == mval  # mop == "="
+
 
 def _reagg_expr(func: str, arg: str, mv_aggs: dict) -> str | None:
     """Re-aggregation expression for one user aggregate over the MV's
@@ -317,7 +354,15 @@ def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
     # closed to the base tables.
     mv_conj = set(_conjuncts(mv.where))
     user_conj = _conjuncts(user.where)
-    if not mv_conj <= set(user_conj):
+    # each MV conjunct must be matched verbatim OR implied by a numeric
+    # range conjunct of the user's (x > 5 ⇒ x > 0); the implying user
+    # conjunct stays in the residual and re-applies over the MV scan
+    unsatisfied = [
+        mc
+        for mc in mv_conj
+        if mc not in user_conj and not any(_implies(uc, mc) for uc in user_conj)
+    ]
+    if unsatisfied:
         return None
     residual = [c for c in user_conj if c not in mv_conj]
     if residual and not (

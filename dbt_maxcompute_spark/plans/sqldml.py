@@ -974,6 +974,17 @@ def _exec_insert(
             raise ValueError("INSERT: column list / query arity mismatch")
         src = src.toDF(*cols)
         named = list(cols)
+        missing_dyn = [
+            p for p, v in (parts or []) if v is None and p not in named
+        ]
+        if missing_dyn:
+            # Hive/MaxCompute semantics: a dynamic partition column must
+            # be supplied by the query — silently null-filling it would
+            # write every row into the null partition
+            raise ValueError(
+                f"INSERT {tbl}: dynamic partition columns {missing_dyn} "
+                "not supplied by the column list"
+            )
     else:
         # positional: the query supplies every target column except the
         # statically-bound partition values, in table order (data cols

@@ -407,3 +407,68 @@ def test_avg_having_values_match_base(spark, tmp_path, sf_dir):
     def norm(rows):
         return sorted((r.l_returnflag, round(r.avg_qty, 9), r.n) for r in rows)
     assert norm(got.collect()) == norm(want)
+
+
+# ---------------------------------------------------------------------------
+# round 6: numeric range-implication containment
+# ---------------------------------------------------------------------------
+
+def test_range_implication_on_group_key():
+    mv = """
+    SELECT l_linenumber, count(*) AS n FROM lineitem
+    WHERE l_linenumber > 0 GROUP BY l_linenumber
+    """
+    user = """
+    SELECT l_linenumber, count(*) AS n FROM lineitem
+    WHERE l_linenumber > 2 GROUP BY l_linenumber
+    """
+    out = try_rewrite(user, [("m", mv)])
+    # l_linenumber > 2 implies the MV's > 0; the user conjunct
+    # re-applies as residual over the MV scan
+    assert out is not None and "l_linenumber > 2" in out.lower()
+
+    weaker = """
+    SELECT l_linenumber, count(*) AS n FROM lineitem
+    WHERE l_linenumber > -5 GROUP BY l_linenumber
+    """
+    # > -5 does NOT imply > 0: rows in (-5, 0] are missing from the MV
+    assert try_rewrite(weaker, [("m", mv)]) is None
+
+
+def test_range_implication_boundary_cases():
+    from dbt_maxcompute_spark.plans.mv_rewrite import _implies
+
+    assert _implies("x > 5", "x > 0")
+    assert _implies("x >= 5", "x > 0")
+    assert _implies("x > 0", "x >= 0")
+    assert not _implies("x >= 0", "x > 0")      # includes the excluded bound
+    assert _implies("x = 7", "x > 0")
+    assert not _implies("x = 0", "x > 0")
+    assert _implies("x = 0", "x >= 0")
+    assert _implies("x < 3", "x <= 3")
+    assert not _implies("x <= 3", "x < 3")
+    assert _implies("x < 2", "x < 10")
+    assert not _implies("y > 5", "x > 0")       # different columns
+    assert not _implies("x > 5", "x < 10")      # opposite directions
+    assert _implies("x = 4", "x = 4")
+
+
+def test_range_implication_values_match_base(spark, tmp_path, sf_dir):
+    cat = EngineCatalog(spark, str(tmp_path / "wh_range"))
+    cat.create_table("lineitem", load_table(spark, sf_dir, "lineitem"))
+    create_materialized_view(
+        cat, "mvr",
+        """SELECT l_linenumber, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+           FROM lineitem WHERE l_linenumber >= 1 GROUP BY l_linenumber""",
+    )
+    user = """
+    SELECT l_linenumber, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+    FROM lineitem WHERE l_linenumber >= 3 GROUP BY l_linenumber
+    """
+    got = cat.sql(user)
+    files = "\n".join(got.inputFiles())
+    assert "mvr" in files and "lineitem" not in files
+    want = cat.sql(user, mv_rewrite=False).collect()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
