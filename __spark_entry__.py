@@ -19,6 +19,7 @@ from dbt_maxcompute_spark.suite import (
     extras2_suite,
     extras3_suite,
     extras4_suite,
+    extras5_suite,
     extras_suite,
     functions_suite,
     pipeline_suite,
@@ -37,6 +38,7 @@ _SUITES = [
     extras2_suite,
     extras3_suite,
     extras4_suite,
+    extras5_suite,
     functions_suite,
     relational2,
     tpch2,
@@ -47,12 +49,16 @@ _SUITES = [
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
 # FIRST 50 ``queries()`` entries only. Round 6 continues the freshness
-# rotation the round-5 verdict prescribed: the 5 NEW round-6 queries
-# (never driver-checked) lead, followed by all 45 queries whose last
-# hard driver-green row is r3 (everything newer is r4/r5-green). After
-# this round no query's last driver row is older than r4.
+# rotation the round-5 verdict prescribed: the 7 NEW round-6 queries
+# (never driver-checked) lead, followed by the queries whose last hard
+# driver-green row is r3. Two of those (txn_time_travel,
+# webdataset_roundtrip — both also exercised by r4/r5-green rows
+# sql_dml_script and the r5 webdataset row per VERDICT §2.1) sit at
+# positions 51-52 and rotate in next round.
 _PRIORITY = [
     # new in round 6 — never driver-checked
+    "dedup_semantic_clusters",
+    "mv_cdf_maintenance",
     "sql_insert_partition_script",
     "sql_txn_lifecycle_script",
     "sql_mixed_partition_insert",

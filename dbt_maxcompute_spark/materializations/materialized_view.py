@@ -125,6 +125,112 @@ def merge_additive_rollup(
     )
 
 
+def rollup_delta_from_feed(
+    feed: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    count_col: str = "n",
+) -> DataFrame:
+    """SIGNED delta-aggregate from a row-level change feed
+    (``TxnTable.change_feed``): inserts contribute +value/+1, deletes
+    -value/-1, so an update (its delete+insert pair) nets to the
+    value difference. ``sums`` maps rollup measure name -> source
+    column; sums accumulate as DECIMAL(28,6) (exact, mergeable — the
+    same contract merge_additive_rollup enforces). One shuffle, sized
+    by the CHANGES, never the base table."""
+    from pyspark.sql import functions as F
+
+    ins = F.col("_change_type") == "insert"
+    return feed.groupBy(*keys).agg(
+        *[
+            F.sum(
+                F.when(ins, F.col(src)).otherwise(-F.col(src)).cast("decimal(28,6)")
+            )
+            .cast("decimal(28,6)")
+            .alias(name)
+            for name, src in sums.items()
+        ],
+        F.sum(F.when(ins, F.lit(1)).otherwise(F.lit(-1))).cast("long").alias(count_col),
+    )
+
+
+def maintain_rollup_from_changes(
+    old: DataFrame,
+    feed: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental-view-maintenance step for a sum/count rollup from a
+    change feed — the extension of merge_additive_rollup (append-only
+    deltas) to UPDATE/DELETE history via TxnTable.change_feed.
+
+    The maintained invariant: result == re-aggregating the source at
+    the feed's end version, for count + decimal-sum measures (AVG
+    derives at read time as sum/count — the same decomposition the MV
+    rewriter uses). Groups whose row count reaches zero are REMOVED
+    (a recompute would not emit them). Cost: |rollup| + |changes| —
+    at 100 TB the rollup and the day's changes, never the fact table.
+    """
+    from pyspark.sql import functions as F
+
+    delta = rollup_delta_from_feed(feed, keys, sums, count_col)
+    return merge_additive_rollup(old, delta, keys).filter(F.col(count_col) > 0)
+
+
+def sync_rollup_exactly_once(
+    source,
+    target,
+    keys: list[str],
+    sums: dict[str, str],
+    count_col: str = "n",
+    app_id: str = "cdf_rollup_sync",
+) -> int:
+    """One exactly-once step of a resumable CDF -> rollup pipeline
+    between two :class:`~dbt_maxcompute_spark.txnlog.TxnTable`\\ s.
+
+    The CURSOR (last applied source version) is the Delta ``txn``
+    idempotence marker on the TARGET's own log — cursor advance and
+    rollup replacement land in ONE commit, so a crash between steps,
+    a replayed step, or a racing second syncer (CommitConflict on the
+    pinned base) can never double-apply an interval. First call
+    bootstraps with a full aggregate of the source snapshot; every
+    later call applies only the change-feed interval
+    ``(cursor, latest]`` at |rollup| + |changes| cost.
+
+    Returns the number of source versions applied (0 = already caught
+    up — including any replay of a committed step)."""
+    from pyspark.sql import functions as F
+
+    cur = source.latest_version()
+    last = target.last_batch(app_id) if target.exists() else None
+    if last is not None and cur <= last:
+        return 0
+    marker = {"app_id": app_id, "batch_id": cur}
+    if last is None:
+        full = source.read(cur).groupBy(*keys).agg(
+            *[
+                F.sum(F.col(src).cast("decimal(28,6)"))
+                .cast("decimal(28,6)")
+                .alias(name)
+                for name, src in sums.items()
+            ],
+            F.count(F.lit(1)).alias(count_col),
+        )
+        if target.exists():
+            target.overwrite_from(target.latest_version(), full, txn=marker)
+        else:
+            target.create(full, txn=marker)
+        return cur + 1
+    feed = source.change_feed(last, cur)
+    base_v = target.latest_version()
+    new = maintain_rollup_from_changes(
+        target.read(base_v), feed, keys, sums, count_col
+    )
+    target.overwrite_from(base_v, new, txn=marker)
+    return cur - last
+
+
 def diff_config(old: dict[str, Any], new: dict[str, Any], old_sql: str, new_sql: str) -> str:
     """Returns 'rebuild' | 'replace' | 'noop' (reference impl.py:112-158)."""
     if old_sql.strip() != new_sql.strip():

@@ -662,3 +662,62 @@ def embedding_cosine_pairs(
     return cand.withColumn("cosine", cos).filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster-bucketed cosine near-dup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid,
+    then mark near-duplicates WITHIN each cluster cell — a row is a
+    semantic duplicate iff some same-cluster row with a SMALLER id has
+    cosine similarity >= ``threshold`` (greedy keep-lowest-id, the
+    same documented approximation as the MinHash path above).
+
+    Returns ``df`` + ``cluster`` (long) + ``is_semdup`` (boolean).
+
+    Scale design: the all-pairs space is bounded to each cluster cell
+    — the single shuffle is the self-join on ``cluster``, and pair
+    volume is sum(|cell|^2), never |corpus|^2. At 100 TB you size k so
+    cells stay ~constant (the paper uses k ~ sqrt(n)); a degenerate
+    cell (boilerplate embeddings) is the same quadratic hazard as an
+    LSH bucket — watch the cell histogram and cap or sub-split hot
+    cells. Cluster assignment itself is shuffle-free (broadcast
+    centroid matrix, see clustering.assign_clusters).
+    """
+    from dbt_maxcompute_spark.operators.clustering import assign_clusters
+    from dbt_maxcompute_spark.operators.similarity import cosine_expr
+
+    base = assign_clusters(spread(df), vec_col, centroids)
+    a = base.select(
+        F.col("cluster").alias("__c"),
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__v_a"),
+    )
+    b = base.select(
+        F.col("cluster").alias("__c"),
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__v_b"),
+    )
+    dup_ids = (
+        a.join(b, "__c")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(
+            cosine_expr(F.col("__v_a"), F.col("__v_b")) >= F.lit(float(threshold))
+        )
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    flag = dup_ids.withColumn("is_semdup", F.lit(True))
+    return base.join(flag, id_col, "left").withColumn(
+        "is_semdup", F.coalesce(F.col("is_semdup"), F.lit(False))
+    )

@@ -357,12 +357,12 @@ class TxnTable:
         by_name = dict(stats)
         return [{"add": f, "stats": by_name.get(f)} for f in out]
 
-    def create(self, df: DataFrame) -> int:
+    def create(self, df: DataFrame, txn: dict[str, Any] | None = None) -> int:
         os.makedirs(self.path, exist_ok=True)
         if self.exists():
             raise ValueError(f"transaction log already exists at {self.log_path}")
         adds = self._stage_files(df)
-        return self._commit(0, adds, df.schema.json())
+        return self._commit(0, adds, df.schema.json(), txn=txn)
 
     def append(self, df: DataFrame, txn: dict[str, Any] | None = None) -> int:
         base = self.latest_version()
@@ -538,7 +538,12 @@ class TxnTable:
             base_snap.version + 1, adds + removes + [{"clear_dv": True}], df.schema.json()
         )
 
-    def overwrite_from(self, base_version: int, df: DataFrame) -> int:
+    def overwrite_from(
+        self,
+        base_version: int,
+        df: DataFrame,
+        txn: dict[str, Any] | None = None,
+    ) -> int:
         """Overwrite pinned to the snapshot the caller COMPUTED from.
 
         A read-compute-commit writer (merge, delete+insert) must not
@@ -548,12 +553,17 @@ class TxnTable:
         (lost update). Committing ``base_version + 1`` makes any
         interleaving a :class:`CommitConflict`: the caller re-reads,
         recomputes, retries — the Delta-paper optimistic-concurrency
-        loop."""
+        loop. ``txn`` rides the same commit (Delta idempotence marker)
+        so replace-style consumers (CDF rollup sync) get exactly-once
+        application for free."""
         base_snap = self.snapshot(base_version)
         adds = self._stage_files(df)
         removes = [{"remove": f} for f in base_snap.files]
         return self._commit(
-            base_version + 1, adds + removes + [{"clear_dv": True}], df.schema.json()
+            base_version + 1,
+            adds + removes + [{"clear_dv": True}],
+            df.schema.json(),
+            txn=txn,
         )
 
     def delete_where(self, condition: str) -> int:
