@@ -231,6 +231,213 @@ def sync_rollup_exactly_once(
     return cur - last
 
 
+# ---------------------------------------------------------------------------
+# join-rollup IVM: rollup over fact JOIN dim, both sides mutable
+# ---------------------------------------------------------------------------
+
+
+def _join_side_columns(
+    fact_cols: list[str],
+    dim_cols: list[str],
+    on: list[str],
+    keys: list[str],
+    sums: dict[str, str],
+) -> tuple[list[str], list[str]]:
+    """Column pruning + ambiguity check for the join-rollup family.
+    Every group key and measure source must live on exactly ONE side
+    (join keys live on both and unify via the list-form join)."""
+    needed = [c for c in list(keys) + list(sums.values()) if c not in on]
+    f_keep, d_keep = list(on), list(on)
+    for c in needed:
+        in_f, in_d = c in fact_cols, c in dim_cols
+        if in_f and in_d:
+            raise ValueError(
+                f"column {c!r} exists on both join sides — rename one "
+                "(join-rollup maintenance needs an unambiguous source)"
+            )
+        if not in_f and not in_d:
+            raise ValueError(f"column {c!r} found on neither join side")
+        (f_keep if in_f else d_keep).append(c)
+    return f_keep, d_keep
+
+
+def _signed(feed: DataFrame, keep: list[str]) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    return feed.select(*keep, w.alias("__w"))
+
+
+def _weighted_rollup(
+    joined: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    count_col: str,
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return joined.groupBy(*keys).agg(
+        *[
+            F.sum((F.col("__w") * F.col(src)).cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias(name)
+            for name, src in sums.items()
+        ],
+        F.sum("__w").cast("long").alias(count_col),
+    )
+
+
+def join_rollup_delta_from_feeds(
+    fact_feed: DataFrame | None,
+    fact_old: DataFrame | None,
+    dim_feed: DataFrame | None,
+    dim_new: DataFrame,
+    on: list[str],
+    keys: list[str],
+    sums: dict[str, str],
+    count_col: str = "n",
+) -> DataFrame | None:
+    """SIGNED delta-aggregate for a rollup over ``fact JOIN dim``
+    (equi-join on ``on``), from change feeds on EITHER OR BOTH sides.
+
+    The bag-algebra identity (DBSP / incremental view maintenance,
+    Budiu et al., VLDB 2023): with F0→F1 and D0→D1,
+
+        Δ(F ⋈ D) = ΔF ⋈ D1  +  F0 ⋈ ΔD
+
+    — exact including the ΔF⋈ΔD interaction term, because the first
+    term joins the fact feed against the NEW dim and the second joins
+    the OLD fact against the dim feed. Feed rows weigh ±1 by
+    ``_change_type`` and joined rows inherit the feed side's weight,
+    so a dim UPDATE (delete+insert pair) MOVES every matching fact
+    row's contribution from the old group to the new one in one pass.
+
+    Scale shape: term 1 is |fact changes| ⋈ dim (the everyday case —
+    dim broadcastable or AQE-planned); term 2 only exists when the dim
+    actually changed, and its dim side is the (tiny) dim feed,
+    broadcast explicitly — the fact scan it implies prunes to feed
+    keys via the broadcast hash join. Pass ``None`` for an unchanged
+    side and that term (and its scans) vanish from the plan entirely.
+
+    Returns None when both feeds are None/empty-by-contract."""
+    from pyspark.sql import functions as F
+
+    f_keep, d_keep = _join_side_columns(
+        list(fact_old.columns) if fact_old is not None else list(fact_feed.columns),
+        list(dim_new.columns),
+        on,
+        keys,
+        sums,
+    )
+    parts = []
+    if fact_feed is not None:
+        parts.append(_signed(fact_feed, f_keep).join(dim_new.select(*d_keep), on))
+    if dim_feed is not None:
+        if fact_old is None:
+            raise ValueError("dim_feed given but fact_old missing")
+        parts.append(
+            fact_old.select(*f_keep).join(F.broadcast(_signed(dim_feed, d_keep)), on)
+        )
+    if not parts:
+        return None
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return _weighted_rollup(u, keys, sums, count_col)
+
+
+def maintain_join_rollup_from_changes(
+    old: DataFrame,
+    fact_feed: DataFrame | None,
+    fact_old: DataFrame | None,
+    dim_feed: DataFrame | None,
+    dim_new: DataFrame,
+    on: list[str],
+    keys: list[str],
+    sums: dict[str, str],
+    count_col: str = "n",
+) -> DataFrame:
+    """IVM step for a sum/count rollup over ``fact JOIN dim``: merge
+    the signed join delta into the stored rollup; groups whose joined
+    row count reaches zero are removed (recompute-identical). Cost:
+    |rollup| + |fact changes ⋈ dim| + (|old fact ⋈ dim changes| iff
+    the dim changed) — never a full re-join when only one side moved."""
+    from pyspark.sql import functions as F
+
+    delta = join_rollup_delta_from_feeds(
+        fact_feed, fact_old, dim_feed, dim_new, on, keys, sums, count_col
+    )
+    if delta is None:
+        return old
+    return merge_additive_rollup(old, delta, keys).filter(F.col(count_col) > 0)
+
+
+def sync_join_rollup_exactly_once(
+    fact,
+    dim,
+    target,
+    on: list[str],
+    keys: list[str],
+    sums: dict[str, str],
+    count_col: str = "n",
+    app_id: str = "cdf_join_rollup_sync",
+) -> int:
+    """Exactly-once resumable sync of a fact⋈dim rollup from the
+    change feeds of TWO txn tables. Both cursors (last applied fact
+    version, last applied dim version) ride the target's commit as a
+    LIST of Delta ``txn`` markers — one atomic commit advances both,
+    so a crash, replay, or racing syncer can never apply a fact
+    interval without its dim interval (or vice versa). Returns total
+    source versions applied (0 = caught up / replay)."""
+    from pyspark.sql import functions as F
+
+    fv, dv = fact.latest_version(), dim.latest_version()
+    fa, da = f"{app_id}#fact", f"{app_id}#dim"
+    last_f = target.last_batch(fa) if target.exists() else None
+    last_d = target.last_batch(da) if target.exists() else None
+    markers = [
+        {"app_id": fa, "batch_id": fv},
+        {"app_id": da, "batch_id": dv},
+    ]
+    if last_f is None or last_d is None:
+        f_keep, d_keep = _join_side_columns(
+            fact.read(fv).columns, dim.read(dv).columns, on, keys, sums
+        )
+        full = _weighted_rollup(
+            fact.read(fv)
+            .select(*f_keep)
+            .join(dim.read(dv).select(*d_keep), on)
+            .withColumn("__w", F.lit(1)),
+            keys,
+            sums,
+            count_col,
+        )
+        if target.exists():
+            target.overwrite_from(target.latest_version(), full, txn=markers)
+        else:
+            target.create(full, txn=markers)
+        return (fv + 1) + (dv + 1)
+    if fv <= last_f and dv <= last_d:
+        return 0
+    fact_feed = fact.change_feed(last_f, fv) if fv > last_f else None
+    dim_feed = dim.change_feed(last_d, dv) if dv > last_d else None
+    fact_old = fact.read(last_f) if dim_feed is not None else None
+    base_v = target.latest_version()
+    new = maintain_join_rollup_from_changes(
+        target.read(base_v),
+        fact_feed,
+        fact_old,
+        dim_feed,
+        dim.read(dv),
+        on,
+        keys,
+        sums,
+        count_col,
+    )
+    target.overwrite_from(base_v, new, txn=markers)
+    return (fv - last_f) + (dv - last_d)
+
+
 def diff_config(old: dict[str, Any], new: dict[str, Any], old_sql: str, new_sql: str) -> str:
     """Returns 'rebuild' | 'replace' | 'noop' (reference impl.py:112-158)."""
     if old_sql.strip() != new_sql.strip():

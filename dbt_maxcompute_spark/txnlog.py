@@ -262,9 +262,10 @@ class TxnTable:
             schema_json = entry.get("schema_json") or schema_json
             txn = entry.get("txn")
             if txn:
-                prev = app_versions.get(txn["app_id"])
-                if prev is None or txn["batch_id"] > prev:
-                    app_versions[txn["app_id"]] = txn["batch_id"]
+                for m in txn if isinstance(txn, list) else [txn]:
+                    prev = app_versions.get(m["app_id"])
+                    if prev is None or m["batch_id"] > prev:
+                        app_versions[m["app_id"]] = m["batch_id"]
         return Snapshot(
             version=v,
             files=list(files),
@@ -279,11 +280,14 @@ class TxnTable:
         expected_version: int,
         actions: list[dict[str, Any]],
         schema_json: str | None,
-        txn: dict[str, Any] | None = None,
+        txn: dict[str, Any] | list[dict[str, Any]] | None = None,
     ) -> int:
         """Atomic rename-if-absent commit of ``expected_version``.
         ``txn`` is the Delta-paper idempotence marker
-        ``{"app_id": str, "batch_id": int}`` recorded with the commit."""
+        ``{"app_id": str, "batch_id": int}`` recorded with the commit —
+        or a LIST of such markers when one commit must advance several
+        cursors atomically (e.g. a join-view sync tracking a fact and a
+        dim source in the same target commit)."""
         os.makedirs(self.log_path, exist_ok=True)
         entry = {
             "version": expected_version,
@@ -292,7 +296,12 @@ class TxnTable:
             "committed_at": time.time(),
         }
         if txn is not None:
-            entry["txn"] = {"app_id": str(txn["app_id"]), "batch_id": int(txn["batch_id"])}
+            markers = txn if isinstance(txn, list) else [txn]
+            norm = [
+                {"app_id": str(m["app_id"]), "batch_id": int(m["batch_id"])}
+                for m in markers
+            ]
+            entry["txn"] = norm[0] if len(norm) == 1 else norm
         tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -357,7 +366,9 @@ class TxnTable:
         by_name = dict(stats)
         return [{"add": f, "stats": by_name.get(f)} for f in out]
 
-    def create(self, df: DataFrame, txn: dict[str, Any] | None = None) -> int:
+    def create(
+        self, df: DataFrame, txn: dict[str, Any] | list[dict[str, Any]] | None = None
+    ) -> int:
         os.makedirs(self.path, exist_ok=True)
         if self.exists():
             raise ValueError(f"transaction log already exists at {self.log_path}")
@@ -542,7 +553,7 @@ class TxnTable:
         self,
         base_version: int,
         df: DataFrame,
-        txn: dict[str, Any] | None = None,
+        txn: dict[str, Any] | list[dict[str, Any]] | None = None,
     ) -> int:
         """Overwrite pinned to the snapshot the caller COMPUTED from.
 
