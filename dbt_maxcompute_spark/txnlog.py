@@ -364,7 +364,22 @@ class TxnTable:
             .collect()
         )
         by_name = dict(stats)
-        return [{"add": f, "stats": by_name.get(f)} for f in out]
+        # never commit a zero-row data file: an empty file carries no
+        # rows but still lands in every later scan's file list, and a
+        # snapshot whose files are ALL empty schedules zero-task jobs
+        # (an un-fired Observation crashes delete_where_dv's count).
+        # The footer already told us the row count, so drop them here.
+        adds = []
+        for f in out:
+            st = by_name.get(f)
+            if st is not None and st.get("numRecords") == 0:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+                continue
+            adds.append({"add": f, "stats": st})
+        return adds
 
     def create(
         self, df: DataFrame, txn: dict[str, Any] | list[dict[str, Any]] | None = None
@@ -449,8 +464,13 @@ class TxnTable:
             .select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
         )
         if snap.dv_file:
-            old = self.spark.read.parquet(os.path.join(self.path, snap.dv_file))
-            matched = matched.unionByName(old).dropDuplicates(["file", "pos"])
+            old = self.spark.read.schema("file string, pos long").parquet(
+                os.path.join(self.path, snap.dv_file)
+            )
+            # matched is drawn from the DV-subtracted visible set, so it
+            # is disjoint from the old store — plain union, no dedup
+            # shuffle
+            matched = matched.unionByName(old)
         dv_name = f"dv-{uuid.uuid4().hex}"
         matched.write.parquet(os.path.join(self.path, dv_name))
         adds = self._stage_files(source)
@@ -683,14 +703,27 @@ class TxnTable:
 
         Matching runs over the VISIBLE row set (previous DV already
         subtracted), so the matched count is exactly SQL DELETE's
-        affected-row count; with ``return_count=True`` it is observed
-        on the same job that writes the DV (no second pass) and
-        returned as ``(version, affected_rows)``."""
+        affected-row count; with ``return_count=True`` the count comes
+        from the DV PARQUET FOOTERS (new DV rows − old DV rows — the
+        two stores are disjoint because matching runs post-subtraction),
+        so it costs KBs of metadata, never a second data pass.  An
+        earlier version observed the count in-plan, but Spark loses a
+        CollectMetrics node's value when a union+dedup shuffle sits
+        above it (and never fires it on a zero-task scan) — the footer
+        is the version that cannot crash."""
         snap = self.snapshot()
-        if not snap.files:
+        # stats-zero fast path: logs written before zero-row files were
+        # filtered at stage time can still name all-empty files; a scan
+        # over them plans zero tasks and writes nothing useful. The
+        # logged footer stats already prove 0 visible rows.
+        stats_rows = [
+            (snap.stats.get(f) or {}).get("numRecords") for f in snap.files
+        ]
+        if not snap.files or (
+            all(r is not None for r in stats_rows) and sum(stats_rows) == 0
+        ):
             v = self._commit(snap.version + 1, [], snap.schema_json)
             return (v, 0) if return_count else v
-        from pyspark.sql import Observation
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
@@ -710,18 +743,33 @@ class TxnTable:
             visible.filter(f"coalesce(({condition}), false)")
             .select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
         )
-        obs = Observation()
-        matched = matched.observe(obs, F.count(F.lit(1)).alias("n"))
+        old_rows = 0
         if snap.dv_file:
             old = self.spark.read.schema("file string, pos long").parquet(
                 os.path.join(self.path, snap.dv_file)
             )
-            matched = matched.unionByName(old).dropDuplicates(["file", "pos"])
+            # no dedup shuffle: matched comes from the DV-subtracted
+            # visible set, so it is disjoint from the old store, and
+            # (file,pos) is unique within matched by construction
+            matched = matched.unionByName(old)
+            old_rows = self._dv_rows(snap.dv_file)
         dv_name = f"dv-{uuid.uuid4().hex}"
         matched.write.parquet(os.path.join(self.path, dv_name))
-        affected = int(obs.get["n"])
+        affected = self._dv_rows(dv_name) - old_rows
         v = self._commit(snap.version + 1, [{"set_dv": dv_name}], snap.schema_json)
         return (v, affected) if return_count else v
+
+    def _dv_rows(self, dv_rel: str) -> int:
+        """Row count of a deletion-vector store from its parquet
+        footers — metadata-only (KBs), never a data read."""
+        import pyarrow.parquet as pq
+
+        root = os.path.join(self.path, dv_rel)
+        n = 0
+        for f in os.listdir(root):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return n
 
     def files_scanned(
         self, where: list[tuple] | None = None, version: int | None = None
