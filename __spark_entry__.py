@@ -20,6 +20,7 @@ from dbt_maxcompute_spark.suite import (
     extras3_suite,
     extras4_suite,
     extras5_suite,
+    extras6_suite,
     extras_suite,
     functions_suite,
     pipeline_suite,
@@ -39,6 +40,7 @@ _SUITES = [
     extras3_suite,
     extras4_suite,
     extras5_suite,
+    extras6_suite,
     functions_suite,
     relational2,
     tpch2,

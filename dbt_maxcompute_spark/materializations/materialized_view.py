@@ -322,6 +322,10 @@ def join_rollup_delta_from_feeds(
     Returns None when both feeds are None/empty-by-contract."""
     from pyspark.sql import functions as F
 
+    if fact_feed is None and dim_feed is None:
+        return None
+    if dim_feed is not None and fact_old is None:
+        raise ValueError("dim_feed given but fact_old missing")
     f_keep, d_keep = _join_side_columns(
         list(fact_old.columns) if fact_old is not None else list(fact_feed.columns),
         list(dim_new.columns),
@@ -333,13 +337,9 @@ def join_rollup_delta_from_feeds(
     if fact_feed is not None:
         parts.append(_signed(fact_feed, f_keep).join(dim_new.select(*d_keep), on))
     if dim_feed is not None:
-        if fact_old is None:
-            raise ValueError("dim_feed given but fact_old missing")
         parts.append(
             fact_old.select(*f_keep).join(F.broadcast(_signed(dim_feed, d_keep)), on)
         )
-    if not parts:
-        return None
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)

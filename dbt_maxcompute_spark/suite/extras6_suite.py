@@ -1,0 +1,124 @@
+"""Round-7 suite: join-rollup IVM (rollup over fact JOIN dim with
+BOTH sides mutable, maintained from two change feeds under one
+two-cursor exactly-once commit) plus SQL-DDL statement routing
+(CREATE VIEW / CREATE MATERIALIZED VIEW / RENAME / CLONE / comment
+DDL — the statement forms the reference's macros emit).
+
+Oracle conventions as elsewhere: exact sums through DECIMAL(28,6)
+cast to DOUBLE at the edge, counts as BIGINT, explicit ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.sources.registry import load_table
+
+
+def q_mv_join_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Join-rollup IVM (DBSP bag algebra, Budiu et al. VLDB 2023):
+    # revenue-by-market-segment over orders ⋈ customer, bootstrapped
+    # once, then maintained from the TWO change feeds after a fact
+    # DELETE, a dim segment re-assignment (delete+insert pair -> the
+    # F₀⋈ΔD term MOVES contributions between groups), and a fact
+    # append (the ΔF⋈D₁ term, including ΔF⋈ΔD interaction). The two
+    # cursors ride ONE target commit, so the replayed sync applies
+    # nothing — replay_noop is the exactly-once invariant, equality
+    # with the oracle's final-state recompute is the IVM invariant.
+    import tempfile
+
+    from dbt_maxcompute_spark.materializations.materialized_view import (
+        sync_join_rollup_exactly_once,
+    )
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    fact0 = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    dim0 = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    tmp = tempfile.mkdtemp(prefix="jivm_")
+    fact = TxnTable(spark, tmp + "/fact")
+    fact.create(fact0)
+    dim = TxnTable(spark, tmp + "/dim")
+    dim.create(dim0)
+    tgt = TxnTable(spark, tmp + "/rollup")
+
+    def sync():
+        return sync_join_rollup_exactly_once(
+            fact, dim, tgt,
+            on=["custkey"], keys=["seg"], sums={"sum_price": "price"},
+            count_col="n",
+        )
+
+    sync()  # bootstrap: full join-aggregate + both cursors in ONE commit
+    # fact: row-level DELETE via deletion vectors
+    fact.delete_where_dv("custkey % 5 = 0")
+    # dim: segment re-assignment as a key upsert (delete+insert pair)
+    moved = dim0.filter(F.col("custkey") % 4 == 1).withColumn(
+        "seg", F.lit("MOVED")
+    )
+    dim.delete_insert_dv(moved, ["custkey"])
+    # fact: append a disjoint slice
+    fact.append(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 3)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    applied = sync()   # fact 2 versions + dim 1 version, one target commit
+    replayed = sync()  # exactly-once: nothing to apply
+    return (
+        tgt.read()
+        .select(
+            "seg",
+            F.col("n").alias("n_orders"),
+            F.col("sum_price").cast("double").alias("total_price"),
+            F.lit(applied == 3 and replayed == 0).alias("replay_noop"),
+        )
+        .orderBy("seg")
+    )
+
+
+ORACLE_MV_JOIN_CDF_MAINTENANCE = """
+WITH f1 AS (
+  SELECT o_orderkey AS okey, o_custkey AS custkey, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+fact AS (
+  SELECT * FROM f1 WHERE custkey % 5 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 3
+),
+dim AS (
+  SELECT c_custkey AS custkey,
+         CASE WHEN c_custkey % 4 = 1 THEN 'MOVED' ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+       TRUE AS replay_noop
+FROM fact JOIN dim USING (custkey)
+GROUP BY seg ORDER BY seg
+"""
+
+
+QUERIES = {
+    "mv_join_cdf_maintenance": q_mv_join_cdf_maintenance,
+}
+
+ORACLES = {
+    "mv_join_cdf_maintenance": ORACLE_MV_JOIN_CDF_MAINTENANCE,
+}
