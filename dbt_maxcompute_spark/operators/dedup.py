@@ -675,6 +675,7 @@ def semantic_dedup(
     vec_col: str,
     centroids: list[list[float]],
     threshold: float = 0.9,
+    max_cell: int = 10000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign every embedding to its nearest centroid,
@@ -686,30 +687,57 @@ def semantic_dedup(
     Returns ``df`` + ``cluster`` (long) + ``is_semdup`` (boolean).
 
     Scale design: the all-pairs space is bounded to each cluster cell
-    — the single shuffle is the self-join on ``cluster``, and pair
+    — the single shuffle is the self-join on the cell key, and pair
     volume is sum(|cell|^2), never |corpus|^2. At 100 TB you size k so
-    cells stay ~constant (the paper uses k ~ sqrt(n)); a degenerate
-    cell (boilerplate embeddings) is the same quadratic hazard as an
-    LSH bucket — watch the cell histogram and cap or sub-split hot
-    cells. Cluster assignment itself is shuffle-free (broadcast
-    centroid matrix, see clustering.assign_clusters).
+    cells stay ~constant (the paper uses k ~ sqrt(n)).
+
+    DEGENERATE-CELL CAP (the same quadratic hazard as an LSH bucket —
+    a boilerplate-heavy corpus concentrates near-identical embeddings
+    in ONE cell): any cell larger than ``max_cell`` is hash SUB-SPLIT
+    into ``ceil(n/max_cell)`` sub-cells and pairs are only compared
+    within a sub-cell, so per-key pair volume is bounded by
+    ~``max_cell^2`` regardless of skew.  Contract under the cap: for
+    the all-identical bomb every sub-cell still flags all but its
+    minimum id (s survivors instead of 1 — a vanishing fraction);
+    near-dup pairs that land in DIFFERENT sub-cells of a hot cell are
+    missed, the analogue of the LSH quarantine's recall contract.  The
+    cell histogram is a map-side-combinable hash-agg whose oversized
+    output (rare by construction) is broadcast — no window, no extra
+    sort of the corpus.
     """
     from dbt_maxcompute_spark.operators.clustering import assign_clusters
     from dbt_maxcompute_spark.operators.similarity import cosine_expr
 
     base = assign_clusters(spread(df), vec_col, centroids)
-    a = base.select(
+    hot = (
+        base.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > int(max_cell))
+        .select(
+            "cluster",
+            F.ceil(F.col("__n") / int(max_cell)).cast("long").alias("__splits"),
+        )
+    )
+    sub = base.join(F.broadcast(hot), "cluster", "left").withColumn(
+        "__sub",
+        F.when(F.col("__splits").isNull(), F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__splits"))
+        ),
+    )
+    a = sub.select(
         F.col("cluster").alias("__c"),
+        F.col("__sub").alias("__s"),
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__v_a"),
     )
-    b = base.select(
+    b = sub.select(
         F.col("cluster").alias("__c"),
+        F.col("__sub").alias("__s"),
         F.col(id_col).alias("__id_b"),
         F.col(vec_col).alias("__v_b"),
     )
     dup_ids = (
-        a.join(b, "__c")
+        a.join(b, ["__c", "__s"])
         .filter(F.col("__id_a") < F.col("__id_b"))
         .filter(
             cosine_expr(F.col("__v_a"), F.col("__v_b")) >= F.lit(float(threshold))

@@ -274,3 +274,61 @@ def test_ivm_equals_recompute_for_any_dml_sequence(spark, ops):
     )
     got = {r["grp"]: (float(r["sum_val"]), r["n"]) for r in out.collect()}
     assert got == _recompute_now(t)
+
+
+# ---------------------------------------------------------------------------
+# round-7: degenerate-cell cap (hot-cell bomb)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_hot_cell_bomb_is_subsplit_and_bounded(spark):
+    """A boilerplate bomb — 1200 identical embeddings in ONE cell —
+    must not go quadratic: with max_cell=100 the cell is hash
+    sub-split into ceil(1200/100)=12 sub-cells, so per-key pair volume
+    is bounded by ~max_cell² and the only recall cost is one surviving
+    (unflagged) minimum per sub-cell instead of one per cell."""
+    n_bomb = 1200
+    rows = [(i, [1.0, 0.0]) for i in range(n_bomb)]
+    rows += [(10_000, [0.0, 1.0]), (10_001, [0.0, 0.99])]  # healthy cell
+    df = _emb(spark, rows)
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    out = semantic_dedup(df, "id", "v", centroids, threshold=0.95, max_cell=100)
+    got = {r["id"]: r["is_semdup"] for r in out.collect()}
+    bomb_unflagged = [i for i in range(n_bomb) if not got[i]]
+    # one survivor per NON-EMPTY sub-cell; 12 splits -> at most 12
+    assert 1 <= len(bomb_unflagged) <= 12
+    # the healthy cell is untouched by the cap
+    assert got[10_000] is False and got[10_001] is True
+
+    # per-sub-cell group sizes are bounded (hash split, 12 ways):
+    from pyspark.sql import functions as F
+    sizes = (
+        spark.createDataFrame([(i,) for i in range(n_bomb)], "id long")
+        .groupBy(F.pmod(F.xxhash64("id"), F.lit(12)).alias("s"))
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in sizes) <= 3 * 100  # no degenerate split
+
+
+def test_semdedup_cap_is_load_bearing(spark):
+    """With the cap lifted the same bomb flags all but ONE row — the
+    sub-split is what changes the contract, nothing else."""
+    rows = [(i, [1.0, 0.0]) for i in range(300)]
+    df = _emb(spark, rows)
+    out = semantic_dedup(df, "id", "v", [[1.0, 0.0]], threshold=0.95,
+                         max_cell=10_000)
+    got = {r["id"]: r["is_semdup"] for r in out.collect()}
+    assert [i for i in range(300) if not got[i]] == [0]
+
+
+def test_semdedup_pair_join_keys_on_cell_and_subcell(spark):
+    """Plan pin: the pair self-join partitions on (cell, sub-cell) —
+    the sub-split key is load-bearing in the physical plan."""
+    rows = [(i, [float(i % 3), 1.0]) for i in range(20)]
+    out = semantic_dedup(_emb(spark, rows), "id", "v",
+                         [[0.0, 1.0], [2.0, 1.0]], threshold=0.999,
+                         max_cell=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__c" in plan
+    assert "__s" in plan
