@@ -168,6 +168,29 @@ def parse_rollup(sql: str) -> _Rollup | None:
     )
 
 
+def _literal_spans(text: str) -> list[tuple[int, int]]:
+    """Half-open [start, end) spans of single-quoted string literals,
+    with the SQL '' escape treated as a continuation of the literal."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == "'":
+            start = i
+            i += 1
+            while i < n:
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        i += 2  # escaped quote: still inside
+                        continue
+                    i += 1
+                    break
+                i += 1
+            spans.append((start, i))
+        else:
+            i += 1
+    return spans
+
+
 def _where_identifiers(where: str) -> set[str]:
     no_strings = re.sub(r"'[^']*'", "", where)
     return {
@@ -305,6 +328,14 @@ def _rewrite_having(having: str, mv_aggs: dict, allowed_idents: set[str]) -> str
     identifier OUTSIDE aggregate arguments must be a grouping key or a
     select alias (anything else does not survive the rollup — fail
     closed)."""
+    spans = _literal_spans(having)
+
+    def _containing_span(i: int):
+        for s, e in spans:
+            if s <= i < e:
+                return (s, e)
+        return None
+
     out: list[str] = []
     plain: list[str] = []  # non-replaced segments, for the ident check
     pos = 0
@@ -315,6 +346,15 @@ def _rewrite_having(having: str, mv_aggs: dict, allowed_idents: set[str]) -> str
             out.append(seg)
             plain.append(seg)
             break
+        span = _containing_span(m.start())
+        if span is not None:
+            # agg-looking text inside a quoted literal is DATA, not an
+            # aggregate call — copy through to the literal's end
+            seg = having[pos:span[1]]
+            out.append(seg)
+            plain.append(seg)
+            pos = span[1]
+            continue
         seg = having[pos:m.start()]
         out.append(seg)
         plain.append(seg)

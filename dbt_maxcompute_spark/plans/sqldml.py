@@ -970,6 +970,16 @@ def _exec_insert(
         unknown = [c for c in cols if c not in tgt_names]
         if unknown:
             raise ValueError(f"INSERT {tbl}: unknown columns {unknown}")
+        both = [c for c in cols if c in static]
+        if both:
+            # Hive/MaxCompute reject this statement: the column-list
+            # value and the static PARTITION literal would disagree on
+            # which partition a row belongs to (accepting it silently
+            # dropped every non-matching row after the truncation)
+            raise ValueError(
+                f"INSERT {tbl}: columns {both} appear in both the "
+                "static PARTITION spec and the column list"
+            )
         if len(cols) != len(src.columns):
             raise ValueError("INSERT: column list / query arity mismatch")
         src = src.toDF(*cols)
@@ -1011,27 +1021,31 @@ def _exec_insert(
             for c in tgt_names
         ]
     )
+    static_parts = None
+    if overwrite and pt_cols and static and set(static) == set(pt_cols):
+        # fully-static overwrite: resolve the literal partition
+        # tuple driver-side so an EMPTY source still truncates
+        # the listed partition (reference insert_overwrite.sql
+        # static branch deletes the partition before inserting)
+        row = (
+            catalog.spark.range(1)
+            .select(
+                *[
+                    F.expr(static[c]).cast(ttypes[c]).alias(c)
+                    for c in pt_cols
+                ]
+            )
+            .first()
+        )
+        static_parts = [row.asDict()]
+        # scope BEFORE the observation so the returned count is rows
+        # actually written, not rows filtered out by the static spec
+        # (insert_overwrite's own scoping then re-applies a no-op)
+        full = dml._scope_to_partitions(full, pt_cols, static_parts)
     obs = Observation()
     full = full.observe(obs, F.count(F.lit(1)).alias("n"))
     if overwrite:
         if pt_cols:
-            static_parts = None
-            if static and set(static) == set(pt_cols):
-                # fully-static overwrite: resolve the literal partition
-                # tuple driver-side so an EMPTY source still truncates
-                # the listed partition (reference insert_overwrite.sql
-                # static branch deletes the partition before inserting)
-                row = (
-                    catalog.spark.range(1)
-                    .select(
-                        *[
-                            F.expr(static[c]).cast(ttypes[c]).alias(c)
-                            for c in pt_cols
-                        ]
-                    )
-                    .first()
-                )
-                static_parts = [row.asDict()]
             dml.insert_overwrite(catalog, tbl, full, partitions=static_parts)
         elif meta.transactional:
             from dbt_maxcompute_spark.txnlog import CommitConflict

@@ -472,3 +472,35 @@ def test_range_implication_values_match_base(spark, tmp_path, sf_dir):
     assert "mvr" in files and "lineitem" not in files
     want = cat.sql(user, mv_rewrite=False).collect()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+
+
+def test_having_agg_text_inside_string_literal_is_data():
+    """Round-7 advisory fix: agg-looking text inside a quoted literal
+    must pass through unrewritten (it previously became 'sum(c)' —
+    silently changing results)."""
+    user = """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    HAVING count(*) > 100 AND l_returnflag <> 'count(*)'
+    """
+    out = try_rewrite(user, [("m", SUMCOUNT_MV_SQL)])
+    assert out is not None
+    assert "'count(*)'" in out          # literal preserved verbatim
+    assert "sum(n) > 100" in out.lower()
+
+
+def test_having_identifier_inside_literal_not_checked():
+    """An unknown-identifier-looking token INSIDE a literal must not
+    trip the fail-closed ident check; the same token OUTSIDE must."""
+    user_ok = """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    HAVING count(*) > 1 AND l_returnflag <> 'mystery_col'
+    """
+    assert try_rewrite(user_ok, [("m", SUMCOUNT_MV_SQL)]) is not None
+    user_bad = """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    HAVING count(*) > 1 AND mystery_col <> 'x'
+    """
+    assert try_rewrite(user_bad, [("m", SUMCOUNT_MV_SQL)]) is None

@@ -596,3 +596,48 @@ def test_sql_update_delete_single_pass(spark, cat):
     ran = _job_executions_after(spark, floor)
     assert summary.collect()[0].affected_rows == 10
     assert len(ran) == 1, f"DELETE ran {len(ran)} data passes: {ran}"
+
+
+# -- round-7 advisories ------------------------------------------------------
+
+def test_insert_static_partition_overlapping_column_list_rejected(spark, cat):
+    """Hive/MaxCompute parity: a partition column in BOTH the static
+    PARTITION spec and the column list is a statement error (accepting
+    it silently emptied the partition — round-7 advisory)."""
+    src = spark.range(4).select(
+        F.col("id"), F.concat(F.lit("p"), (F.col("id") % 2)).alias("pt")
+    )
+    cat.create_table("pt_x", src, partition_by=["pt"])
+    with pytest.raises(ValueError, match="static PARTITION spec"):
+        cat.execute(
+            "INSERT OVERWRITE TABLE pt_x PARTITION (pt='pA') (id, pt) "
+            "SELECT 2, 'pB'"
+        )
+    with pytest.raises(ValueError, match="static PARTITION spec"):
+        cat.execute(
+            "INSERT INTO pt_x PARTITION (pt='pA') (id, pt) SELECT 2, 'pB'"
+        )
+    # table unchanged: the statement failed before any truncation
+    assert cat.read("pt_x").count() == 4
+
+
+def test_insert_static_overwrite_count_is_written_rows(spark, cat):
+    """The summarized affected-row count reflects rows actually written
+    into the static partition (the observation sits above the scoping
+    filter — round-7 advisory)."""
+    src = spark.range(6).select(
+        F.col("id"), F.concat(F.lit("p"), (F.col("id") % 2)).alias("pt")
+    )
+    cat.create_table("pt_y", src, partition_by=["pt"])
+    out = cat.execute(
+        "INSERT OVERWRITE TABLE pt_y PARTITION (pt='p0') "
+        "(SELECT id + 50 FROM range(3))"
+    ).collect()[0]
+    assert out.affected_rows == 3
+    # empty source: truncates and reports zero written rows
+    out = cat.execute(
+        "INSERT OVERWRITE TABLE pt_y PARTITION (pt='p0') "
+        "(SELECT id FROM range(1) WHERE id < 0)"
+    ).collect()[0]
+    assert out.affected_rows == 0
+    assert cat.read("pt_y").filter("pt = 'p0'").count() == 0
