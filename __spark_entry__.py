@@ -50,68 +50,64 @@ _SUITES = [
 ]
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
-# FIRST 50 ``queries()`` entries only. Round 6 continues the freshness
-# rotation the round-5 verdict prescribed: the 7 NEW round-6 queries
-# (never driver-checked) lead, followed by the queries whose last hard
-# driver-green row is r3. Two of those (txn_time_travel,
-# webdataset_roundtrip — both also exercised by r4/r5-green rows
-# sql_dml_script and the r5 webdataset row per VERDICT §2.1) sit at
-# positions 51-52 and rotate in next round.
+# FIRST 50 ``queries()`` entries only. Round 7 continues the freshness
+# rotation: the 2 NEW round-7 queries (never driver-checked) lead,
+# then the two r3-stale rows the round-6 verdict queued
+# (txn_time_travel, webdataset_roundtrip), then the r4 block in name
+# order — computed from the union of CORRECTNESS_r01..r06 hard greens.
 _PRIORITY = [
-    # new in round 6 — never driver-checked
-    "dedup_semantic_clusters",
-    "mv_cdf_maintenance",
-    "sql_insert_partition_script",
-    "sql_txn_lifecycle_script",
-    "sql_mixed_partition_insert",
-    "mv_rewrite_avg_having",
-    "stream_seq_upsert",
-    # r3-last (45 queries, stalest first-class rows)
-    "ann_brute_force_cosine",
-    "ann_ivf_topk",
-    "bucketed_colocated_join",
-    "catalog_ddl_audit",
-    "contracts_not_null",
-    "curation_filter_funnel",
-    "decimal_fidelity",
-    "dedup_cluster_components",
-    "dedup_exact_documents",
-    "dedup_incremental_batch",
-    "dedup_keep_canonical",
-    "dedup_lsh_recall_pinned",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_token_jaccard_pairs",
-    "doc_length_histogram",
-    "emb_cosine_dup_pairs",
-    "emb_cosine_exact_pairs",
-    "emb_kmeans_profile",
-    "emb_quantize_int8",
-    "events_asof_last_purchase",
-    "events_range_click_error",
-    "events_sessionize",
-    "events_sliding_windows",
-    "events_tumbling_hourly",
-    "fn_array_ops",
-    "group_split_leakage_safe",
-    "incr_insert_overwrite_events",
-    "incr_microbatch_events",
-    "jsonl_roundtrip",
-    "mv_incremental_refresh",
-    "mv_returnflag_rollup",
-    "ops_contract_probe",
-    "pack_sequences",
-    "raw_script_passthrough",
-    "scd2_snapshot_orders",
-    "seed_roundtrip",
-    "sketch_distinct_users",
-    "sketch_value_quantiles",
-    "stream_exactly_once_dedup",
-    "stream_tumbling_hourly",
-    "train_next_event_examples",
-    "train_shuffle_order",
+    # new in round 7 — never driver-checked
+    "mv_join_cdf_maintenance",
+    "sql_ddl_statement_script",
+    # stalest hard-green rows next (r3 pair, then the r4 block)
     "txn_time_travel",
     "webdataset_roundtrip",
+    "agg_daily_orders",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "anti_join_customers_without_orders",
+    "bloom_prefilter_join",
+    "cube_orders",
+    "date_spine",
+    "dedup_incremental_lsh",
+    "dedup_shared_chunks",
+    "distinct_counts",
+    "exists_suppliers",
+    "explode_order_lines",
+    "flagship_customers",
+    "fn_any_value",
+    "fn_datetime_ops",
+    "fn_listagg_lineitems",
+    "fn_string_ops",
+    "mixture_sample_langs",
+    "ops_compact_probe",
+    "percentiles_exact",
+    "pivot_status_priority",
+    "pricing_summary",
+    "ranking_family",
+    "regexp_ops",
+    "revenue_by_nation",
+    "rollup_revenue",
+    "scalar_subquery_recent_orders",
+    "semi_join_parts_with_lineitems",
+    "setops_nationkeys",
+    "sketch_heavy_hitters",
+    "sketch_mergeable_distinct",
+    "skew_salted_rollup",
+    "stats_moments",
+    "stream_custom_state_totals",
+    "stream_interval_join",
+    "stream_late_data_drop",
+    "stream_session_windows",
+    "stream_txn_exactly_once",
+    "top10_expensive_orders",
+    "tpch_q2_min_cost_supplier",
+    "tuple_in_subquery",
+    "txn_deletion_vectors",
+    "txn_dv_upsert",
+    "txn_file_skipping",
+    "txn_schema_evolution",
+    "txn_zorder_skipping",
 ]
 
 

@@ -568,10 +568,12 @@ class EngineCatalog:
         if fresh and fps == self._views_fp:
             return self._views_candidates
         rewrite_candidates: list[tuple[str, str]] = []
+        views: list[tuple[str, str, str]] = []
         for schema, t, full in tables:
             m = self.meta(full)
             if m.table_type == "view":
-                continue  # views resolve recursively via their SQL
+                views.append((schema, t, full))
+                continue  # registered after tables (they resolve via SQL)
             if not fresh or self._views_fp.get(full) != fps[full]:
                 # transactional tables bind to their SNAPSHOT; plain
                 # tables go through read() too — it applies the stored
@@ -588,6 +590,31 @@ class EngineCatalog:
                 and not (m.mv_config or {}).get("build_deferred")
             ):
                 rewrite_candidates.append((f"{schema}_{t}", m.view_sql))
+        # catalog VIEWS register as temp views over their defining SQL
+        # (lazy — analysis only), after every table so references
+        # resolve; a view-over-view chain converges by fixpoint (each
+        # pass registers at least one more, or the leftovers reference
+        # something that does not exist and stay unregistered exactly
+        # as before views were routed through SQL DDL).  Re-registered
+        # whenever anything changed: a view's frame binds its upstream
+        # snapshots at registration time.
+        pending = views
+        for _ in range(len(views) + 1):
+            if not pending:
+                break
+            nxt: list[tuple[str, str, str]] = []
+            for schema, t, full in pending:
+                try:
+                    df = self.spark.sql(self.meta(full).view_sql)
+                except Exception:
+                    nxt.append((schema, t, full))
+                    continue
+                if schema == self.default_schema:
+                    df.createOrReplaceTempView(t)
+                df.createOrReplaceTempView(f"{schema}_{t}")
+            if len(nxt) == len(pending):
+                break
+            pending = nxt
         self._views_fp = fps
         self._views_candidates = rewrite_candidates
         EngineCatalog._active_registrar = self

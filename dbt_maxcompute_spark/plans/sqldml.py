@@ -283,6 +283,138 @@ _ALTER_CHANGE_RE = re.compile(
     r"(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*$",
     re.IGNORECASE,
 )
+# -- round-7 DDL statement routing: the forms the reference's macros emit
+_CREATE_VIEW_RE = re.compile(
+    # view/create.sql:1-14 (every dbt view model) and the comment
+    # re-create in impl.py:640-641. TEMP/TEMPORARY views never match
+    # (extra keyword before VIEW) and stay with spark.sql.
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
+    r"(?P<ifnex>IF\s+NOT\s+EXISTS\s+)?(?P<tbl>[A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+_CREATE_MV_RE = re.compile(
+    # relation_configs/_materialized_view.py:98-128 header shape
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+"
+    r"(?P<ifnex>IF\s+NOT\s+EXISTS\s+)?(?P<tbl>[A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+_RENAME_RE = re.compile(
+    # adapters.sql:14-26 (dbt's backup/swap on every non-incremental
+    # rebuild); MV rename raises in catalog.rename (reference parity)
+    r"^\s*ALTER\s+(?:TABLE|VIEW)\s+(?P<tbl>[A-Za-z_][\w.]*)\s+"
+    r"RENAME\s+TO\s+`?(?P<new>[A-Za-z_][\w.]*)`?\s*$",
+    re.IGNORECASE,
+)
+_CLONE_RE = re.compile(
+    # macros/materializations/clone.sql:6-11
+    r"^\s*CLONE\s+TABLE\s+(?P<src>[A-Za-z_][\w.]*)\s+TO\s+"
+    r"(?P<dst>[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
+_SET_COMMENT_RE = re.compile(
+    # impl.py:635 (persist_docs relation comment)
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+SET\s+COMMENT\s+"
+    r"(?P<lit>'[^']*')\s*$",
+    re.IGNORECASE,
+)
+_COL_COMMENT_RE = re.compile(
+    # impl.py:658-661 (persist_docs column comments, table and view)
+    r"^\s*ALTER\s+(?:TABLE|VIEW)\s+(?P<tbl>[A-Za-z_][\w.]*)\s+"
+    r"CHANGE\s+COLUMN\s+`?(?P<col>\w+)`?\s+COMMENT\s+(?P<lit>'[^']*')\s*$",
+    re.IGNORECASE,
+)
+
+
+def _unquote(lit: str) -> str:
+    """Undo a single-quoted SQL literal ('' escape included)."""
+    return lit[1:-1].replace("''", "'")
+
+
+def parse_create_mv(stmt: str, masked: str, m: re.Match) -> dict:
+    """Parse the reference's CREATE MATERIALIZED VIEW header
+    (relation_configs/_materialized_view.py:98-128): LIFECYCLE n,
+    BUILD DEFERRED, optional (col [COMMENT '...'] , ...) list,
+    DISABLE REWRITE, COMMENT '...', PARTITIONED BY(...),
+    TBLPROPERTIES("k"="v", ...), then AS (sql)."""
+    as_ms = [
+        am
+        for am in _top_level_iter(masked[m.end():], r"\bAS\b")
+    ]
+    if not as_ms:
+        raise ValueError("CREATE MATERIALIZED VIEW: missing AS")
+    a = as_ms[0]
+    head, hmask = stmt[m.end():m.end() + a.start()], masked[m.end():m.end() + a.start()]
+    body = _strip_outer_parens(stmt[m.end() + a.end():])
+    spec: dict = {
+        "table": m.group("tbl"),
+        "if_not_exists": bool(m.group("ifnex")),
+        "sql": body,
+        "lifecycle": None,
+        "build_deferred": False,
+        "disable_rewrite": False,
+        "comment": None,
+        "partition_by": None,
+        "tblproperties": None,
+        "columns": None,
+    }
+    lm = re.search(r"\bLIFECYCLE\s+(\d+)", hmask, re.IGNORECASE)
+    if lm:
+        spec["lifecycle"] = int(lm.group(1))
+    if re.search(r"\bBUILD\s+DEFERRED\b", hmask, re.IGNORECASE):
+        spec["build_deferred"] = True
+    if re.search(r"\bDISABLE\s+REWRITE\b", hmask, re.IGNORECASE):
+        spec["disable_rewrite"] = True
+    cm = next(
+        iter(_top_level_iter(hmask, r"\bCOMMENT\s+('[^']*')")), None
+    )
+    if cm:
+        spec["comment"] = _unquote(head[cm.start(1):cm.end(1)])
+    pm = re.search(r"\bPARTITIONED\s+(?:BY|ON)\s*\(", hmask, re.IGNORECASE)
+    if pm:
+        open_i = hmask.index("(", pm.start())
+        close_i = _find_close(hmask, open_i)
+        spec["partition_by"] = [
+            # strip any type suffix ("pt string" and bare "pt" both occur)
+            p.split()[0].strip("`")
+            for p in _split_top_level(
+                head[open_i + 1:close_i], hmask[open_i + 1:close_i]
+            )
+        ]
+    tm = re.search(r"\bTBLPROPERTIES\s*\(", hmask, re.IGNORECASE)
+    if tm:
+        open_i = hmask.index("(", tm.start())
+        close_i = _find_close(hmask, open_i)
+        props: dict[str, str] = {}
+        for part in _split_top_level(
+            head[open_i + 1:close_i], hmask[open_i + 1:close_i]
+        ):
+            kv = re.match(
+                r"""\s*["'](?P<k>[^"']*)["']\s*=\s*["'](?P<v>[^"']*)["']\s*$""",
+                part,
+            )
+            if not kv:
+                raise ValueError(f"TBLPROPERTIES: malformed entry {part!r}")
+            props[kv.group("k")] = kv.group("v")
+        spec["tblproperties"] = props
+    # optional explicit column list: the FIRST top-level paren group,
+    # only when it is not the PARTITIONED BY / TBLPROPERTIES group
+    first_paren = hmask.find("(")
+    claimed = set()
+    for sm in (pm, tm):
+        if sm:
+            claimed.add(hmask.index("(", sm.start()))
+    if first_paren >= 0 and first_paren not in claimed:
+        close_i = _find_close(hmask, first_paren)
+        cols: dict[str, str | None] = {}
+        for part in _split_top_level(
+            head[first_paren + 1:close_i], hmask[first_paren + 1:close_i]
+        ):
+            pmask = mask_sql(part)
+            ccm = re.search(r"\bCOMMENT\s+('[^']*')", pmask, re.IGNORECASE)
+            name = part.split()[0].strip("`")
+            cols[name] = _unquote(part[ccm.start(1):ccm.end(1)]) if ccm else None
+        spec["columns"] = cols
+    return spec
 
 
 def _strip_outer_parens(text: str) -> str:
@@ -534,6 +666,51 @@ def classify(stmt: str):
     m = _HISTORY_RE.match(masked)
     if m:
         return ("history", m.group("tbl"))
+    m = _CREATE_MV_RE.match(masked)
+    if m:
+        return ("create_mv", parse_create_mv(stmt, masked, m))
+    m = _CREATE_VIEW_RE.match(masked)
+    if m:
+        rest_mask = masked[m.end():]
+        as_ms = _top_level_iter(rest_mask, r"\bAS\b")
+        if as_ms:
+            a = as_ms[0]
+            head = stmt[m.end():m.end() + a.start()]
+            hmask = rest_mask[: a.start()]
+            comment = None
+            cm = re.search(r"\bCOMMENT\s+('[^']*')", hmask, re.IGNORECASE)
+            if cm:
+                comment = _unquote(head[cm.start(1):cm.end(1)])
+            body = _strip_outer_parens(stmt[m.end() + a.end():])
+            return (
+                "create_view",
+                m.group("tbl"),
+                bool(m.group("replace")),
+                bool(m.group("ifnex")),
+                comment,
+                body,
+            )
+    m = _RENAME_RE.match(masked)
+    if m:
+        return ("rename", m.group("tbl"), m.group("new"))
+    m = _CLONE_RE.match(masked)
+    if m:
+        return ("clone", m.group("src"), m.group("dst"))
+    m = _SET_COMMENT_RE.match(masked)
+    if m:
+        return (
+            "set_comment",
+            m.group("tbl"),
+            _unquote(stmt[m.start("lit"):m.end("lit")]),
+        )
+    m = _COL_COMMENT_RE.match(masked)
+    if m:
+        return (
+            "set_col_comment",
+            m.group("tbl"),
+            m.group("col"),
+            _unquote(stmt[m.start("lit"):m.end("lit")]),
+        )
     m = _CTAS_RE.match(masked)
     if m:
         pk = (
@@ -781,6 +958,70 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         return _summary(catalog, "CREATE TABLE", tbl, int(obs.get["n"] or 0))
     if op == "create_cols":
         return _exec_create_table(catalog, parsed[1])
+    if op == "create_view":
+        _, tbl, replace, ifnex, comment, body = parsed
+        if catalog.exists(tbl):
+            if catalog.meta(tbl).table_type != "view":
+                raise ValueError(
+                    f"CREATE VIEW {tbl}: a non-view relation with this "
+                    "name exists"
+                )
+            if not replace:
+                if ifnex:
+                    return _summary(catalog, "CREATE VIEW", tbl, 0)
+                raise ValueError(f"view {tbl} already exists")
+        # fail fast like real DDL: the defining query must analyze
+        # against the current catalog (lazy — no job runs)
+        catalog.sql(rewrite_time_travel(catalog, body), mv_rewrite=False)
+        catalog.create_view(tbl, body, comment=comment)
+        return _summary(catalog, "CREATE VIEW", tbl, 1)
+    if op == "create_mv":
+        from dbt_maxcompute_spark.materializations.materialized_view import (
+            create_materialized_view,
+        )
+
+        spec = parsed[1]
+        tbl = spec["table"]
+        if catalog.exists(tbl):
+            if spec["if_not_exists"]:
+                return _summary(catalog, "CREATE MATERIALIZED VIEW", tbl, 0)
+            raise ValueError(f"relation {tbl} already exists")
+        create_materialized_view(
+            catalog,
+            tbl,
+            spec["sql"],
+            partition_by=spec["partition_by"],
+            lifecycle=spec["lifecycle"],
+            build_deferred=spec["build_deferred"],
+            disable_rewrite=spec["disable_rewrite"],
+            tblproperties=spec["tblproperties"],
+            columns=spec["columns"],
+        )
+        if spec["comment"] is not None:
+            catalog.set_comment(tbl, spec["comment"])
+        return _summary(catalog, "CREATE MATERIALIZED VIEW", tbl, 1)
+    if op == "rename":
+        _, tbl, new = parsed
+        if "." not in new and "." in tbl:
+            # reference adapters.sql:17 renames to a bare identifier
+            # within the source's schema
+            new = tbl.rsplit(".", 1)[0] + "." + new
+        catalog.rename(tbl, new)
+        return _summary(catalog, "ALTER TABLE RENAME", new, 1)
+    if op == "clone":
+        _, src, dst = parsed
+        catalog.clone(src, dst)
+        return _summary(catalog, "CLONE TABLE", dst, 1)
+    if op == "set_comment":
+        _, tbl, comment = parsed
+        catalog.set_comment(tbl, comment)
+        return _summary(catalog, "ALTER TABLE SET COMMENT", tbl, 1)
+    if op == "set_col_comment":
+        _, tbl, col, comment = parsed
+        if col not in dict(catalog.columns(tbl)):
+            raise ValueError(f"CHANGE COLUMN {tbl}: unknown column {col!r}")
+        catalog.set_column_comment(tbl, col, comment)
+        return _summary(catalog, "ALTER TABLE CHANGE COLUMN COMMENT", tbl, 1)
     if op == "grant":
         _, tbl, privs, who = parsed
         catalog.grant(tbl, privs, who)

@@ -115,10 +115,88 @@ GROUP BY seg ORDER BY seg
 """
 
 
+def q_sql_ddl_statement_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 statement routing: the DDL forms the reference's macros
+    # emit, end-to-end through the SQL router — CREATE OR REPLACE VIEW
+    # (view/create.sql:1-14, the single most common generated DDL),
+    # CLONE TABLE (clone.sql:6-11), ALTER TABLE RENAME TO
+    # (adapters.sql:14-26, dbt's backup/swap), comment persistence
+    # (persist_docs.sql / impl.py:629-669) and CREATE MATERIALIZED VIEW
+    # (_materialized_view.py:98-128). The view must RESOLVE in later
+    # statements (registered over its defining SQL, seeing base-table
+    # mutations), the clone+rename chain must carry the data, and the
+    # recorded comments ride the result as a metadata column.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="ddl_wh_"))
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("r7_orders_src")
+    df, _hints, errors = cat.execute_script(
+        """
+        CREATE TABLE fact (k bigint, status string, price double);
+        INSERT INTO fact
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM r7_orders_src WHERE o_orderkey % 5 = 0;
+        CREATE OR REPLACE VIEW fact_f AS (
+            SELECT k, price FROM fact WHERE status = 'F'
+        );
+        ALTER TABLE fact SET COMMENT 'facts';
+        ALTER TABLE fact CHANGE COLUMN price COMMENT 'total price';
+        CLONE TABLE fact TO fact_bak;
+        ALTER TABLE fact_bak RENAME TO fact_archive;
+        CREATE MATERIALIZED VIEW IF NOT EXISTS mv_status LIFECYCLE 7 AS (
+            SELECT status, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS total
+            FROM fact GROUP BY status
+        );
+        SELECT 'archive' AS src, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM fact_archive
+        UNION ALL
+        SELECT 'mv_f', n, total FROM mv_status WHERE status = 'F'
+        UNION ALL
+        SELECT 'view_f', CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE)
+        FROM fact_f
+        """
+    )
+    if errors or df is None:
+        raise RuntimeError(f"ddl script failed: {errors}")
+    meta = cat.meta("fact")
+    doc = f"{meta.comment}|{meta.column_comments.get('price')}"
+    return df.withColumn("doc", F.lit(doc)).orderBy("src")
+
+
+ORACLE_SQL_DDL_STATEMENT = """
+WITH fact AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT 'archive' AS src, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       'facts|total price' AS doc
+FROM fact
+UNION ALL
+SELECT 'mv_f', CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE),
+       'facts|total price'
+FROM fact WHERE status = 'F'
+UNION ALL
+SELECT 'view_f', CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE),
+       'facts|total price'
+FROM fact WHERE status = 'F'
+ORDER BY src
+"""
+
+
 QUERIES = {
     "mv_join_cdf_maintenance": q_mv_join_cdf_maintenance,
+    "sql_ddl_statement_script": q_sql_ddl_statement_script,
 }
 
 ORACLES = {
     "mv_join_cdf_maintenance": ORACLE_MV_JOIN_CDF_MAINTENANCE,
+    "sql_ddl_statement_script": ORACLE_SQL_DDL_STATEMENT,
 }

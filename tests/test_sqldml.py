@@ -641,3 +641,96 @@ def test_insert_static_overwrite_count_is_written_rows(spark, cat):
     ).collect()[0]
     assert out.affected_rows == 0
     assert cat.read("pt_y").filter("pt = 'p0'").count() == 0
+
+
+# -- round-7: SQL DDL statement routing (the reference's macro forms) --------
+
+def test_classify_ddl_statements():
+    assert sqldml.classify(
+        "CREATE OR REPLACE VIEW v AS (SELECT 1 AS x)"
+    )[0] == "create_view"
+    # TEMP views stay unrouted (spark.sql handles session temp views)
+    assert sqldml.classify("CREATE TEMPORARY VIEW tv AS SELECT 1") is None
+    assert sqldml.classify("CREATE OR REPLACE TEMP VIEW tv AS SELECT 1") is None
+    op, tbl, new = sqldml.classify("ALTER TABLE a.b RENAME TO c")
+    assert (op, tbl, new) == ("rename", "a.b", "c")
+    assert sqldml.classify("CLONE TABLE s TO d")[0] == "clone"
+    op, tbl, comment = sqldml.classify("ALTER TABLE t SET COMMENT 'it''s'")
+    assert (op, comment) == ("set_comment", "it's")
+    op, tbl, col, comment = sqldml.classify(
+        "ALTER VIEW v CHANGE COLUMN c COMMENT 'doc'"
+    )
+    assert (op, col, comment) == ("set_col_comment", "c", "doc")
+    spec = sqldml.classify(
+        "CREATE MATERIALIZED VIEW IF NOT EXISTS m\n"
+        "LIFECYCLE 30\nBUILD DEFERRED\n(g COMMENT 'grp', n)\n"
+        "DISABLE REWRITE\nCOMMENT 'mv doc'\nPARTITIONED BY(pt)\n"
+        "TBLPROPERTIES(\"a\"=\"1\", \"b\"=\"2\")\n"
+        "AS (SELECT g, n, pt FROM src)"
+    )[1]
+    assert spec["table"] == "m" and spec["if_not_exists"]
+    assert spec["lifecycle"] == 30 and spec["build_deferred"]
+    assert spec["disable_rewrite"] and spec["comment"] == "mv doc"
+    assert spec["partition_by"] == ["pt"]
+    assert spec["tblproperties"] == {"a": "1", "b": "2"}
+    assert spec["columns"] == {"g": "grp", "n": None}
+    assert spec["sql"] == "SELECT g, n, pt FROM src"
+
+
+def test_create_view_via_sql_registers_and_resolves(spark, cat):
+    _mk(cat, spark, 4)
+    out = cat.execute(
+        "CREATE OR REPLACE VIEW big AS (SELECT id, v FROM t WHERE id >= 2)"
+    ).collect()[0]
+    assert (out.operation, out.affected_rows) == ("CREATE VIEW", 1)
+    assert cat.meta("big").table_type == "view"
+    # the view resolves in later catalog SQL (and sees base mutations)
+    assert cat.sql("SELECT count(*) AS n FROM big").collect()[0].n == 2
+    cat.execute("DELETE FROM t WHERE id = 3")
+    assert cat.sql("SELECT count(*) AS n FROM big").collect()[0].n == 1
+    # view-over-view chains resolve by fixpoint
+    cat.execute("CREATE VIEW big2 AS (SELECT id FROM big WHERE id = 2)")
+    assert cat.sql("SELECT * FROM big2").collect()[0].id == 2
+    # duplicate without OR REPLACE raises; IF NOT EXISTS no-ops
+    with pytest.raises(ValueError, match="already exists"):
+        cat.execute("CREATE VIEW big AS (SELECT 1 AS x)")
+    assert cat.execute(
+        "CREATE VIEW IF NOT EXISTS big AS (SELECT 1 AS x)"
+    ).collect()[0].affected_rows == 0
+    # a bad defining query fails at CREATE time (real-DDL analysis)
+    with pytest.raises(Exception):
+        cat.execute("CREATE VIEW broken AS (SELECT nope FROM t)")
+    assert not cat.exists("broken")
+
+
+def test_create_materialized_view_via_sql(spark, cat):
+    _mk(cat, spark, 6)
+    cat.execute(
+        "CREATE MATERIALIZED VIEW IF NOT EXISTS m LIFECYCLE 7 "
+        "AS (SELECT id % 2 AS g, count(*) AS n FROM t GROUP BY id % 2)"
+    )
+    meta = cat.meta("m")
+    assert meta.table_type == "materialized_view"
+    assert meta.mv_config["lifecycle"] == 7
+    assert cat.read("m").count() == 2
+    # IF NOT EXISTS: second create is a no-op, stored data untouched
+    out = cat.execute(
+        "CREATE MATERIALIZED VIEW IF NOT EXISTS m AS (SELECT 1 AS x)"
+    ).collect()[0]
+    assert out.affected_rows == 0
+    assert cat.read("m").count() == 2
+
+
+def test_rename_clone_comment_via_sql(spark, cat):
+    _mk(cat, spark, 3)
+    cat.execute("ALTER TABLE t RENAME TO t_new")
+    assert not cat.exists("t") and cat.read("t_new").count() == 3
+    cat.execute("CLONE TABLE t_new TO t_copy")
+    assert cat.read("t_copy").count() == 3
+    assert cat.meta("t_copy").transactional == cat.meta("t_new").transactional
+    cat.execute("ALTER TABLE t_new SET COMMENT 'fact table'")
+    assert cat.meta("t_new").comment == "fact table"
+    cat.execute("ALTER TABLE t_new CHANGE COLUMN v COMMENT 'value col'")
+    assert cat.meta("t_new").column_comments["v"] == "value col"
+    with pytest.raises(ValueError, match="unknown column"):
+        cat.execute("ALTER TABLE t_new CHANGE COLUMN zz COMMENT 'x'")
