@@ -166,6 +166,7 @@ class EngineCatalog:
         self.default_schema = default_schema
         self._views_fp: dict[str, tuple] = {}
         self._views_candidates: list[tuple[str, str]] = []
+        self._dirty: set[str] = set()  # tables mutated since last walk
         os.makedirs(os.path.join(warehouse_dir, default_schema), exist_ok=True)
 
     # -- namespace ----------------------------------------------------------
@@ -224,8 +225,22 @@ class EngineCatalog:
         os.replace(tmp, self._meta_path(name))
         # a meta rewrite keeps the same file name — force this table to
         # re-register on the next register_views (see _table_fingerprint)
+        self.mark_dirty(name)
+
+    def mark_dirty(self, name: str) -> None:
+        """Record a table mutation EVENT: the next register_views
+        re-fingerprints (and re-registers) only dirty tables instead of
+        walking the whole catalog per statement. Every engine write
+        path reports here — catalog DDL via _write_meta, DML staging
+        swaps and plain appends (plans/dml.py), and transaction-log
+        commits through the :meth:`txn` on_commit hook. Out-of-band
+        writes (a TxnTable constructed directly on a table path)
+        bypass events by definition; :meth:`invalidate_views` restores
+        the full walk for those."""
         schema, table = self._split(name)
-        self._views_fp.pop(f"{schema}.{table}", None)
+        full = f"{schema}.{table}"
+        self._views_fp.pop(full, None)
+        self._dirty.add(full)
 
     def list_tables(self, schema: str | None = None, pattern: str | None = None) -> list[str]:
         """Pattern uses SQL LIKE (%/_), translated to regex exactly as the
@@ -493,7 +508,10 @@ class EngineCatalog:
         meta = self.meta(name)
         if not meta.transactional:
             raise ValueError(f"table {name} is not transactional")
-        return TxnTable(self.spark, self.table_dir(name))
+        t = TxnTable(self.spark, self.table_dir(name))
+        # every commit through this handle is a catalog event
+        t.on_commit = lambda _v, _n=name: self.mark_dirty(_n)
+        return t
 
     def read(self, name: str, version: int | None = None) -> DataFrame:
         meta = self.meta(name)
@@ -564,8 +582,15 @@ class EngineCatalog:
             for t in self.list_tables(schema):
                 full = f"{schema}.{t}"
                 tables.append((schema, t, full))
-                fps[full] = self._table_fingerprint(full)
+                if fresh and full in self._views_fp and full not in self._dirty:
+                    # event-based reuse: no engine write has touched
+                    # this table since its last walk — trust the cached
+                    # fingerprint instead of re-stat'ing its tree
+                    fps[full] = self._views_fp[full]
+                else:
+                    fps[full] = self._table_fingerprint(full)
         if fresh and fps == self._views_fp:
+            self._dirty.clear()
             return self._views_candidates
         rewrite_candidates: list[tuple[str, str]] = []
         views: list[tuple[str, str, str]] = []
@@ -617,6 +642,7 @@ class EngineCatalog:
             pending = nxt
         self._views_fp = fps
         self._views_candidates = rewrite_candidates
+        self._dirty.clear()
         EngineCatalog._active_registrar = self
         return rewrite_candidates
 

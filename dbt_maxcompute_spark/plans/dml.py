@@ -178,6 +178,7 @@ def _stage_and_swap(
                     shutil.rmtree(dst_dir)
                 os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
                 os.replace(src_dir, dst_dir)
+        catalog.mark_dirty(name)
     finally:
         if os.path.exists(staging):
             shutil.rmtree(staging)
@@ -341,6 +342,7 @@ def append(catalog: EngineCatalog, name: str, source: DataFrame) -> None:
     if pt:
         w = w.partitionBy(*pt)
     w.parquet(catalog.table_dir(name))
+    catalog.mark_dirty(name)
 
 
 # ---------------------------------------------------------------------------

@@ -1102,10 +1102,15 @@ def _exec_delete(catalog: "EngineCatalog", tbl: str, where: str | None) -> int:
     # merge.sql:75-83); Spark resolves them against the temp views
     catalog.register_views()
     if where is None:
-        # unconditional delete = truncate: one empty-overwrite commit
-        snap_df = t.read()
-        before = snap_df.count()
-        t.overwrite(snap_df.limit(0))
+        # unconditional delete = truncate: one empty-overwrite commit.
+        # The affected count comes from the LOG's stats (file footer
+        # row counts minus the DV store) — zero jobs unless a legacy
+        # log is missing stats for some file.
+        snap = t.snapshot()
+        before = t.stats_row_count(snap)
+        if before is None:
+            before = t.read(snap.version).count()
+        t.overwrite_from(snap.version, t.read(snap.version).limit(0))
         return before
     for attempt in range(_TXN_MAX_ATTEMPTS):
         try:

@@ -184,6 +184,9 @@ class TxnTable:
         self.spark = spark
         self.path = path
         self.log_path = os.path.join(path, LOG_DIR)
+        # optional commit listener (EngineCatalog.txn wires this to its
+        # event-based view invalidation); never affects the commit
+        self.on_commit = None
 
     # -- log plumbing ---------------------------------------------------------
 
@@ -332,6 +335,11 @@ class TxnTable:
                     fh,
                 )
             os.replace(cp_tmp, self._checkpoint_path(expected_version))
+        if self.on_commit is not None:
+            try:
+                self.on_commit(expected_version)
+            except Exception:
+                pass
         return expected_version
 
     # -- data paths -----------------------------------------------------------
@@ -758,6 +766,21 @@ class TxnTable:
         affected = self._dv_rows(dv_name) - old_rows
         v = self._commit(snap.version + 1, [{"set_dv": dv_name}], snap.schema_json)
         return (v, affected) if return_count else v
+
+    def stats_row_count(self, snap: "Snapshot | None" = None) -> int | None:
+        """VISIBLE row count from metadata alone: sum of the logged
+        per-file footer counts minus the DV store's rows (disjoint
+        from each other by construction). None when any file lacks
+        logged stats (legacy logs) — callers fall back to a count job.
+        Zero Spark jobs; the DV footers are local KB reads."""
+        snap = self.snapshot() if snap is None else snap
+        rows = [(snap.stats.get(f) or {}).get("numRecords") for f in snap.files]
+        if any(r is None for r in rows):
+            return None
+        total = sum(rows)
+        if snap.dv_file:
+            total -= self._dv_rows(snap.dv_file)
+        return total
 
     def _dv_rows(self, dv_rel: str) -> int:
         """Row count of a deletion-vector store from its parquet
