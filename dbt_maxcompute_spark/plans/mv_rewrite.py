@@ -118,6 +118,29 @@ class _Rollup:
     having: str | None = None
 
 
+_CANON_TOKEN_RX = re.compile(
+    r"'[^']*'|>=|<=|<>|!=|\|\||[A-Za-z_]\w*|\d+(?:\.\d+)?|\S"
+)
+
+
+def _canon_expr(s: str) -> str:
+    """EXPRESSION-normalized form (round-7 rewrite breadth): tokenize
+    and re-join with single spaces so ``x+1`` == ``x + 1``, lowercase
+    everything outside string literals, and drop identifier backticks.
+    Purely lexical — no algebra (``2*x`` vs ``x*2`` stays unmatched,
+    fail-closed). The output is valid SQL (tokens joined by spaces),
+    so canonical text can be both compared AND emitted."""
+    out = []
+    for t in _CANON_TOKEN_RX.findall(s):
+        if t.startswith("'"):
+            out.append(t)
+        elif t == "`":
+            continue
+        else:
+            out.append(t.lower())
+    return " ".join(out)
+
+
 def _parse_item(item: str) -> _Item | None:
     m = re.match(r"^(?P<body>.*)\s+as\s+(?P<alias>\w+)$", item, re.DOTALL)
     body, alias = (m["body"].strip(), m["alias"]) if m else (item, None)
@@ -132,11 +155,14 @@ def _parse_item(item: str) -> _Item | None:
         body, cast_type = m["inner"].strip(), m["type"]
     m = re.match(r"^(?P<func>sum|count|min|max|avg)\s*\((?P<arg>.*)\)$", body, re.DOTALL)
     if m:
+        arg = _canon_expr(_norm(m["arg"]))
+        if m["func"] == "count" and arg == "1":
+            arg = "*"  # count(1) ≡ count(*): same null-free semantics
         return _Item(
             kind="agg",
             alias=alias,
             func=m["func"],
-            arg=_norm(m["arg"]),
+            arg=arg,
             cast_type=cast_type,
         )
     if cast_type is None and re.fullmatch(r"[\w.]+", body):
@@ -213,7 +239,9 @@ def _conjuncts(where: str | None) -> list[str]:
     rewrite)."""
     if not where:
         return []
-    toks = re.findall(r"\(|\)|'[^']*'|[^\s()]+", where)
+    # canonical tokens (round 7): operators split from operands, so
+    # ``x>5`` and ``x > 5`` produce identical conjunct text
+    toks = _CANON_TOKEN_RX.findall(where)
     depth = 0
     between_pending = 0
     parts: list[list[str]] = [[]]
@@ -246,7 +274,10 @@ _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 _AGG_CALL_RX = re.compile(r"\b(sum|count|min|max|avg)\s*\(")
 
 _RANGE_RX = re.compile(
-    r"^([a-z_]\w*)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)$"
+    r"^([a-z_]\w*)\s*(<=|>=|<|>|=)\s*(-\s*)?(\d+(?:\.\d+)?)$"
+)
+_STR_RANGE_RX = re.compile(
+    r"^([a-z_]\w*)\s*(<=|>=|<|>|=)\s*('[^']*')$"
 )
 
 
@@ -259,10 +290,24 @@ def _implies(user_c: str, mv_c: str) -> bool:
     conjunct itself still re-applies as a residual (and the residual
     key-only check keeps this on grouping keys)."""
     mu, mm = _RANGE_RX.match(user_c), _RANGE_RX.match(mv_c)
-    if not mu or not mm or mu.group(1) != mm.group(1):
-        return False
-    uop, uval = mu.group(2), float(mu.group(3))
-    mop, mval = mm.group(2), float(mm.group(3))
+    if mu and mm and mu.group(1) == mm.group(1):
+        uop = mu.group(2)
+        uval = float(mu.group(4)) * (-1.0 if mu.group(3) else 1.0)
+        mop = mm.group(2)
+        mval = float(mm.group(4)) * (-1.0 if mm.group(3) else 1.0)
+        return _range_implies(uop, uval, mop, mval)
+    # string-literal ranges (the date-partition case: pt >= '2024-01'):
+    # Python code-point order equals Spark's binary UTF8 comparison,
+    # so lexicographic implication on the literal CONTENT is sound
+    su, sm = _STR_RANGE_RX.match(user_c), _STR_RANGE_RX.match(mv_c)
+    if su and sm and su.group(1) == sm.group(1):
+        return _range_implies(
+            su.group(2), su.group(3)[1:-1], sm.group(2), sm.group(3)[1:-1]
+        )
+    return False
+
+
+def _range_implies(uop: str, uval, mop: str, mval) -> bool:
     if mop in (">", ">="):
         if uop == "=":
             return uval > mval or (uval == mval and mop == ">=")
@@ -281,6 +326,66 @@ def _implies(user_c: str, mv_c: str) -> bool:
             return True
         return uval == mval and not (uop == "<=" and mop == "<")
     return uop == "=" and uval == mval  # mop == "="
+
+
+def _strip_wrapping_parens(s: str) -> str:
+    """Remove balanced outer paren pairs that wrap the WHOLE text."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    return s  # closes early: not a wrapping pair
+        s = s[1:-1].strip()
+    return s
+
+
+def _disjuncts(conjunct: str) -> list[str]:
+    """Split one (canonical-token) conjunct into top-level OR
+    disjuncts, after stripping wrapping parens. A conjunct with no
+    top-level OR returns itself as the single disjunct."""
+    text = _strip_wrapping_parens(conjunct)
+    toks = _CANON_TOKEN_RX.findall(text)
+    depth = 0
+    parts: list[list[str]] = [[]]
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and t == "or":
+            parts.append([])
+            continue
+        parts[-1].append(t)
+    return [" ".join(p) for p in parts if p]
+
+
+def _implies_or(user_c: str, mv_c: str) -> bool:
+    """OR-of-conjuncts containment (round-7 rewrite breadth): the user
+    conjunct implies the MV conjunct when EVERY user disjunct lands in
+    SOME MV disjunct — e.g. ``(x > 5 or x = 9)`` ⇒ ``x > 0``, and
+    ``x > 9`` ⇒ ``(x < 3 or x > 7)``. A user disjunct that is itself a
+    conjunction implies an MV atom if ANY of its AND-parts does (the
+    conjunction only narrows it). Atoms relate by verbatim canonical
+    text or numeric range implication; anything else fails closed."""
+
+    def atom_implies(ua: str, ma: str) -> bool:
+        ua, ma = _strip_wrapping_parens(ua), _strip_wrapping_parens(ma)
+        return ua == ma or _implies(ua, ma)
+
+    def disj_implies_atom(ud: str, ma: str) -> bool:
+        parts = _conjuncts(ud) or [ud]
+        return any(atom_implies(p, ma) for p in parts)
+
+    m_dis = _disjuncts(mv_c)
+    return all(
+        any(disj_implies_atom(ud, md) for md in m_dis)
+        for ud in _disjuncts(user_c)
+    )
 
 
 def _reagg_expr(func: str, arg: str, mv_aggs: dict) -> str | None:
@@ -362,9 +467,10 @@ def _rewrite_having(having: str, mv_aggs: dict, allowed_idents: set[str]) -> str
         close_i = _scan_close(having, open_i)
         if close_i < 0:
             return None
-        expr = _reagg_expr(
-            m.group(1).lower(), _norm(having[open_i + 1:close_i]), mv_aggs
-        )
+        arg = _canon_expr(_norm(having[open_i + 1:close_i]))
+        if m.group(1).lower() == "count" and arg == "1":
+            arg = "*"
+        expr = _reagg_expr(m.group(1).lower(), arg, mv_aggs)
         if expr is None:
             return None
         out.append(expr)
@@ -400,7 +506,7 @@ def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
     unsatisfied = [
         mc
         for mc in mv_conj
-        if mc not in user_conj and not any(_implies(uc, mc) for uc in user_conj)
+        if mc not in user_conj and not any(_implies_or(uc, mc) for uc in user_conj)
     ]
     if unsatisfied:
         return None

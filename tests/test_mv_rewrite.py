@@ -35,7 +35,7 @@ def test_parse_rollup_shape():
     assert r.group_keys == ["l_returnflag", "l_linestatus"]
     aggs = {(i.func, i.arg): i.alias for i in r.items if i.kind == "agg"}
     assert ("count", "*") in aggs and aggs[("count", "*")] == "n"
-    assert ("sum", "cast(l_quantity as decimal(28,6))") in aggs
+    assert ("sum", "cast ( l_quantity as decimal ( 28 , 6 ) )") in aggs
     assert ("min", "l_extendedprice") in aggs
 
 
@@ -504,3 +504,93 @@ def test_having_identifier_inside_literal_not_checked():
     HAVING count(*) > 1 AND mystery_col <> 'x'
     """
     assert try_rewrite(user_bad, [("m", SUMCOUNT_MV_SQL)]) is None
+
+
+# -- round-7 breadth: expression canon, OR containment, string ranges --------
+
+def test_expression_normalized_matching():
+    """Lexical canon: spacing, case, backticks and count(1)/count(*)
+    differences no longer block the match; genuine expression
+    differences still fail closed."""
+    mv = """SELECT l_returnflag, sum(l_quantity + 1) AS s1, count(*) AS n
+            FROM lineitem GROUP BY l_returnflag"""
+    u = """SELECT l_returnflag, SUM(`l_quantity`+1) AS s1, COUNT(1) AS n
+           FROM lineitem GROUP BY l_returnflag"""
+    out = try_rewrite(u, [("m", mv)])
+    assert out is not None and "sum(s1)" in out and "sum(n)" in out
+    # different expression (reordered operands) fails closed — no algebra
+    u2 = """SELECT l_returnflag, sum(1 + l_quantity) AS s1
+            FROM lineitem GROUP BY l_returnflag"""
+    assert try_rewrite(u2, [("m", mv)]) is None
+
+
+def test_where_operator_spacing_matches():
+    mv = """SELECT l_returnflag, count(*) AS n FROM lineitem
+            WHERE l_linenumber>=2 GROUP BY l_returnflag"""
+    u = """SELECT l_returnflag, count(*) AS n FROM lineitem
+           WHERE l_linenumber >= 2 GROUP BY l_returnflag"""
+    assert try_rewrite(u, [("m", mv)]) is not None
+
+
+def test_or_containment_on_group_key():
+    """(k = a OR k = b) implies the MV's covering range; the OR itself
+    re-applies as a key-only residual over the MV scan."""
+    mv = "SELECT pt, sum(v) AS sv FROM t WHERE pt >= '2024-01' GROUP BY pt"
+    u = ("SELECT pt, sum(v) AS sv FROM t "
+         "WHERE (pt = '2024-03' OR pt = '2024-04') GROUP BY pt")
+    out = try_rewrite(u, [("m", mv)])
+    assert out is not None and "FROM m" in out and "'2024-03'" in out
+    # a disjunct OUTSIDE the MV's range blocks the rewrite
+    u_bad = ("SELECT pt, sum(v) AS sv FROM t "
+             "WHERE (pt = '2023-12' OR pt = '2024-04') GROUP BY pt")
+    assert try_rewrite(u_bad, [("m", mv)]) is None
+
+
+def test_mv_side_or_predicate():
+    """User conjunct implying ONE disjunct of an MV-side OR rewrites
+    (x > 9 ⇒ (x < 3 OR x > 7)) when the residual is key-only."""
+    mv = ("SELECT l_linenumber, count(*) AS n FROM lineitem "
+          "WHERE (l_linenumber < 2 OR l_linenumber > 4) "
+          "GROUP BY l_linenumber")
+    u = ("SELECT l_linenumber, count(*) AS n FROM lineitem "
+         "WHERE l_linenumber > 5 GROUP BY l_linenumber")
+    out = try_rewrite(u, [("m", mv)])
+    assert out is not None and "l_linenumber > 5" in out
+    # sits between the disjuncts: NOT stored in the MV — fail closed
+    u_bad = ("SELECT l_linenumber, count(*) AS n FROM lineitem "
+             "WHERE l_linenumber = 3 GROUP BY l_linenumber")
+    assert try_rewrite(u_bad, [("m", mv)]) is None
+
+
+def test_string_range_implication():
+    from dbt_maxcompute_spark.plans.mv_rewrite import _implies
+
+    assert _implies("pt = '2024-03-01'", "pt >= '2024-01-01'")
+    assert _implies("pt > '2024-06'", "pt >= '2024-01'")
+    assert _implies("pt <= '2023-06'", "pt < '2024-01'")
+    assert not _implies("pt = '2023-12-31'", "pt >= '2024-01-01'")
+    assert not _implies("pt >= '2024-01'", "pt >= '2024-02'")
+
+
+def test_or_rewrite_values_match_base(spark, tmp_path, sf_dir):
+    """The OR-containment rewrite returns the same VALUES as base-table
+    execution, and the plan reads the MV, not the base."""
+    cat = EngineCatalog(spark, str(tmp_path / "wh_or"))
+    cat.create_table("lineitem", load_table(spark, sf_dir, "lineitem"))
+    create_materialized_view(
+        cat, "mvo",
+        """SELECT l_linenumber, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+           FROM lineitem WHERE l_linenumber >= 1 GROUP BY l_linenumber""",
+    )
+    user = """
+    SELECT l_linenumber, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+    FROM lineitem WHERE (l_linenumber = 2 OR l_linenumber > 4)
+    GROUP BY l_linenumber
+    """
+    got = cat.sql(user)
+    files = "\n".join(got.inputFiles())
+    assert "mvo" in files and "lineitem" not in files
+    want = cat.sql(user, mv_rewrite=False).collect()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
