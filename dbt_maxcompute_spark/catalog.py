@@ -696,6 +696,21 @@ class EngineCatalog:
         behind serves deleted/moved files to the next read_bucketed."""
         self.spark.sql(f"DROP TABLE IF EXISTS {self._bucket_reg_name(name)}")
 
+    def _drop_temp_views(self, name: str) -> None:
+        """Unregister a relation's session temp views (bare + schema-
+        qualified) so a dropped/renamed-away name stops resolving.
+        Only when THIS catalog owns the registrar slot — another
+        instance's registrations are not ours to remove."""
+        if EngineCatalog._active_registrar is not self:
+            return
+        schema, table = self._split(name)
+        try:
+            if schema == self.default_schema:
+                self.spark.catalog.dropTempView(table)
+            self.spark.catalog.dropTempView(f"{schema}_{table}")
+        except Exception:
+            pass
+
     def drop(self, name: str) -> None:
         if self.exists(name):
             try:
@@ -706,6 +721,7 @@ class EngineCatalog:
         p = self.table_dir(name)
         if os.path.exists(p):
             shutil.rmtree(p)
+        self._drop_temp_views(name)
 
     def rename(self, src: str, dst: str) -> None:
         """ALTER TABLE RENAME (reference adapters.sql:14-26; MV rename is
@@ -725,6 +741,7 @@ class EngineCatalog:
         os.makedirs(os.path.dirname(self.table_dir(dst)), exist_ok=True)
         os.replace(self.table_dir(src), self.table_dir(dst))
         self._write_meta(dst, meta)
+        self._drop_temp_views(src)
 
     def truncate(self, name: str) -> None:
         """TRUNCATE TABLE — tables only (reference adapters.sql:6-12)."""

@@ -264,6 +264,18 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<tbl>[A-Za-z_][\w.]*)\s*$",
     re.IGNORECASE,
 )
+_DROP_VIEW_RE = re.compile(
+    # view/drop.sql + materialized_view/drop.sql; falls back to
+    # spark.sql for session TEMP views not in the catalog
+    r"^\s*DROP\s+(?P<mv>MATERIALIZED\s+)?VIEW\s+(?P<ifex>IF\s+EXISTS\s+)?"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
+_MV_REBUILD_RE = re.compile(
+    # refresh.sql:1-3: the reference's on_configuration_change refresh
+    r"^\s*ALTER\s+MATERIALIZED\s+VIEW\s+(?P<tbl>[A-Za-z_][\w.]*)\s+REBUILD\s*$",
+    re.IGNORECASE,
+)
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s*$", re.IGNORECASE
 )
@@ -745,6 +757,17 @@ def classify(stmt: str):
     m = _DROP_RE.match(masked)
     if m:
         return ("drop", m.group("tbl"), bool(m.group("ifex")))
+    m = _DROP_VIEW_RE.match(masked)
+    if m:
+        return (
+            "drop_view",
+            m.group("tbl"),
+            bool(m.group("ifex")),
+            bool(m.group("mv")),
+        )
+    m = _MV_REBUILD_RE.match(masked)
+    if m:
+        return ("mv_rebuild", m.group("tbl"))
     m = _TRUNCATE_RE.match(masked)
     if m:
         return ("truncate", m.group("tbl"))
@@ -1040,6 +1063,33 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
             raise ValueError(f"table not found: {tbl}")
         catalog.drop(tbl)
         return _summary(catalog, "DROP TABLE", tbl, 1)
+    if op == "drop_view":
+        _, tbl, if_exists, want_mv = parsed
+        label = "DROP MATERIALIZED VIEW" if want_mv else "DROP VIEW"
+        if not catalog.exists(tbl):
+            if want_mv:
+                if if_exists:
+                    return _summary(catalog, label, tbl, 0)
+                raise ValueError(f"materialized view not found: {tbl}")
+            # plain DROP VIEW on a non-catalog name: may be a session
+            # TEMP view — let spark.sql handle (and raise) natively
+            return catalog.sql(stmt)
+        got = catalog.meta(tbl).table_type
+        want = "materialized_view" if want_mv else "view"
+        if got != want:
+            raise ValueError(f"{label} {tbl}: relation is a {got}")
+        catalog.drop(tbl)
+        return _summary(catalog, label, tbl, 1)
+    if op == "mv_rebuild":
+        from dbt_maxcompute_spark.materializations.materialized_view import (
+            refresh_materialized_view,
+        )
+
+        _, tbl = parsed
+        if catalog.meta(tbl).table_type != "materialized_view":
+            raise ValueError(f"ALTER MATERIALIZED VIEW: {tbl} is not an MV")
+        refresh_materialized_view(catalog, tbl)
+        return _summary(catalog, "ALTER MATERIALIZED VIEW REBUILD", tbl, 1)
     if op == "truncate":
         _, tbl = parsed
         n = catalog.read(tbl).count()

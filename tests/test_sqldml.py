@@ -797,3 +797,40 @@ def test_register_views_event_based_no_walk_for_clean_tables(
     cat.invalidate_views()
     cat.sql("SELECT count(*) FROM c_0").collect()
     assert len(walks) == full_walk
+
+
+def test_drop_view_and_mv_rebuild_via_sql(spark, cat):
+    _mk(cat, spark, 6)
+    cat.execute("CREATE VIEW dv AS (SELECT id FROM t WHERE id < 3)")
+    assert cat.sql("SELECT count(*) AS n FROM dv").collect()[0].n == 3
+    out = cat.execute("DROP VIEW dv").collect()[0]
+    assert (out.operation, out.affected_rows) == ("DROP VIEW", 1)
+    assert not cat.exists("dv")
+    # the dropped name no longer resolves (temp view unregistered)
+    with pytest.raises(Exception):
+        cat.sql("SELECT * FROM dv").collect()
+    # dropping a TABLE via DROP VIEW raises; DROP VIEW IF EXISTS on a
+    # missing MV no-ops
+    with pytest.raises(ValueError, match="relation is a"):
+        cat.execute("DROP VIEW t")
+    assert cat.execute(
+        "DROP MATERIALIZED VIEW IF EXISTS nope"
+    ).collect()[0].affected_rows == 0
+
+    # ALTER MATERIALIZED VIEW ... REBUILD refreshes the stored rows
+    cat.execute(
+        "CREATE MATERIALIZED VIEW m2 AS "
+        "(SELECT id % 2 AS g, count(*) AS n FROM t GROUP BY id % 2)"
+    )
+    cat.execute("INSERT INTO t (id, v) SELECT 100, 0")
+    before = {(r.g, r.n) for r in cat.read("m2").collect()}
+    cat.execute("ALTER MATERIALIZED VIEW m2 REBUILD")
+    after = {(r.g, r.n) for r in cat.read("m2").collect()}
+    assert before != after and (0, 4) in after        # 0,2,4 + 100
+    out = cat.execute("DROP MATERIALIZED VIEW m2").collect()[0]
+    assert out.operation == "DROP MATERIALIZED VIEW"
+    assert not cat.exists("m2")
+    # DROP VIEW on a session TEMP view still falls through to spark.sql
+    spark.sql("CREATE OR REPLACE TEMP VIEW sess_tv AS SELECT 1 AS x")
+    cat.execute("DROP VIEW sess_tv")
+    assert not spark.catalog.tableExists("sess_tv")
