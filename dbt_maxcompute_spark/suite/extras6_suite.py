@@ -125,7 +125,10 @@ def q_sql_ddl_statement_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (_materialized_view.py:98-128). The view must RESOLVE in later
     # statements (registered over its defining SQL, seeing base-table
     # mutations), the clone+rename chain must carry the data, and the
-    # recorded comments ride the result as a metadata column.
+    # recorded comments ride the result as a metadata column. A second
+    # INSERT after the MV create plus ALTER MATERIALIZED VIEW REBUILD
+    # (refresh.sql:1-3) proves the refresh path: mv_f reflects BOTH
+    # slices while the clone-then-renamed archive pins the first.
     import tempfile
 
     from dbt_maxcompute_spark.catalog import EngineCatalog
@@ -150,6 +153,10 @@ def q_sql_ddl_statement_script(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS total
             FROM fact GROUP BY status
         );
+        INSERT INTO fact
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM r7_orders_src WHERE o_orderkey % 5 = 2;
+        ALTER MATERIALIZED VIEW mv_status REBUILD;
         SELECT 'archive' AS src, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS total
         FROM fact_archive
@@ -169,24 +176,28 @@ def q_sql_ddl_statement_script(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL_DDL_STATEMENT = """
-WITH fact AS (
+WITH fact1 AS (
   SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
   FROM orders WHERE o_orderkey % 5 = 0
+),
+fact2 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 5 IN (0, 2)
 )
 SELECT 'archive' AS src, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS total,
        'facts|total price' AS doc
-FROM fact
+FROM fact1
 UNION ALL
 SELECT 'mv_f', CAST(count(*) AS BIGINT),
        CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE),
        'facts|total price'
-FROM fact WHERE status = 'F'
+FROM fact2 WHERE status = 'F'
 UNION ALL
 SELECT 'view_f', CAST(count(*) AS BIGINT),
        CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE),
        'facts|total price'
-FROM fact WHERE status = 'F'
+FROM fact2 WHERE status = 'F'
 ORDER BY src
 """
 
