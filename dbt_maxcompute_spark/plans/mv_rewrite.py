@@ -482,7 +482,11 @@ def _rewrite_having(having: str, mv_aggs: dict, allowed_idents: set[str]) -> str
 
 
 def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
-    if user.table != mv.table:
+    # FROM text compares on canonical tokens too, so a join tree
+    # written with different spacing/case around ON predicates still
+    # matches (equal canonical text ⇒ equal relation; fail-closed
+    # beyond that — no join reordering)
+    if _canon_expr(user.table) != _canon_expr(mv.table):
         return None
     if mv.having:
         # an MV with HAVING stores post-aggregation FILTERED groups;

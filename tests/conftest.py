@@ -21,3 +21,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+# soak profile for one-off long hypothesis runs:
+#   pytest --hypothesis-profile=soak tests/test_txnlog.py -k log_replay
+from hypothesis import settings as _hyp_settings  # noqa: E402
+
+_hyp_settings.register_profile("soak", max_examples=200)

@@ -594,3 +594,20 @@ def test_or_rewrite_values_match_base(spark, tmp_path, sf_dir):
     assert "mvo" in files and "lineitem" not in files
     want = cat.sql(user, mv_rewrite=False).collect()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+
+
+def test_join_mv_from_text_canonical():
+    """A join-MV matches a user query whose FROM tree differs only in
+    spacing/case around the ON predicate; a different join tree still
+    fails closed."""
+    mv = ("SELECT c_mktsegment, count(*) AS n "
+          "FROM orders JOIN customer ON o_custkey = c_custkey "
+          "GROUP BY c_mktsegment")
+    u = ("SELECT c_mktsegment, count(*) AS n "
+         "FROM orders join customer on o_custkey=c_custkey "
+         "GROUP BY c_mktsegment")
+    assert try_rewrite(u, [("m", mv)]) is not None
+    u_other = ("SELECT c_mktsegment, count(*) AS n "
+               "FROM orders JOIN customer ON o_custkey = c_nationkey "
+               "GROUP BY c_mktsegment")
+    assert try_rewrite(u_other, [("m", mv)]) is None
