@@ -32,8 +32,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     )
     centroids = [[float(x) for x in r["embedding"]] for r in init_rows]
+    # max_cell=1000 bounds per-cell pair volume to n_cell*max_cell
+    # (linear in corpus size): never engages at the oracle-checked
+    # sf0.01 (~60/cell) or the benched sf0.1 (~600/cell), but caps
+    # the sf1 rehearsal's replicated-embedding hot cells, which
+    # otherwise grow the self-join quadratically (measured e=+1.41
+    # uncapped -> see SCALE.md round-7 notes)
     out = dedup.semantic_dedup(
-        emb, "vec_id", "embedding", centroids, threshold=0.45
+        emb, "vec_id", "embedding", centroids, threshold=0.45, max_cell=1000
     )
     return out.select("vec_id", "cluster", "is_semdup").orderBy("vec_id")
 
