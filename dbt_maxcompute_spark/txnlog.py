@@ -851,15 +851,18 @@ class TxnTable:
         to_version = self.latest_version() if to_version is None else to_version
         if to_version < from_version:
             raise ValueError("change_feed: to_version < from_version")
-        append_only, interval_adds = True, []
+        append_only, dv_compatible, interval_adds = True, True, []
         for v in range(from_version + 1, to_version + 1):
             with open(self._entry_path(v)) as fh:
                 e = json.load(fh)
             for a in e["actions"]:
                 if "add" in a:
                     interval_adds.append(a["add"])
-                else:  # remove / set_dv / clear_dv: row-level semantics
+                elif "set_dv" in a:
+                    append_only = False  # row-level, but DV-reconstructable
+                else:  # remove / clear_dv: file rewrites — general path
                     append_only = False
+                    dv_compatible = False
         new = self.read(to_version)
         if append_only:
             if not interval_adds:
@@ -876,10 +879,139 @@ class TxnTable:
             return reader.parquet(*paths).withColumn(
                 "_change_type", F.lit("insert")
             )
+        from_snap = self.snapshot(from_version)
+        to_snap = self.snapshot(to_version)
+        if (
+            dv_compatible
+            and to_snap.schema_json
+            and from_snap.schema_json == to_snap.schema_json
+        ):
+            # DV fast path — the adds+deletion-vector interval (every
+            # key upsert and row-level DELETE lands here): the feed is
+            # reconstructed from the ADDED FILES and the DV DELTA, so
+            # its cost is |changes| plus a scan PRUNED to the files the
+            # delta names — never two full snapshot reads + a
+            # table-sized exceptAll shuffle. At 100 TB this is the
+            # difference between a CDC interval costing the batch and
+            # costing the table (twice).
+            return self._change_feed_dv(from_snap, to_snap, interval_adds)
         old = self.read(from_version)
         inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
         deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
+
+    def _read_dv(self, dv_file: str | None) -> DataFrame:
+        if not dv_file:
+            return self.spark.createDataFrame([], "file string, pos long")
+        return self.spark.read.schema("file string, pos long").parquet(
+            os.path.join(self.path, dv_file)
+        )
+
+    def _rows_at_positions(
+        self, files: list[str], positions: DataFrame, schema_json: str | None
+    ) -> DataFrame:
+        """Rows of ``files`` whose (basename, row_index) appear in
+        ``positions`` — the scan is pruned to exactly ``files`` and the
+        (metadata-sized) position set is broadcast."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        if not files:
+            schema = StructType.fromJson(json.loads(schema_json))
+            return self.spark.createDataFrame([], schema)
+        reader = self.spark.read
+        if schema_json:
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        raw = reader.parquet(*[os.path.join(self.path, f) for f in files])
+        cols = raw.columns
+        tagged = raw.withColumn(
+            "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        ).withColumn("__p", F.col("_metadata.row_index"))
+        kept = tagged.join(
+            F.broadcast(
+                positions.select(
+                    F.col("file").alias("__f"), F.col("pos").alias("__p")
+                )
+            ),
+            ["__f", "__p"],
+            "left_semi",
+        )
+        return kept.select(*cols)
+
+    def _change_feed_dv(
+        self, from_snap: Snapshot, to_snap: Snapshot, interval_adds: list[str]
+    ) -> DataFrame:
+        """Net change feed for an interval of adds + deletion-vector
+        commits (no file removes/rewrites):
+
+        * inserts = rows of the interval-added files still visible at
+          ``to`` (the to-DV subtracted) + rows the DV RELEASED
+          (named at ``from`` but not at ``to`` — never produced by this
+          module's writers, handled for log generality);
+        * deletes = rows the DV delta names inside files that existed
+          at ``from`` (delta ∩ from-DV = ∅, so they were visible).
+
+        A row added AND dv'ed inside the interval lands in neither
+        list. Identical-VALUE delete+insert pairs are netted at the
+        end (feed-sized exceptAlls) so the result keeps the general
+        path's multiset contract exactly."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        schema_json = to_snap.schema_json
+        dv_from = self._read_dv(from_snap.dv_file)
+        dv_to = self._read_dv(to_snap.dv_file)
+        delta_del = dv_to.join(dv_from, ["file", "pos"], "left_anti")
+        delta_res = dv_from.join(dv_to, ["file", "pos"], "left_anti")
+
+        if interval_adds:
+            reader = self.spark.read
+            if schema_json:
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                )
+            added_raw = reader.parquet(
+                *[os.path.join(self.path, f) for f in interval_adds]
+            )
+            cols = added_raw.columns
+            tagged = added_raw.withColumn(
+                "__f",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).withColumn("__p", F.col("_metadata.row_index"))
+            added_vis = tagged.join(
+                F.broadcast(
+                    dv_to.select(
+                        F.col("file").alias("__f"), F.col("pos").alias("__p")
+                    )
+                ),
+                ["__f", "__p"],
+                "left_anti",
+            ).select(*cols)
+        else:
+            added_vis = self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+
+        # file lists are metadata-sized (they bound the pruned scans)
+        del_files = {
+            r["file"] for r in delta_del.select("file").distinct().collect()
+        }
+        res_files = {
+            r["file"] for r in delta_res.select("file").distinct().collect()
+        }
+        deletes = self._rows_at_positions(
+            [f for f in from_snap.files if f in del_files], delta_del, schema_json
+        )
+        restored = self._rows_at_positions(
+            [f for f in to_snap.files if f in res_files], delta_res, schema_json
+        )
+        inserts = added_vis.unionByName(restored)
+        # net identical-value pairs: multiset contract of the general path
+        ins_net = inserts.exceptAll(deletes)
+        del_net = deletes.exceptAll(inserts)
+        return ins_net.withColumn("_change_type", F.lit("insert")).unionByName(
+            del_net.withColumn("_change_type", F.lit("delete"))
+        )
 
     def _zorder_key(self, df: DataFrame, cols: list[str], bits: int):
         """Interleaved-bit (Z-curve) sort key over ``cols``.

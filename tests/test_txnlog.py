@@ -694,3 +694,114 @@ def test_stage_files_drops_zero_row_files(spark, tmp_path):
         snap = t.snapshot(ver)
         for f in snap.files:
             assert (snap.stats.get(f) or {}).get("numRecords", 1) > 0
+
+
+# -- round-7: DV-reconstructed change feed -----------------------------------
+
+
+def _feed_rows(df):
+    return sorted(
+        (r["id"], r["v"], r["_change_type"]) for r in df.collect()
+    )
+
+
+def _expected_feed(t, v0, v1):
+    """General-path semantics computed directly: multiset diff of the
+    two snapshot reads."""
+    new, old = t.read(v1), t.read(v0)
+    ins = new.exceptAll(old).collect()
+    dele = old.exceptAll(new).collect()
+    return sorted(
+        [(r["id"], r["v"], "insert") for r in ins]
+        + [(r["id"], r["v"], "delete") for r in dele]
+    )
+
+
+def test_change_feed_dv_fast_path_matches_general_semantics(spark, t):
+    """An adds+DV interval (upsert + delete, the everyday CDC case)
+    takes the reconstruction path and produces EXACTLY the general
+    path's multiset feed — including a same-interval add-then-delete
+    landing in neither list."""
+    t.create(_r(spark, 0, 20))
+    v0 = t.latest_version()
+    t.delete_where_dv("id < 3")                      # 3 deletes
+    t.delete_insert_dv(_r(spark, 5, 8, mult=7), ["id"])  # upsert 5,6,7
+    t.append(_r(spark, 100, 103))                    # 3 inserts
+    t.delete_where_dv("id = 101")                    # added then deleted
+    v1 = t.latest_version()
+    feed = t.change_feed(v0, v1)
+    assert _feed_rows(feed) == _expected_feed(t, v0, v1)
+    got = {(r[0], r[2]) for r in _feed_rows(feed)}
+    assert (101, "insert") not in got and (101, "delete") not in got
+    assert (5, "insert") in got and (5, "delete") in got  # upsert pair
+
+
+def test_change_feed_dv_scan_is_pruned_to_affected_files(spark, tmp_path):
+    """The DV interval's delete reconstruction scans ONLY files the DV
+    delta names — on a many-file table the untouched files never enter
+    the plan (the 100 TB contract of the fast path)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    # 8 appends, one file each, disjoint id ranges
+    for m in range(8):
+        df = _r(spark, m * 10, m * 10 + 10).coalesce(1)
+        t.create(df) if m == 0 else t.append(df)
+    v0 = t.latest_version()
+    t.delete_where_dv("id = 5")  # touches exactly ONE data file
+    feed = t.change_feed(v0)
+    assert _feed_rows(feed) == _expected_feed(t, v0, t.latest_version())
+    data_files = {
+        f for f in (feed.inputFiles() or []) if "/dv-" not in f
+    }
+    assert len(data_files) == 1, data_files
+
+
+def test_change_feed_rewrite_interval_uses_general_path(spark, t):
+    """An interval containing a file rewrite (overwrite / COW delete)
+    still nets correctly through the general path."""
+    t.create(_r(spark, 0, 10))
+    v0 = t.latest_version()
+    t.delete_where_dv("id < 2")
+    t.overwrite(_r(spark, 5, 12, mult=3))
+    v1 = t.latest_version()
+    assert _feed_rows(t.change_feed(v0, v1)) == _expected_feed(t, v0, v1)
+
+
+from hypothesis import given as _given  # noqa: E402
+from hypothesis import settings as _settings  # noqa: E402
+
+
+@_given(ops=_op_sequences())
+@_settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_change_feed_equals_snapshot_diff_for_any_dml(
+    spark, tmp_path_factory, ops
+):
+    """For ANY DML sequence and ANY version interval, the feed equals
+    the multiset snapshot diff — whichever path (append-only, DV
+    reconstruction, general) the log routes it to."""
+    t = TxnTable(spark, str(tmp_path_factory.mktemp("cf") / "t"))
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id bigint, v bigint")
+
+    for kind, arg in ops:
+        if kind == "create":
+            t.create(df_of(arg))
+        elif kind == "append":
+            t.append(df_of(arg))
+        elif kind == "overwrite":
+            t.overwrite(df_of(arg))
+        elif kind == "delete":
+            t.delete_where(f"id < {arg}")
+        elif kind == "delete_dv":
+            t.delete_where_dv(f"id < {arg}")
+        else:
+            t.delete_insert_dv(df_of(arg), ["id"])
+    latest = t.latest_version()
+    for v0 in {0, latest // 2, max(0, latest - 1)}:
+        assert _feed_rows(t.change_feed(v0, latest)) == _expected_feed(
+            t, v0, latest
+        ), f"interval ({v0}, {latest}]"
