@@ -821,7 +821,10 @@ class TxnTable:
         return out
 
     def change_feed(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        strategy: str = "auto",
     ) -> DataFrame:
         """Row-level NET change feed between two snapshots (the Delta
         CDF contract's net form): rows present at ``to_version`` but
@@ -841,10 +844,23 @@ class TxnTable:
           the 100 TB case — streaming-ingest history is pure appends,
           and the feed cost is proportional to the new data, not the
           table.
-        * **general path** — any interval containing row-level deletes
-          or rewrites falls back to two snapshot reads + ``exceptAll``
-          both ways: always correct (file-set diffs cannot express DV
-          semantics), cost ~ one shuffle over both snapshots.
+        * **DV reconstruction path** — an interval of adds + deletion-
+          vector commits (every key upsert and row-level DELETE)
+          rebuilds the feed from the ADDED FILES and the DV DELTA: the
+          delete scan prunes to exactly the files the delta names, so
+          a CDC poll costs O(|changes|), not O(2·table). Chosen by a
+          metadata-only size check (``strategy='auto'``): the path's
+          extra fixed jobs only pay for themselves once the interval's
+          churn (added rows + DV-delta rows, from logged footer stats)
+          is smaller than the standing table AND the table is big
+          enough (≥100k rows) for two snapshot reads to matter.
+          ``strategy='dv'`` forces it (tests pin its semantics/pruning
+          at toy sizes); ``strategy='general'`` disables it.
+        * **general path** — any interval containing file rewrites
+          (overwrites, compaction) falls back to two snapshot reads
+          netted by one signed-count shuffle (``_net_feed``): always
+          correct (file-set diffs cannot express rewrite semantics),
+          cost ~ one shuffle over both snapshots.
         """
         from pyspark.sql import functions as F
 
@@ -881,24 +897,94 @@ class TxnTable:
             )
         from_snap = self.snapshot(from_version)
         to_snap = self.snapshot(to_version)
+        if not from_snap.files:
+            # nothing was visible at ``from`` — every row at ``to`` is
+            # an insert; no netting, no reconstruction
+            return new.withColumn("_change_type", F.lit("insert"))
         if (
-            dv_compatible
+            not interval_adds
+            and dv_compatible
+            and from_snap.dv_file == to_snap.dv_file
+        ):
+            # the interval changed nothing visible (same files, same DV
+            # store): empty feed, zero jobs
+            return new.limit(0).withColumn("_change_type", F.lit("insert"))
+        if (
+            strategy != "general"
+            and dv_compatible
             and to_snap.schema_json
             and from_snap.schema_json == to_snap.schema_json
+            and (
+                strategy == "dv"
+                or self._dv_feed_pays(from_snap, to_snap, interval_adds)
+            )
         ):
-            # DV fast path — the adds+deletion-vector interval (every
-            # key upsert and row-level DELETE lands here): the feed is
-            # reconstructed from the ADDED FILES and the DV DELTA, so
-            # its cost is |changes| plus a scan PRUNED to the files the
-            # delta names — never two full snapshot reads + a
-            # table-sized exceptAll shuffle. At 100 TB this is the
-            # difference between a CDC interval costing the batch and
-            # costing the table (twice).
             return self._change_feed_dv(from_snap, to_snap, interval_adds)
         old = self.read(from_version)
-        inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
-        deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
-        return inserts.unionByName(deletes)
+        return self._net_feed(new, old)
+
+    def _dv_feed_pays(
+        self, from_snap: "Snapshot", to_snap: "Snapshot", interval_adds: list[str]
+    ) -> bool:
+        """Metadata-only routing for the DV reconstruction path: its
+        extra fixed jobs (the delta file-list fetch, the position
+        broadcasts) only beat the general path's two snapshot reads
+        when the interval's churn is small relative to the standing
+        table. Zero Spark jobs — logged footer stats + DV parquet
+        footers (KBs). Unknown stats (foreign/legacy log) choose the
+        DV path: at unknown-and-possibly-huge scale, two full snapshot
+        reads are the risk."""
+        base = [
+            (from_snap.stats.get(f) or {}).get("numRecords")
+            for f in from_snap.files
+        ]
+        added = [
+            (to_snap.stats.get(f) or {}).get("numRecords")
+            for f in interval_adds
+        ]
+        if any(r is None for r in base) or any(r is None for r in added):
+            return True
+        rows_base = sum(base)
+        rows_added = sum(added)
+        dv_from = self._dv_rows(from_snap.dv_file) if from_snap.dv_file else 0
+        dv_to = self._dv_rows(to_snap.dv_file) if to_snap.dv_file else 0
+        delta_est = abs(dv_to - dv_from)
+        return rows_base >= 100_000 and rows_added + delta_est <= rows_base
+
+    def _net_feed(self, inserts: DataFrame, deletes: DataFrame) -> DataFrame:
+        """Multiset net of candidate inserts vs deletes — the
+        ``exceptAll``-pair contract (identical-value pairs cancel;
+        surviving multiplicity preserved) in ONE shuffle: rows carry a
+        ±1 weight, one hash-agg sums the weight per distinct value, and
+        rows re-emit with |net| multiplicity. The exceptAll pair
+        evaluates BOTH input subtrees twice (once per direction); this
+        evaluates each once — at 100 TB the feed sources are scans that
+        must not run twice. Multiplicity re-emission assumes duplicate
+        full-row multiplicity is bounded (it is: identical full rows
+        beyond a handful is a degenerate table)."""
+        from pyspark.sql import functions as F
+
+        cols = inserts.columns
+        weighted = inserts.withColumn("__cf_w", F.lit(1)).unionByName(
+            deletes.withColumn("__cf_w", F.lit(-1))
+        )
+        net = (
+            weighted.groupBy(*cols)
+            .agg(F.sum("__cf_w").alias("__cf_net"))
+            .filter(F.col("__cf_net") != 0)
+        )
+        return (
+            net.withColumn(
+                "__cf_i",
+                F.explode(F.sequence(F.lit(1), F.abs(F.col("__cf_net")))),
+            )
+            .select(
+                *cols,
+                F.when(F.col("__cf_net") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+            )
+        )
 
     def _read_dv(self, dv_file: str | None) -> DataFrame:
         if not dv_file:
@@ -953,8 +1039,8 @@ class TxnTable:
 
         A row added AND dv'ed inside the interval lands in neither
         list. Identical-VALUE delete+insert pairs are netted at the
-        end (feed-sized exceptAlls) so the result keeps the general
-        path's multiset contract exactly."""
+        end (one feed-sized signed-count shuffle, ``_net_feed``) so the
+        result keeps the general path's multiset contract exactly."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
@@ -992,13 +1078,18 @@ class TxnTable:
                 [], StructType.fromJson(json.loads(schema_json))
             )
 
-        # file lists are metadata-sized (they bound the pruned scans)
-        del_files = {
-            r["file"] for r in delta_del.select("file").distinct().collect()
-        }
-        res_files = {
-            r["file"] for r in delta_res.select("file").distinct().collect()
-        }
+        # file lists are metadata-sized (they bound the pruned scans);
+        # ONE driver job fetches both sides
+        tagged_files = (
+            delta_del.select(F.col("file"), F.lit("d").alias("side"))
+            .unionByName(
+                delta_res.select(F.col("file"), F.lit("r").alias("side"))
+            )
+            .distinct()
+            .collect()
+        )
+        del_files = {r["file"] for r in tagged_files if r["side"] == "d"}
+        res_files = {r["file"] for r in tagged_files if r["side"] == "r"}
         deletes = self._rows_at_positions(
             [f for f in from_snap.files if f in del_files], delta_del, schema_json
         )
@@ -1007,11 +1098,7 @@ class TxnTable:
         )
         inserts = added_vis.unionByName(restored)
         # net identical-value pairs: multiset contract of the general path
-        ins_net = inserts.exceptAll(deletes)
-        del_net = deletes.exceptAll(inserts)
-        return ins_net.withColumn("_change_type", F.lit("insert")).unionByName(
-            del_net.withColumn("_change_type", F.lit("delete"))
-        )
+        return self._net_feed(inserts, deletes)
 
     def _zorder_key(self, df: DataFrame, cols: list[str], bits: int):
         """Interleaved-bit (Z-curve) sort key over ``cols``.

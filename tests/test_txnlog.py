@@ -729,7 +729,7 @@ def test_change_feed_dv_fast_path_matches_general_semantics(spark, t):
     t.append(_r(spark, 100, 103))                    # 3 inserts
     t.delete_where_dv("id = 101")                    # added then deleted
     v1 = t.latest_version()
-    feed = t.change_feed(v0, v1)
+    feed = t.change_feed(v0, v1, strategy="dv")
     assert _feed_rows(feed) == _expected_feed(t, v0, v1)
     got = {(r[0], r[2]) for r in _feed_rows(feed)}
     assert (101, "insert") not in got and (101, "delete") not in got
@@ -747,12 +747,39 @@ def test_change_feed_dv_scan_is_pruned_to_affected_files(spark, tmp_path):
         t.create(df) if m == 0 else t.append(df)
     v0 = t.latest_version()
     t.delete_where_dv("id = 5")  # touches exactly ONE data file
-    feed = t.change_feed(v0)
+    feed = t.change_feed(v0, strategy="dv")
     assert _feed_rows(feed) == _expected_feed(t, v0, t.latest_version())
     data_files = {
         f for f in (feed.inputFiles() or []) if "/dv-" not in f
     }
     assert len(data_files) == 1, data_files
+
+
+def test_change_feed_auto_routing_is_metadata_only(spark, t):
+    """`auto` routes on logged stats without Spark jobs: a toy table
+    (churn ~ table) takes the general path; the same log with a huge
+    claimed base would take the DV path; a no-op interval short-
+    circuits to an empty feed."""
+    t.create(_r(spark, 0, 20))
+    v0 = t.latest_version()
+    t.delete_where_dv("id < 3")
+    f_snap, t_snap = t.snapshot(v0), t.snapshot()
+    adds = []  # the DV delete added no files
+    assert t._dv_feed_pays(f_snap, t_snap, adds) is False  # 20-row base
+    # same shapes, big base: pretend every base file holds 1M rows
+    from dataclasses import replace as _dc_replace
+
+    big = {f: {**(f_snap.stats.get(f) or {}), "numRecords": 1_000_000}
+           for f in f_snap.files}
+    f_big = _dc_replace(f_snap, stats={**f_snap.stats, **big})
+    t_big = _dc_replace(t_snap, stats={**t_snap.stats, **big})
+    assert t._dv_feed_pays(f_big, t_big, adds) is True
+    # unknown stats (foreign log) choose the scale-safe DV path
+    nostats = _dc_replace(f_snap, stats={})
+    assert t._dv_feed_pays(nostats, t_snap, adds) is True
+    # no-op interval: empty feed
+    v1 = t.latest_version()
+    assert t.change_feed(v1, v1).count() == 0
 
 
 def test_change_feed_rewrite_interval_uses_general_path(spark, t):
@@ -802,6 +829,8 @@ def test_change_feed_equals_snapshot_diff_for_any_dml(
             t.delete_insert_dv(df_of(arg), ["id"])
     latest = t.latest_version()
     for v0 in {0, latest // 2, max(0, latest - 1)}:
-        assert _feed_rows(t.change_feed(v0, latest)) == _expected_feed(
-            t, v0, latest
-        ), f"interval ({v0}, {latest}]"
+        want = _expected_feed(t, v0, latest)
+        for strat in ("auto", "dv"):
+            assert (
+                _feed_rows(t.change_feed(v0, latest, strategy=strat)) == want
+            ), f"interval ({v0}, {latest}] strategy={strat}"
