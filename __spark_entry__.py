@@ -21,6 +21,7 @@ from dbt_maxcompute_spark.suite import (
     extras4_suite,
     extras5_suite,
     extras6_suite,
+    extras7_suite,
     extras_suite,
     functions_suite,
     pipeline_suite,
@@ -41,6 +42,7 @@ _SUITES = [
     extras4_suite,
     extras5_suite,
     extras6_suite,
+    extras7_suite,
     functions_suite,
     relational2,
     tpch2,
@@ -57,6 +59,8 @@ _SUITES = [
 # order — computed from the union of CORRECTNESS_r01..r06 hard greens.
 _PRIORITY = [
     # new in round 7 — never driver-checked
+    "txn_change_feed_keyed",
+    "mv_minmax_maintenance",
     "mv_join_cdf_maintenance",
     "sql_ddl_statement_script",
     # stalest hard-green rows next (r3 pair, then the r4 block)

@@ -178,6 +178,166 @@ def maintain_rollup_from_changes(
     return merge_additive_rollup(old, delta, keys).filter(F.col(count_col) > 0)
 
 
+def maintain_minmax_rollup_from_changes(
+    old: DataFrame,
+    feed: DataFrame,
+    source_now: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    mins: dict[str, str],
+    maxs: dict[str, str],
+    count_col: str = "n",
+) -> DataFrame:
+    """IVM for a rollup that also stores MIN/MAX measures — the
+    non-additive extension of :func:`maintain_rollup_from_changes`.
+
+    MIN/MAX are not group-invertible: a delete of the stored extreme
+    cannot be un-aggregated from the rollup alone. The classic bounded
+    recompute applies instead:
+
+    * inserts tighten extremes monotonically — ``least(old_min,
+      min(inserted))`` / ``greatest(old_max, max(inserted))``, pure
+      feed-sized arithmetic;
+    * a delete STRICTLY INSIDE the stored bounds cannot move them —
+      no recompute;
+    * only groups where a deleted value TOUCHES a stored bound
+      (``del_min <= old_min`` or ``del_max >= old_max``, per measure)
+      re-aggregate their extremes from ``source_now``, with the scan
+      filtered by a broadcast semi-join on exactly those group keys.
+      With AQE on (session default), an empty touched set collapses
+      the join to an empty relation and the source scan never runs.
+
+    Sums/count stay additively maintained (the
+    :func:`merge_additive_rollup` contract); groups reaching zero rows
+    are removed. Cost: |rollup| + |changes| + (source scan filtered to
+    touched-extreme groups — at 100 TB the rare case, and partition-
+    aligned keys prune it further).
+
+    ``old`` schema: keys + sums + mins + maxs + count_col. ``mins`` /
+    ``maxs`` map stored measure name -> source column (SQL NULL
+    semantics: NULL measure values never participate in extremes)."""
+    from pyspark.sql import functions as F
+
+    names = list(sums) + list(mins) + list(maxs) + [count_col]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            "maintain_minmax_rollup_from_changes: stored measure names "
+            "must be unique across sums/mins/maxs/count_col"
+        )
+
+    ins = F.col("_change_type") == "insert"
+    mm_delta = feed.groupBy(*keys).agg(
+        *[
+            F.sum(
+                F.when(ins, F.col(src)).otherwise(-F.col(src)).cast("decimal(28,6)")
+            )
+            .cast("decimal(28,6)")
+            .alias(name)
+            for name, src in sums.items()
+        ],
+        F.sum(F.when(ins, F.lit(1)).otherwise(F.lit(-1)))
+        .cast("long")
+        .alias(count_col),
+        *[
+            F.min(F.when(ins, F.col(src))).alias(f"__ins_min_{name}")
+            for name, src in mins.items()
+        ],
+        *[
+            F.max(F.when(ins, F.col(src))).alias(f"__ins_max_{name}")
+            for name, src in maxs.items()
+        ],
+        *[
+            F.min(F.when(~ins, F.col(src))).alias(f"__del_min_{name}")
+            for name, src in mins.items()
+        ],
+        *[
+            F.max(F.when(~ins, F.col(src))).alias(f"__del_max_{name}")
+            for name, src in maxs.items()
+        ],
+    )
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"__old_{c}") for c in old.columns if c not in keys],
+    )
+    j = o.join(mm_delta, keys, "full_outer")
+    new_n = F.coalesce(F.col(f"__old_{count_col}"), F.lit(0)) + F.coalesce(
+        F.col(count_col), F.lit(0)
+    )
+    j = j.withColumn("__new_n", new_n).filter(F.col("__new_n") > 0)
+
+    touch_terms = []
+    for name in mins:
+        touch_terms.append(
+            F.coalesce(
+                F.col(f"__del_min_{name}") <= F.col(f"__old_{name}"),
+                F.lit(False),
+            )
+        )
+    for name in maxs:
+        touch_terms.append(
+            F.coalesce(
+                F.col(f"__del_max_{name}") >= F.col(f"__old_{name}"),
+                F.lit(False),
+            )
+        )
+    any_touched = touch_terms[0] if touch_terms else F.lit(False)
+    for term in touch_terms[1:]:
+        any_touched = any_touched | term
+    # a group with deletes but NO stored row (shouldn't exist in a
+    # consistent log) also recomputes, fail-safe
+    any_touched = any_touched | (
+        F.col(f"__old_{count_col}").isNull()
+        & (F.coalesce(F.col(count_col), F.lit(0)) < F.lit(0))
+    )
+    j = j.withColumn("__recompute", any_touched)
+
+    touched_keys = j.filter(F.col("__recompute")).select(*keys)
+    recomputed = (
+        source_now.join(F.broadcast(touched_keys), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            *[
+                F.min(F.col(src)).alias(f"__rc_min_{name}")
+                for name, src in mins.items()
+            ],
+            *[
+                F.max(F.col(src)).alias(f"__rc_max_{name}")
+                for name, src in maxs.items()
+            ],
+        )
+    )
+    j = j.join(recomputed, keys, "left_outer")
+
+    out_cols: list = [F.col(k) for k in keys]
+    for name in sums:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"__old_{name}"), F.lit(0).cast("decimal(28,6)"))
+                + F.coalesce(F.col(name), F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast(old.schema[name].dataType)
+            .alias(name)
+        )
+    for name in mins:
+        out_cols.append(
+            F.when(F.col("__recompute"), F.col(f"__rc_min_{name}"))
+            .otherwise(F.least(F.col(f"__old_{name}"), F.col(f"__ins_min_{name}")))
+            .cast(old.schema[name].dataType)
+            .alias(name)
+        )
+    for name in maxs:
+        out_cols.append(
+            F.when(F.col("__recompute"), F.col(f"__rc_max_{name}"))
+            .otherwise(
+                F.greatest(F.col(f"__old_{name}"), F.col(f"__ins_max_{name}"))
+            )
+            .cast(old.schema[name].dataType)
+            .alias(name)
+        )
+    out_cols.append(F.col("__new_n").cast("long").alias(count_col))
+    return j.select(*out_cols).select(*old.columns)
+
+
 def sync_rollup_exactly_once(
     source,
     target,
@@ -226,6 +386,65 @@ def sync_rollup_exactly_once(
     base_v = target.latest_version()
     new = maintain_rollup_from_changes(
         target.read(base_v), feed, keys, sums, count_col
+    )
+    target.overwrite_from(base_v, new, txn=marker)
+    return cur - last
+
+
+def sync_minmax_rollup_exactly_once(
+    source,
+    target,
+    keys: list[str],
+    sums: dict[str, str],
+    mins: dict[str, str],
+    maxs: dict[str, str],
+    count_col: str = "n",
+    app_id: str = "cdf_minmax_sync",
+) -> int:
+    """:func:`sync_rollup_exactly_once` for a rollup that also stores
+    MIN/MAX measures — same cursor-rides-the-target-commit exactly-once
+    contract, refresh step :func:`maintain_minmax_rollup_from_changes`
+    (extreme-touching groups re-aggregate from the source snapshot at
+    the interval end; everything else is feed-sized)."""
+    from pyspark.sql import functions as F
+
+    cur = source.latest_version()
+    last = target.last_batch(app_id) if target.exists() else None
+    if last is not None and cur <= last:
+        return 0
+    marker = {"app_id": app_id, "batch_id": cur}
+
+    def _full(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            *[
+                F.sum(F.col(src).cast("decimal(28,6)"))
+                .cast("decimal(28,6)")
+                .alias(name)
+                for name, src in sums.items()
+            ],
+            *[F.min(F.col(src)).alias(name) for name, src in mins.items()],
+            *[F.max(F.col(src)).alias(name) for name, src in maxs.items()],
+            F.count(F.lit(1)).alias(count_col),
+        )
+
+    if last is None:
+        full = _full(source.read(cur))
+        if target.exists():
+            target.overwrite_from(target.latest_version(), full, txn=marker)
+        else:
+            target.create(full, txn=marker)
+        return cur + 1
+    feed = source.change_feed(last, cur)
+    base_v = target.latest_version()
+    new = maintain_minmax_rollup_from_changes(
+        target.read(base_v),
+        feed,
+        source.read(cur),
+        keys,
+        sums,
+        mins,
+        maxs,
+        count_col,
     )
     target.overwrite_from(base_v, new, txn=marker)
     return cur - last

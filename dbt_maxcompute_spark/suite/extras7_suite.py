@@ -1,0 +1,208 @@
+"""Round-7 suite, part 2: keyed change-feed classification (the Delta
+CDF four-type contract — update_preimage/update_postimage pairs per
+entity) and MIN/MAX rollup IVM (bounded group recompute for the
+non-invertible aggregates).
+
+Oracle conventions as elsewhere: exact sums through DECIMAL(28,6)
+cast to DOUBLE at the edge, counts as BIGINT, explicit ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.sources.registry import load_table
+
+
+def q_txn_change_feed_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyed change feed (Delta CDF's four-type form): a key present at
+    # both endpoints with different values emits its update_preimage /
+    # update_postimage pair; unchanged keys emit NOTHING (the feed is
+    # net); pure adds/removes classify as insert/delete. Built on the
+    # net feed (append-only / DV fast paths apply) + ONE feed-sized
+    # hash-agg on the key — no join, no window sort
+    # (txnlog.change_feed_keyed). Cites the reference's CDC posture:
+    # MERGE-based incremental models consume exactly this shape.
+    import tempfile
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    t = TxnTable(spark, tempfile.mkdtemp(prefix="cfk_") + "/t")
+    t.create(base)
+    v0 = t.latest_version()
+    # row-level deletes
+    t.delete_where_dv("o_custkey % 4 = 0")
+    # key-upsert UPDATE among survivors (every value genuinely moves)
+    upd = (
+        base.filter(F.col("o_custkey") % 4 != 0)
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+    )
+    t.delete_insert_dv(upd, ["o_orderkey"])
+    # fresh inserts
+    t.append(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 5)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    feed = t.change_feed_keyed(["o_orderkey"], v0)
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("change_type")
+    )
+
+
+ORACLE_TXN_CHANGE_FEED_KEYED = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+final AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 3
+              ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_custkey % 4 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 5
+),
+j AS (
+  SELECT COALESCE(o.o_orderkey, f.o_orderkey) AS k,
+         o.o_totalprice AS ov, f.o_totalprice AS fv,
+         o.o_orderkey IS NOT NULL AS in_old,
+         f.o_orderkey IS NOT NULL AS in_new,
+         o.o_custkey = f.o_custkey
+           AND o.o_orderstatus = f.o_orderstatus
+           AND o.o_totalprice = f.o_totalprice AS same
+  FROM base o FULL OUTER JOIN final f ON o.o_orderkey = f.o_orderkey
+),
+typed AS (
+  SELECT 'delete' AS change_type, ov AS price FROM j
+  WHERE in_old AND NOT in_new
+  UNION ALL
+  SELECT 'insert', fv FROM j WHERE in_new AND NOT in_old
+  UNION ALL
+  SELECT 'update_preimage', ov FROM j
+  WHERE in_old AND in_new AND NOT same
+  UNION ALL
+  SELECT 'update_postimage', fv FROM j
+  WHERE in_old AND in_new AND NOT same
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM typed GROUP BY change_type ORDER BY change_type
+"""
+
+
+def q_mv_minmax_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MIN/MAX rollup IVM: the non-invertible aggregates maintained by
+    # BOUNDED recompute — inserts tighten extremes feed-sized, interior
+    # deletes are free, and only groups whose deleted values TOUCH a
+    # stored bound re-aggregate, with the source scan semi-joined to
+    # exactly those group keys (broadcast; AQE collapses it to empty
+    # when nothing was touched). Sums/count stay additive; the cursor
+    # rides the target commit (replay applies nothing). Oracle:
+    # recompute from the simulated final state.
+    import tempfile
+
+    from dbt_maxcompute_spark.materializations.materialized_view import (
+        sync_minmax_rollup_exactly_once,
+    )
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    tmp = tempfile.mkdtemp(prefix="mmivm_")
+    t = TxnTable(spark, tmp + "/src")
+    t.create(base)
+    tgt = TxnTable(spark, tmp + "/rollup")
+
+    def sync():
+        return sync_minmax_rollup_exactly_once(
+            t,
+            tgt,
+            ["o_orderstatus"],
+            {"sum_total": "o_totalprice"},
+            {"min_price": "o_totalprice"},
+            {"max_price": "o_totalprice"},
+            "n",
+        )
+
+    sync()  # bootstrap
+    # deletes that (at any realistic SF) remove some group's extreme
+    t.delete_where_dv("o_custkey % 6 = 0")
+    # key-upsert: halve open-order prices among survivors (moves mins)
+    upd = (
+        base.filter(F.col("o_custkey") % 6 != 0)
+        .filter(F.col("o_orderstatus") == "O")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0.5)
+    )
+    t.delete_insert_dv(upd, ["o_orderkey"])
+    t.append(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9 == 4)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    applied = sync()
+    replayed = sync()
+    return tgt.read().select(
+        "o_orderstatus",
+        F.col("n").alias("n_orders"),
+        F.col("sum_total").cast("double").alias("total_price"),
+        F.col("min_price"),
+        F.col("max_price"),
+        F.lit(applied == 3 and replayed == 0).alias("replay_noop"),
+    ).orderBy("o_orderstatus")
+
+
+ORACLE_MV_MINMAX_MAINTENANCE = """
+WITH a AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 9 = 0
+),
+survivors AS (SELECT * FROM a WHERE o_custkey % 6 <> 0),
+updated AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 0.5
+              ELSE o_totalprice END AS o_totalprice
+  FROM survivors
+),
+final AS (
+  SELECT * FROM updated
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 9 = 4
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       TRUE AS replay_noop
+FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "txn_change_feed_keyed": q_txn_change_feed_keyed,
+    "mv_minmax_maintenance": q_mv_minmax_maintenance,
+}
+
+ORACLES = {
+    "txn_change_feed_keyed": ORACLE_TXN_CHANGE_FEED_KEYED,
+    "mv_minmax_maintenance": ORACLE_MV_MINMAX_MAINTENANCE,
+}

@@ -986,6 +986,83 @@ class TxnTable:
             )
         )
 
+    def change_feed_keyed(
+        self,
+        keys: list[str],
+        from_version: int,
+        to_version: int | None = None,
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """The net change feed CLASSIFIED by key — the Delta CDF
+        four-type contract: a key present at both endpoints with
+        different values emits its ``update_preimage`` (old row) +
+        ``update_postimage`` (new row) pair; a key only at ``to`` is an
+        ``insert``; only at ``from`` a ``delete``. Downstream MERGE
+        appliers and audit consumers want exactly this shape (the net
+        delete+insert form loses which pairs were the same entity).
+
+        Builds on :meth:`change_feed`, so the cost is the feed's (the
+        append-only and DV fast paths apply) plus ONE feed-sized
+        hash-agg on ``keys`` — no join, no window sort. Requires
+        ``keys`` to be unique at both endpoint snapshots — the keyed
+        contract is meaningless otherwise, so >1 insert or delete per
+        key in the interval raises IN-PLAN."""
+        from pyspark.sql import functions as F
+
+        if not keys:
+            raise ValueError("change_feed_keyed: keys must be non-empty")
+        feed = self.change_feed(from_version, to_version, strategy=strategy)
+        cols = [c for c in feed.columns if c != "_change_type"]
+        val_cols = [c for c in cols if c not in keys]
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(f"change_feed_keyed: unknown keys {missing}")
+        ins = F.col("_change_type") == "insert"
+        val_struct = F.struct(*[F.col(c) for c in val_cols])
+        agg = feed.groupBy(*keys).agg(
+            F.sum(F.when(ins, 1).otherwise(0)).alias("__ni"),
+            F.sum(F.when(ins, 0).otherwise(1)).alias("__nd"),
+            F.max(F.when(ins, val_struct)).alias("__new"),
+            F.max(F.when(~ins, val_struct)).alias("__old"),
+        )
+        bad = (F.col("__ni") > 1) | (F.col("__nd") > 1)
+        guard = F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    "change_feed_keyed: >1 change per key and side — "
+                    "keys are not unique at the endpoint snapshots"
+                )
+            ),
+        )
+        pre_type = F.when(F.col("__ni") > 0, F.lit("update_preimage")).otherwise(
+            F.lit("delete")
+        )
+        post_type = F.when(F.col("__nd") > 0, F.lit("update_postimage")).otherwise(
+            F.lit("insert")
+        )
+        entry = lambda img, typ: F.struct(  # noqa: E731
+            F.col(img).alias("v"), typ.alias("t")
+        )
+        exploded = agg.select(
+            *[F.col(k) for k in keys],
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.when(F.col("__nd") > 0, entry("__old", pre_type)),
+                        F.when(F.col("__ni") > 0, entry("__new", post_type)),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("__e"),
+            guard.alias("__guard"),
+        ).filter(F.col("__guard").isNull())
+        return exploded.select(
+            *[F.col(k) for k in keys],
+            *[F.col(f"__e.v.{c}").alias(c) for c in val_cols],
+            F.col("__e.t").alias("_change_type"),
+        ).select(*cols, "_change_type")
+
     def _read_dv(self, dv_file: str | None) -> DataFrame:
         if not dv_file:
             return self.spark.createDataFrame([], "file string, pos long")

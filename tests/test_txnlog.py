@@ -834,3 +834,66 @@ def test_change_feed_equals_snapshot_diff_for_any_dml(
             assert (
                 _feed_rows(t.change_feed(v0, latest, strategy=strat)) == want
             ), f"interval ({v0}, {latest}] strategy={strat}"
+
+
+# -- round-7: keyed change feed (Delta CDF four-type form) --------------------
+
+
+def test_change_feed_keyed_classifies_updates(spark, t):
+    """A key present at both endpoints with a DIFFERENT value emits its
+    update_preimage/postimage pair; unchanged keys emit nothing; pure
+    adds/removes classify as insert/delete."""
+    t.create(_r(spark, 0, 10))           # ids 0..9, v = 2*id
+    v0 = t.latest_version()
+    t.delete_insert_dv(_r(spark, 3, 5, mult=9), ["id"])   # update 3,4
+    t.delete_insert_dv(_r(spark, 5, 6, mult=2), ["id"])   # no-op upsert of 5
+    t.delete_where_dv("id = 0")                           # delete 0
+    t.append(_r(spark, 100, 102))                         # insert 100,101
+    rows = {
+        (r["id"], r["v"], r["_change_type"])
+        for r in t.change_feed_keyed(["id"], v0).collect()
+    }
+    assert rows == {
+        (3, 6, "update_preimage"), (3, 27, "update_postimage"),
+        (4, 8, "update_preimage"), (4, 36, "update_postimage"),
+        (0, 0, "delete"),
+        (100, 200, "insert"), (101, 202, "insert"),
+    }
+
+
+def test_change_feed_keyed_raises_on_duplicate_keys(spark, t):
+    t.create(spark.createDataFrame([(1, 10), (1, 20)], "id long, v long"))
+    v0 = t.latest_version()
+    t.delete_where_dv("id = 1")  # feed: TWO deletes for key 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not unique"):
+        t.change_feed_keyed(["id"], v0).collect()
+
+
+def test_change_feed_keyed_matches_endpoint_join(spark, t):
+    """Oracle form: classify by full-outer-joining the endpoint
+    snapshots on the key; keyed feed must agree for a mixed interval
+    including a rewrite (general path)."""
+    t.create(_r(spark, 0, 30))
+    v0 = t.latest_version()
+    t.delete_where_dv("id % 7 = 0")
+    t.overwrite(_r(spark, 10, 40, mult=5))
+    old, new = t.read(v0).alias("o"), t.read().alias("n")
+    j = old.join(new, ["id"], "full_outer").select(
+        "id", F.col("o.v").alias("ov"), F.col("n.v").alias("nv")
+    )
+    want = set()
+    for r in j.collect():
+        if r["ov"] is None:
+            want.add((r["id"], r["nv"], "insert"))
+        elif r["nv"] is None:
+            want.add((r["id"], r["ov"], "delete"))
+        elif r["ov"] != r["nv"]:
+            want.add((r["id"], r["ov"], "update_preimage"))
+            want.add((r["id"], r["nv"], "update_postimage"))
+    got = {
+        (r["id"], r["v"], r["_change_type"])
+        for r in t.change_feed_keyed(["id"], v0).collect()
+    }
+    assert got == want
