@@ -1022,8 +1022,11 @@ class TxnTable:
         agg = feed.groupBy(*keys).agg(
             F.sum(F.when(ins, 1).otherwise(0)).alias("__ni"),
             F.sum(F.when(ins, 0).otherwise(1)).alias("__nd"),
-            F.max(F.when(ins, val_struct)).alias("__new"),
-            F.max(F.when(~ins, val_struct)).alias("__old"),
+            # at most one non-null per side (guarded below), so
+            # any_value(ignoreNulls) is deterministic — and unlike
+            # max() it doesn't require orderable types (map columns)
+            F.any_value(F.when(ins, val_struct), True).alias("__new"),
+            F.any_value(F.when(~ins, val_struct), True).alias("__old"),
         )
         bad = (F.col("__ni") > 1) | (F.col("__nd") > 1)
         guard = F.when(
