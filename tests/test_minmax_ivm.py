@@ -185,3 +185,20 @@ def test_minmax_ivm_equals_recompute_for_any_dml_sequence(spark, ops):
             rows = [(i, g, float(v)) for i, g, v in arg]
             t.delete_insert_dv(spark.createDataFrame(rows, _SCHEMA), ["id"])
     assert _as_dict(_maintain(t, v0, old)) == _as_dict(_rollup(t, None))
+
+
+def test_minmax_recompute_branch_is_broadcast_semi_join(spark):
+    """The touched-extreme recompute scans the source through a
+    BROADCAST left-semi join on the touched group keys — never a
+    shuffled join of source vs rollup (the 100 TB contract)."""
+    t = _mk_table(spark)
+    v0 = t.latest_version()
+    old = _rollup(t, v0)
+    t.delete_where_dv("id = 1")
+    out = _maintain(t, v0, old)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    import re
+
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert all("Broadcast" in ln for ln in semi), semi
