@@ -118,8 +118,19 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline = similarity.ivf_topk(
         emb, queries, "vec_id", "embedding", k=k, num_centroids=16, nprobe=12
     )
+    # multiset symmetric-difference size in ONE pass per side: the
+    # exceptAll-both-ways form evaluates BOTH topk subtrees twice
+    # (~half this query's cost); signed counts per distinct row give
+    # the same number with each side evaluated once
+    _cols = indexed.columns
     n_mismatch = (
-        indexed.exceptAll(inline).unionAll(inline.exceptAll(indexed)).count()
+        indexed.withColumn("__s", F.lit(1))
+        .unionByName(inline.withColumn("__s", F.lit(-1)))
+        .groupBy(*_cols)
+        .agg(F.sum("__s").alias("__net"))
+        .filter(F.col("__net") != 0)
+        .agg(F.coalesce(F.sum(F.abs(F.col("__net"))), F.lit(0)).alias("m"))
+        .first()["m"]
     )
     brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
     hits = (
