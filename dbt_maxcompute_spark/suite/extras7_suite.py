@@ -197,12 +197,57 @@ FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_txn_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-file BLOOM data skipping: the table is written in 8 files
+    # hash-clustered by customer, so every file spans ~the full
+    # o_orderkey range and min/max stats can never prune a key lookup.
+    # The logged per-file blooms (built executor-side at stage time
+    # from one column-pruned read of the just-written file) prune the
+    # point lookup to the bloom-hit files — false positives scan,
+    # never wrong results (tests/test_bloom_skipping.py pins the
+    # pruning; here the oracle pins the ANSWER and bloom_pruned pins
+    # that skipping actually engaged).
+    import tempfile
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = TxnTable(
+        spark,
+        tempfile.mkdtemp(prefix="bloom_") + "/t",
+        bloom_cols=["o_orderkey"],
+    )
+    t.create(base.repartition(8, F.col("o_custkey")))
+    target = base.agg(F.max("o_orderkey")).first()[0]
+    snap = t.snapshot()
+    scanned = t.files_scanned([("o_orderkey", "=", target)])
+    hit = t.read(where=[("o_orderkey", "=", target)])
+    return hit.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit(len(scanned) < len(snap.files)).alias("bloom_pruned"),
+    ).orderBy("o_orderkey")
+
+
+ORACLE_TXN_BLOOM_SKIPPING = """
+SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS bloom_pruned
+FROM orders
+WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "txn_change_feed_keyed": q_txn_change_feed_keyed,
     "mv_minmax_maintenance": q_mv_minmax_maintenance,
+    "txn_bloom_skipping": q_txn_bloom_skipping,
 }
 
 ORACLES = {
     "txn_change_feed_keyed": ORACLE_TXN_CHANGE_FEED_KEYED,
     "mv_minmax_maintenance": ORACLE_MV_MINMAX_MAINTENANCE,
+    "txn_bloom_skipping": ORACLE_TXN_BLOOM_SKIPPING,
 }

@@ -139,6 +139,151 @@ def _footer_stats(full_path: str) -> dict:
     }
 
 
+_BLOOM_K = 4
+_BLOOM_DIR = "_bloom"
+_BLOOM_MIN_BITS = 1 << 10
+_BLOOM_MAX_BITS = 1 << 20
+
+
+def _bloom_hash64(values):
+    """Deterministic 64-bit hashes. Numeric arrays go through a
+    VECTORIZED splitmix64 (no per-value Python); strings fall back to
+    md5's first 8 bytes in a loop. Stable across processes and
+    platforms — the write-side build and the read-side membership test
+    must agree bit-for-bit."""
+    import numpy as np
+
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("i", "u", "b"):
+        x = arr.astype(np.int64).view(np.uint64).copy()
+    elif arr.dtype.kind == "f":
+        x = arr.astype(np.float64).view(np.uint64).copy()
+    else:
+        import hashlib
+
+        out = np.empty(len(arr), dtype=np.uint64)
+        for i, v in enumerate(arr):
+            out[i] = int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[:8], "little"
+            )
+        return out
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _bloom_indices(hashes, m_bits: int):
+    """k bit positions per hash via double hashing (h1 + i*h2)."""
+    import numpy as np
+
+    h1 = hashes & np.uint64(0xFFFFFFFF)
+    h2 = (hashes >> np.uint64(32)) | np.uint64(1)
+    m = np.uint64(m_bits)
+    with np.errstate(over="ignore"):
+        return [(h1 + np.uint64(i) * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_build(values, m_bits: int):
+    """Byte array (m_bits/8) with the k bits of every value set."""
+    import numpy as np
+
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(values):
+        for idx in _bloom_indices(_bloom_hash64(values), m_bits):
+            np.bitwise_or.at(
+                bits,
+                (idx >> np.uint64(3)).astype(np.int64),
+                np.left_shift(1, (idx & np.uint64(7)).astype(np.int64)).astype(
+                    np.uint8
+                ),
+            )
+    return bits
+
+
+def _bloom_contains(bits, m_bits: int, value) -> bool:
+    import numpy as np
+
+    arr = np.frombuffer(bits, dtype=np.uint8)
+    for idx in _bloom_indices(_bloom_hash64([value]), m_bits):
+        i = int(idx[0])
+        if not (arr[i >> 3] >> (i & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_write_sidecar(table_root: str, rel: str, cols: list[str]) -> bool:
+    """Build the per-file bloom sidecar for data file ``rel`` —
+    EXECUTOR-side (runs inside the same stage-stats job): one
+    column-pruned pyarrow read of the just-written file, vectorized
+    hashing, atomic sidecar write. Unsupported column types (nested,
+    decimal, timestamp) are skipped per-column: no bloom means no
+    pruning, never wrong pruning. Returns True if a sidecar was
+    written."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    full = os.path.join(table_root, rel)
+    schema = pq.read_schema(full)
+    usable = []
+    for c in cols:
+        if c not in schema.names:
+            continue
+        t = schema.field(c).type
+        import pyarrow as pa
+
+        if (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+        ):
+            usable.append(c)
+    if not usable:
+        return False
+    tbl = pq.read_table(full, columns=usable)
+    out_cols: dict = {}
+    m_bits = _BLOOM_MIN_BITS
+    arrays = {}
+    for c in usable:
+        vals = tbl.column(c).drop_null()
+        arrays[c] = vals
+        n = len(vals)
+        want = _BLOOM_MIN_BITS
+        while want < 16 * n and want < _BLOOM_MAX_BITS:
+            want <<= 1
+        m_bits = max(m_bits, want)
+    import pyarrow as pa
+
+    for c, vals in arrays.items():
+        pl = vals.to_pylist()
+        fam = (
+            "s"
+            if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type)
+            else "n"
+        )
+        out_cols[c] = {
+            "b": base64.b64encode(_bloom_build(pl, m_bits).tobytes()).decode(
+                "ascii"
+            ),
+            # type family — a query value of the other family (e.g. an
+            # int probed against a string column) must NOT prune: its
+            # hash path differs, so membership would be meaningless
+            "t": fam,
+        }
+    os.makedirs(os.path.join(table_root, _BLOOM_DIR), exist_ok=True)
+    dest = os.path.join(table_root, _BLOOM_DIR, f"{rel}.json")
+    tmp = dest + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"m": m_bits, "k": _BLOOM_K, "cols": out_cols}, fh)
+    os.replace(tmp, dest)
+    return True
+
+
 def _may_match(stats: dict | None, where: list[tuple]) -> bool:
     """Can ANY row of a file with these stats satisfy the conjunction?
     Conservative: unknown stats / unknown column -> True (scan it).
@@ -180,13 +325,34 @@ _WHERE_OPS = {
 class TxnTable:
     """A transaction-log table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bloom_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.log_path = os.path.join(path, LOG_DIR)
         # optional commit listener (EngineCatalog.txn wires this to its
         # event-based view invalidation); never affects the commit
         self.on_commit = None
+        # per-file bloom filters for equality data skipping: None =
+        # resolve from the table's _bloom/_cols.json sidecar (so every
+        # writer instance keeps building them once enabled)
+        self._bloom_cols = list(bloom_cols) if bloom_cols else bloom_cols
+        self._bloom_cache: dict[str, dict] = {}
+
+    @property
+    def bloom_cols(self) -> list[str]:
+        if self._bloom_cols is None:
+            p = os.path.join(self.path, _BLOOM_DIR, "_cols.json")
+            try:
+                with open(p) as fh:
+                    self._bloom_cols = json.load(fh)["cols"]
+            except (OSError, ValueError, KeyError):
+                self._bloom_cols = []
+        return self._bloom_cols
 
     # -- log plumbing ---------------------------------------------------------
 
@@ -366,9 +532,25 @@ class TxnTable:
         if not out:
             return []
         root = self.path
+        bloom_cols = list(self.bloom_cols)
+        if bloom_cols:
+            os.makedirs(os.path.join(root, _BLOOM_DIR), exist_ok=True)
+            cols_path = os.path.join(root, _BLOOM_DIR, "_cols.json")
+            if not os.path.exists(cols_path):
+                tmp = cols_path + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as fh:
+                    json.dump({"cols": bloom_cols}, fh)
+                os.replace(tmp, cols_path)
+
+        def _stat_one(rel: str):
+            st = _footer_stats(os.path.join(root, rel))
+            if bloom_cols and _bloom_write_sidecar(root, rel, bloom_cols):
+                st["bloomFile"] = f"{_BLOOM_DIR}/{rel}.json"
+            return rel, st
+
         stats = (
             self.spark.sparkContext.parallelize(out, min(len(out), 64))
-            .map(lambda rel: (rel, _footer_stats(os.path.join(root, rel))))
+            .map(_stat_one)
             .collect()
         )
         by_name = dict(stats)
@@ -383,6 +565,10 @@ class TxnTable:
             if st is not None and st.get("numRecords") == 0:
                 try:
                     os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+                try:
+                    os.remove(os.path.join(self.path, _BLOOM_DIR, f"{f}.json"))
                 except OSError:
                     pass
                 continue
@@ -643,6 +829,7 @@ class TxnTable:
         files = snap.files
         if where:
             files = [f for f in files if _may_match(snap.stats.get(f), where)]
+            files = self._bloom_prune(snap, files, where)
         if not files:
             from pyspark.sql.types import StructType
 
@@ -803,7 +990,63 @@ class TxnTable:
         snap = self.snapshot(version)
         if not where:
             return list(snap.files)
-        return [f for f in snap.files if _may_match(snap.stats.get(f), where)]
+        files = [f for f in snap.files if _may_match(snap.stats.get(f), where)]
+        return self._bloom_prune(snap, files, where)
+
+    def _bloom_prune(
+        self, snap: "Snapshot", files: list[str], where: list[tuple]
+    ) -> list[str]:
+        """Per-file bloom pruning for EQUALITY predicates — the
+        complement of min/max range skipping for high-cardinality
+        columns whose values are scattered across files (point lookups
+        on a non-clustered key). Sidecars load lazily, only for files
+        that survived range pruning, and cache per instance — a miss
+        costs one KB-sized JSON read, a hit prunes a whole file from
+        the scan. False positives scan (never wrong results); a value
+        whose type family differs from the column's never prunes."""
+        eqs = [(c, v) for c, op, v in where if op == "="]
+        if not eqs or not files:
+            return files
+        out = []
+        for f in files:
+            bf = (snap.stats.get(f) or {}).get("bloomFile")
+            if not bf:
+                out.append(f)
+                continue
+            meta = self._bloom_cache.get(bf)
+            if meta is None:
+                try:
+                    with open(os.path.join(self.path, bf)) as fh:
+                        raw = json.load(fh)
+                    import base64
+
+                    meta = {
+                        "m": raw["m"],
+                        "cols": {
+                            c: (base64.b64decode(d["b"]), d["t"])
+                            for c, d in raw["cols"].items()
+                        },
+                    }
+                except (OSError, ValueError, KeyError):
+                    meta = {"m": 0, "cols": {}}
+                self._bloom_cache[bf] = meta
+            keep = True
+            for c, v in eqs:
+                ent = meta["cols"].get(c)
+                if ent is None or not meta["m"]:
+                    continue
+                bits, fam = ent
+                vfam = "s" if isinstance(v, str) else (
+                    "n" if isinstance(v, (int, float, bool)) else None
+                )
+                if vfam != fam:
+                    continue
+                if not _bloom_contains(bits, meta["m"], v):
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
 
     def history(self) -> list[dict[str, Any]]:
         out = []
@@ -1346,5 +1589,9 @@ class TxnTable:
             if age < retention_seconds:
                 continue
             os.unlink(full)
+            try:
+                os.remove(os.path.join(self.path, _BLOOM_DIR, f"{f}.json"))
+            except OSError:
+                pass
             removed.append(f)
         return removed

@@ -1,0 +1,109 @@
+"""Per-file bloom filters on the txn log: equality data skipping for
+high-cardinality columns whose values are SCATTERED across files —
+the case min/max range stats can never prune (every file spans the
+whole domain)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.txnlog import TxnTable
+
+# every file's v-range spans ~the whole domain: min/max skipping is
+# structurally useless here, only the bloom can prune
+_SCATTER = "CAST((id * 2654435761) % 1000003 AS BIGINT)"
+
+
+def _mk(spark, tmp_path, n_files=8, rows_per=400, bloom_cols=("v",)):
+    t = TxnTable(spark, str(tmp_path / "t"), bloom_cols=list(bloom_cols))
+    for m in range(n_files):
+        df = (
+            spark.range(m * rows_per, (m + 1) * rows_per)
+            .selectExpr("id", f"{_SCATTER} AS v", "CONCAT('s', id) AS s")
+            .coalesce(1)
+        )
+        t.create(df) if m == 0 else t.append(df)
+    return t
+
+
+def test_point_lookup_prunes_to_bloom_hits(spark, tmp_path):
+    t = _mk(spark, tmp_path, bloom_cols=("v", "s"))
+    snap = t.snapshot()
+    assert len(snap.files) == 8
+    # range stats CANNOT prune this predicate (overlapping ranges)
+    target_id = 1234  # lives in file 4 of 8
+    target_v = (target_id * 2654435761) % 1000003
+    range_only = [
+        f
+        for f in snap.files
+        if True  # _may_match keeps all: every file spans the domain
+    ]
+    assert len(range_only) == 8
+    scanned = t.files_scanned([("v", "=", target_v)])
+    assert len(scanned) < 8, "bloom should prune scattered-value lookup"
+    got = t.read(where=[("v", "=", target_v)])
+    want = t.read().filter(F.col("v") == target_v)
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+    assert got.count() >= 1
+
+
+def test_string_bloom_and_type_family_guard(spark, tmp_path):
+    t = _mk(spark, tmp_path, bloom_cols=("s",))
+    scanned = t.files_scanned([("s", "=", "s2000")])
+    assert len(scanned) < 8
+    got = t.read(where=[("s", "=", "s2000")]).collect()
+    assert [r["id"] for r in got] == [2000]
+    # wrong type family must NOT prune (an int probed against a string
+    # column hashes differently — membership would be meaningless)
+    assert len(t.files_scanned([("s", "=", 2000)])) == 8
+
+
+def test_bloom_rides_checkpoints_and_new_instances(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_files=12)  # crosses CHECKPOINT_EVERY
+    # a FRESH instance with no ctor arg resolves bloom_cols from the
+    # sidecar and keeps building blooms for new files
+    t2 = TxnTable(spark, t.path)
+    assert t2.bloom_cols == ["v"]
+    t2.append(
+        spark.range(100000, 100400)
+        .selectExpr("id", f"{_SCATTER} AS v", "CONCAT('s', id) AS s")
+        .coalesce(1)
+    )
+    snap = t2.snapshot()
+    assert all(
+        (snap.stats.get(f) or {}).get("bloomFile") for f in snap.files
+    ), "every file (pre- and post-checkpoint, old and new writer) has a bloom"
+    target_v = (100123 * 2654435761) % 1000003
+    scanned = t2.files_scanned([("v", "=", target_v)])
+    assert len(scanned) < len(snap.files)
+    assert t2.read(where=[("v", "=", target_v)]).count() >= 1
+
+
+def test_vacuum_removes_dead_bloom_sidecars(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_files=3)
+    dead = set(t.snapshot().files)
+    t.overwrite(
+        spark.range(0, 100)
+        .selectExpr("id", f"{_SCATTER} AS v", "CONCAT('s', id) AS s")
+        .coalesce(1)
+    )
+    t.vacuum(retain_versions=1, retention_seconds=0)
+    bloom_dir = os.path.join(t.path, "_bloom")
+    left = {f for f in os.listdir(bloom_dir) if f.endswith(".parquet.json")}
+    assert not any(f"{d}.json" in left for d in dead)
+    live = set(t.snapshot().files)
+    assert {f"{d}.json" for d in live} <= left
+
+
+def test_no_bloom_cols_is_unchanged(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "plain"))
+    t.create(spark.range(10).selectExpr("id", "id*2 AS v"))
+    snap = t.snapshot()
+    assert not any(
+        (snap.stats.get(f) or {}).get("bloomFile") for f in snap.files
+    )
+    assert t.read(where=[("v", "=", 4)]).count() == 1
