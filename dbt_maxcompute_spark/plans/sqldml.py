@@ -1188,6 +1188,19 @@ def _exec_update(
 
     t = _require_txn(catalog, tbl, "UPDATE")
     catalog.register_views()  # subquery-capable WHERE, as in DELETE
+    if where is not None:
+        # conditional UPDATE takes the DV path: matched rows rewrite
+        # as new files + deletion-vector positions in ONE commit, with
+        # the match scan pruned by logged stats/blooms from the
+        # condition's conjuncts — O(matched), never a table rewrite
+        for attempt in range(_TXN_MAX_ATTEMPTS):
+            try:
+                _v, affected = t.update_where_dv(sets, where, return_count=True)
+                return affected
+            except CommitConflict:
+                if attempt == _TXN_MAX_ATTEMPTS - 1:
+                    raise
+        raise AssertionError
     for attempt in range(_TXN_MAX_ATTEMPTS):
         v = t.latest_version()
         tgt = t.read(v)

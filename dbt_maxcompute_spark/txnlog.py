@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -214,6 +215,71 @@ def _bloom_contains(bits, m_bits: int, value) -> bool:
     return True
 
 
+def _bloom_normalize(value, fam: str):
+    """Cast a query value to the column's hash family, or None if no
+    sound cast exists (then the caller must not prune)."""
+    if fam == "s":
+        return value if isinstance(value, str) else None
+    if isinstance(value, str):
+        return None
+    if fam == "i":
+        if isinstance(value, bool):
+            return int(value)
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        return None
+    if fam == "f":
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            return float(value)
+        return None
+    return None
+
+
+_COND_LIT_RX = re.compile(r"'[^']*'")
+_COND_TERM_RX = re.compile(
+    r"^\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(=|<=|>=|<|>)\s*"
+    r"(\x00\d+\x00|-?\d+(?:\.\d+)?)\s*$"
+)
+_COND_BAIL_RX = re.compile(
+    r"\b(or|not|in|like|between|is|null)\b", re.IGNORECASE
+)
+
+
+def _extract_conjuncts(condition: str) -> list[tuple]:
+    """(col, op, literal) terms from a purely CONJUNCTIVE condition of
+    simple comparisons — used only to PRUNE the scan (the original
+    condition still filters every row), so extraction is conservative:
+    parens / OR / NOT / IN / LIKE / IS anywhere → nothing; an AND-part
+    that isn't `col op literal` is simply skipped (pruning on a subset
+    of conjuncts is still sound). String literals are masked before
+    splitting so an AND inside quotes can't break a term apart."""
+    lits: list[str] = []
+
+    def _mask(m):
+        lits.append(m.group(0)[1:-1])
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = _COND_LIT_RX.sub(_mask, condition)
+    if "(" in masked or ")" in masked or _COND_BAIL_RX.search(masked):
+        return []
+    out = []
+    for part in re.split(r"\band\b", masked, flags=re.IGNORECASE):
+        m = _COND_TERM_RX.match(part)
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        if lit.startswith("\x00"):
+            val: Any = lits[int(lit.strip("\x00"))]
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, op, val))
+    return out
+
+
 def _bloom_write_sidecar(table_root: str, rel: str, cols: list[str]) -> bool:
     """Build the per-file bloom sidecar for data file ``rel`` —
     EXECUTOR-side (runs inside the same stage-stats job): one
@@ -260,19 +326,20 @@ def _bloom_write_sidecar(table_root: str, rel: str, cols: list[str]) -> bool:
     import pyarrow as pa
 
     for c, vals in arrays.items():
-        pl = vals.to_pylist()
-        fam = (
-            "s"
-            if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type)
-            else "n"
-        )
+        if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
+            fam, pl = "s", vals.to_pylist()
+        elif pa.types.is_floating(vals.type):
+            fam, pl = "f", [float(v) for v in vals.to_pylist()]
+        else:  # integer / boolean
+            fam, pl = "i", [int(v) for v in vals.to_pylist()]
         out_cols[c] = {
             "b": base64.b64encode(_bloom_build(pl, m_bits).tobytes()).decode(
                 "ascii"
             ),
-            # type family — a query value of the other family (e.g. an
-            # int probed against a string column) must NOT prune: its
-            # hash path differs, so membership would be meaningless
+            # type family ("s" string, "i" integer/bool, "f" float) —
+            # the read side normalizes the query value to the SAME
+            # family before hashing, or refuses to prune: a mismatched
+            # hash path would prune wrongly
             "t": fam,
         }
     os.makedirs(os.path.join(table_root, _BLOOM_DIR), exist_ok=True)
@@ -922,7 +989,22 @@ class TxnTable:
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        paths = [os.path.join(self.path, f) for f in snap.files]
+        # data skipping for the MATCH scan: conjuncts extracted from
+        # the condition prune via logged min/max stats + blooms (a
+        # pruned-out file provably holds no matching row, so its
+        # positions can't belong in the DV); the ORIGINAL condition
+        # still filters every row — extraction is an optimization,
+        # never semantics. `DELETE FROM t WHERE k = <x>` on 100 TB
+        # scans the bloom-hit files, not the table.
+        prune = _extract_conjuncts(condition)
+        files = list(snap.files)
+        if prune:
+            files = [f for f in files if _may_match(snap.stats.get(f), prune)]
+            files = self._bloom_prune(snap, files, prune)
+        if not files:
+            v = self._commit(snap.version + 1, [], snap.schema_json)
+            return (v, 0) if return_count else v
+        paths = [os.path.join(self.path, f) for f in files]
         if snap.schema_json:
             schema = StructType.fromJson(json.loads(snap.schema_json))
             raw = self.spark.read.schema(schema).parquet(*paths)
@@ -952,6 +1034,103 @@ class TxnTable:
         matched.write.parquet(os.path.join(self.path, dv_name))
         affected = self._dv_rows(dv_name) - old_rows
         v = self._commit(snap.version + 1, [{"set_dv": dv_name}], snap.schema_json)
+        return (v, affected) if return_count else v
+
+    def update_where_dv(
+        self,
+        sets: dict[str, str],
+        condition: str,
+        return_count: bool = False,
+    ) -> int | tuple[int, int]:
+        """Row-level UPDATE via deletion vectors: matched rows are
+        rewritten as NEW files (SET expressions evaluated against the
+        pre-update row) and their old positions land in the DV — ONE
+        commit, delete+insert atomically, exactly the Delta DV-update
+        shape. Cost is O(matched rows) plus a scan PRUNED by the
+        logged stats/blooms from the condition's conjuncts — at 100 TB
+        `UPDATE t SET ... WHERE k = x` touches the bloom-hit files,
+        never a table rewrite (the copy-on-write overwrite path
+        remains for unconditional updates, which rewrite everything
+        anyway). Matching runs over the VISIBLE row set, so the
+        affected count equals SQL UPDATE's matched-row count and comes
+        from the DV parquet footers (never a second data pass)."""
+        snap = self.snapshot()
+        stats_rows = [
+            (snap.stats.get(f) or {}).get("numRecords") for f in snap.files
+        ]
+        if not snap.files or (
+            all(r is not None for r in stats_rows) and sum(stats_rows) == 0
+        ):
+            v = self._commit(snap.version + 1, [], snap.schema_json)
+            return (v, 0) if return_count else v
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        prune = _extract_conjuncts(condition)
+        files = list(snap.files)
+        if prune:
+            files = [f for f in files if _may_match(snap.stats.get(f), prune)]
+            files = self._bloom_prune(snap, files, prune)
+        if not files:
+            v = self._commit(snap.version + 1, [], snap.schema_json)
+            return (v, 0) if return_count else v
+        paths = [os.path.join(self.path, f) for f in files]
+        schema = (
+            StructType.fromJson(json.loads(snap.schema_json))
+            if snap.schema_json
+            else None
+        )
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        raw = reader.parquet(*paths)
+        cols = raw.columns
+        bad = set(sets) - set(cols)
+        if bad:
+            raise ValueError(f"update_where_dv: unknown columns {sorted(bad)}")
+        visible = self._apply_dv(
+            raw.withColumn(
+                "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            ).withColumn("__p", F.col("_metadata.row_index")),
+            snap,
+        )
+        matched = visible.filter(f"coalesce(({condition}), false)")
+        # pass 1: the rewritten rows (SET against the pre-update row,
+        # types re-pinned to the committed schema)
+        new_rows = matched.select(
+            *[
+                (
+                    F.expr(sets[c]).cast(raw.schema[c].dataType).alias(c)
+                    if c in sets
+                    else F.col(c)
+                )
+                for c in cols
+            ]
+        )
+        adds = self._stage_files(new_rows)
+        # pass 2: the DV positions of the replaced rows (disjoint from
+        # the old store — matching ran post-subtraction)
+        pos = matched.select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
+        old_rows = 0
+        if snap.dv_file:
+            old = self.spark.read.schema("file string, pos long").parquet(
+                os.path.join(self.path, snap.dv_file)
+            )
+            pos = pos.unionByName(old)
+            old_rows = self._dv_rows(snap.dv_file)
+        dv_name = f"dv-{uuid.uuid4().hex}"
+        pos.write.parquet(os.path.join(self.path, dv_name))
+        affected = self._dv_rows(dv_name) - old_rows
+        if affected == 0 and not adds:
+            # nothing matched: no-op version, drop the empty DV copy
+            import shutil as _shutil
+
+            _shutil.rmtree(os.path.join(self.path, dv_name), ignore_errors=True)
+            v = self._commit(snap.version + 1, [], snap.schema_json)
+            return (v, 0) if return_count else v
+        v = self._commit(
+            snap.version + 1, adds + [{"set_dv": dv_name}], snap.schema_json
+        )
         return (v, affected) if return_count else v
 
     def stats_row_count(self, snap: "Snapshot | None" = None) -> int | None:
@@ -1036,12 +1215,10 @@ class TxnTable:
                 if ent is None or not meta["m"]:
                     continue
                 bits, fam = ent
-                vfam = "s" if isinstance(v, str) else (
-                    "n" if isinstance(v, (int, float, bool)) else None
-                )
-                if vfam != fam:
-                    continue
-                if not _bloom_contains(bits, meta["m"], v):
+                probe = _bloom_normalize(v, fam)
+                if probe is None:
+                    continue  # family mismatch: never prune
+                if not _bloom_contains(bits, meta["m"], probe):
                     keep = False
                     break
             if keep:

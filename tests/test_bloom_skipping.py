@@ -107,3 +107,38 @@ def test_no_bloom_cols_is_unchanged(spark, tmp_path):
         (snap.stats.get(f) or {}).get("bloomFile") for f in snap.files
     )
     assert t.read(where=[("v", "=", 4)]).count() == 1
+
+
+def test_extract_conjuncts_is_conservative():
+    from dbt_maxcompute_spark.txnlog import _extract_conjuncts as x
+
+    assert x("k = 5") == [("k", "=", 5)]
+    assert x("`k` >= 2.5 AND s = 'a b'") == [("k", ">=", 2.5), ("s", "=", "a b")]
+    # AND inside a string literal cannot break terms apart
+    assert x("s = 'rock and roll'") == [("s", "=", "rock and roll")]
+    # unparseable conjuncts are skipped, parseable ones still prune
+    assert x("id % 3 = 1 and v = 5") == [("v", "=", 5)]
+    # anything non-conjunctive bails entirely
+    assert x("k = 5 OR v = 2") == []
+    assert x("not (k = 5)") == []
+    assert x("k in (1,2)") == []
+    assert x("k is null") == []
+    assert x("k != 5") == []
+    assert x("k <> 5") == []
+
+
+def test_delete_where_dv_prunes_scan_and_stays_correct(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    target_id = 777
+    target_v = (target_id * 2654435761) % 1000003
+    before = t.read().count()
+    v, affected = t.delete_where_dv(f"v = {target_v}", return_count=True)
+    assert affected == 1
+    assert t.read().count() == before - 1
+    assert t.read().filter(F.col("id") == target_id).count() == 0
+    # a provably-empty match commits WITHOUT scanning or writing a DV
+    snap_before = t.snapshot()
+    v2, affected2 = t.delete_where_dv("id = -5", return_count=True)
+    assert affected2 == 0 and v2 == v + 1
+    assert t.snapshot().dv_file == snap_before.dv_file  # no new DV store
+    assert t.read().count() == before - 1

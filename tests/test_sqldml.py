@@ -590,7 +590,14 @@ def test_sql_update_delete_single_pass(spark, cat):
     summary = cat.execute("UPDATE t SET v = v + 1 WHERE id < 10")
     ran = _job_executions_after(spark, floor)
     assert summary.collect()[0].affected_rows == 10
-    assert len(ran) == 1, f"UPDATE ran {len(ran)} data passes: {ran}"
+    # conditional UPDATE takes the DV path (round 7): exactly TWO
+    # job-running executions — the rewritten-rows staging write and
+    # the deletion-vector store write — each over the stats/bloom-
+    # PRUNED matched scan, never a full-table rewrite. (The round-6
+    # copy-on-write path was one pass over the WHOLE table; two
+    # passes over O(matched) is the strictly better scale contract.
+    # The affected count still comes from DV footers: no count pass.)
+    assert len(ran) == 2, f"UPDATE ran {len(ran)} data passes: {ran}"
     floor = _last_exec_id(spark)
     summary = cat.execute("DELETE FROM t WHERE id >= 30")
     ran = _job_executions_after(spark, floor)

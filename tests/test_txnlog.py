@@ -897,3 +897,45 @@ def test_change_feed_keyed_matches_endpoint_join(spark, t):
         for r in t.change_feed_keyed(["id"], v0).collect()
     }
     assert got == want
+
+
+# -- round-7: DV-based UPDATE -------------------------------------------------
+
+
+def test_update_where_dv_rewrites_only_matched(spark, t):
+    t.create(_r(spark, 0, 10))          # v = 2*id
+    v0 = t.latest_version()
+    v, affected = t.update_where_dv({"v": "v + 100"}, "id < 3", return_count=True)
+    assert affected == 3 and v == v0 + 1
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[0] == 100 and got[2] == 104 and got[5] == 10
+    # time travel: pre-update snapshot intact
+    old = {r["id"]: r["v"] for r in t.read(v0).collect()}
+    assert old[0] == 0
+    # the commit is adds + set_dv (DV-reconstructable history: the
+    # change feed classifies it as update pairs)
+    feed = {
+        (r["id"], r["_change_type"])
+        for r in t.change_feed_keyed(["id"], v0).collect()
+    }
+    assert (0, "update_preimage") in feed and (0, "update_postimage") in feed
+    assert not any(k == 5 for k, _ in feed)
+
+
+def test_update_where_dv_no_match_is_noop_version(spark, t):
+    t.create(_r(spark, 0, 10))
+    snap0 = t.snapshot()
+    v, affected = t.update_where_dv({"v": "0"}, "id = 999", return_count=True)
+    assert affected == 0 and v == snap0.version + 1
+    assert t.snapshot().dv_file == snap0.dv_file
+    assert t.read().count() == 10
+
+
+def test_update_where_dv_set_sees_pre_update_row(spark, t):
+    """Chained SETs must both read the PRE-update row (SQL UPDATE
+    semantics), not each other's outputs."""
+    df = spark.createDataFrame([(1, 10, 100)], "id long, a long, b long")
+    t.create(df)
+    t.update_where_dv({"a": "b", "b": "a"}, "id = 1")
+    r = t.read().collect()[0]
+    assert (r["a"], r["b"]) == (100, 10)  # swapped, not b,b
