@@ -1188,11 +1188,13 @@ def _exec_update(
 
     t = _require_txn(catalog, tbl, "UPDATE")
     catalog.register_views()  # subquery-capable WHERE, as in DELETE
-    if where is not None:
-        # conditional UPDATE takes the DV path: matched rows rewrite
-        # as new files + deletion-vector positions in ONE commit, with
-        # the match scan pruned by logged stats/blooms from the
-        # condition's conjuncts — O(matched), never a table rewrite
+    if where is not None and t.dv_update_pays(where):
+        # DV path (stats-routed, zero extra jobs to decide): matched
+        # rows rewrite as new files + deletion-vector positions in ONE
+        # commit, with the match scan pruned by logged stats/blooms
+        # from the condition's conjuncts — O(matched), never a table
+        # rewrite. Tiny unprunable tables keep the single-pass COW
+        # overwrite below (its one job beats the DV path's two there).
         for attempt in range(_TXN_MAX_ATTEMPTS):
             try:
                 _v, affected = t.update_where_dv(sets, where, return_count=True)

@@ -1036,6 +1036,31 @@ class TxnTable:
         v = self._commit(snap.version + 1, [{"set_dv": dv_name}], snap.schema_json)
         return (v, affected) if return_count else v
 
+    def dv_update_pays(self, condition: str) -> bool:
+        """Metadata-only routing for conditional UPDATE (zero Spark
+        jobs, mirrors ``_dv_feed_pays``): the DV path's second write
+        execution beats one copy-on-write pass once (a) the condition's
+        conjuncts actually PRUNE files via stats/blooms — then the DV
+        scan is strictly smaller than the table — or (b) the table is
+        big enough (≥100k rows by logged footer stats) that rewriting
+        it all loses regardless. Tiny unprunable tables keep the
+        single-pass COW rewrite (job overhead dominates there).
+        Unknown stats choose DV: at unknown scale the full rewrite is
+        the risk."""
+        snap = self.snapshot()
+        if not snap.files:
+            return False
+        prune = _extract_conjuncts(condition)
+        if prune:
+            kept = [f for f in snap.files if _may_match(snap.stats.get(f), prune)]
+            kept = self._bloom_prune(snap, kept, prune)
+            if len(kept) < len(snap.files):
+                return True
+        rows = [(snap.stats.get(f) or {}).get("numRecords") for f in snap.files]
+        if any(r is None for r in rows):
+            return True
+        return sum(rows) >= 100_000
+
     def update_where_dv(
         self,
         sets: dict[str, str],

@@ -587,17 +587,14 @@ def test_sql_merge_single_pass(spark, cat):
 def test_sql_update_delete_single_pass(spark, cat):
     _mk(cat, spark, 40)
     floor = _last_exec_id(spark)
-    summary = cat.execute("UPDATE t SET v = v + 1 WHERE id < 10")
+    summary = cat.execute("UPDATE t SET v = v + 1 WHERE id % 4 = 0")
     ran = _job_executions_after(spark, floor)
     assert summary.collect()[0].affected_rows == 10
-    # conditional UPDATE takes the DV path (round 7): exactly TWO
-    # job-running executions — the rewritten-rows staging write and
-    # the deletion-vector store write — each over the stats/bloom-
-    # PRUNED matched scan, never a full-table rewrite. (The round-6
-    # copy-on-write path was one pass over the WHOLE table; two
-    # passes over O(matched) is the strictly better scale contract.
-    # The affected count still comes from DV footers: no count pass.)
-    assert len(ran) == 2, f"UPDATE ran {len(ran)} data passes: {ran}"
+    # tiny table, unprunable condition (modulo extracts no conjunct):
+    # stats routing keeps the single-pass COW rewrite — the DV path's
+    # second execution only pays once pruning engages or the table is
+    # big (see test_sql_update_takes_dv_path_when_prunable)
+    assert len(ran) == 1, f"UPDATE ran {len(ran)} data passes: {ran}"
     floor = _last_exec_id(spark)
     summary = cat.execute("DELETE FROM t WHERE id >= 30")
     ran = _job_executions_after(spark, floor)
@@ -841,3 +838,31 @@ def test_drop_view_and_mv_rebuild_via_sql(spark, cat):
     spark.sql("CREATE OR REPLACE TEMP VIEW sess_tv AS SELECT 1 AS x")
     cat.execute("DROP VIEW sess_tv")
     assert not spark.catalog.tableExists("sess_tv")
+
+
+def test_sql_update_takes_dv_path_when_prunable(spark, cat):
+    """Disjoint-range files: a conditional UPDATE whose conjuncts
+    prune files routes to the DV path — two executions over ONLY the
+    kept files (new rows + DV store), old snapshot intact, affected
+    count from footers."""
+    _mk(cat, spark, 40)                       # ids 0..39, file 1
+    cat.execute("INSERT INTO t SELECT id, id * 10 AS v, "
+                "CONCAT('row-', id) AS s FROM RANGE(100, 140)")
+    floor = _last_exec_id(spark)
+    summary = cat.execute("UPDATE t SET v = 0 WHERE id >= 120")
+    ran = _job_executions_after(spark, floor)
+    assert summary.collect()[0].affected_rows == 20
+    assert len(ran) == 2, f"DV update ran {len(ran)} passes: {ran}"
+    got = cat.read("t")
+    assert got.filter("id >= 120 AND v = 0").count() == 20
+    assert got.filter("id < 120 AND v <> 0").count() == 59  # only id=0 had v=0
+    assert got.count() == 80
+    # no table rewrite: EVERY pre-update file survives the commit
+    # (replaced rows are masked by the DV), plus new file(s) for the
+    # rewritten rows
+    t = cat.txn("t")
+    cur = t.snapshot()
+    pre = t.snapshot(cur.version - 1)
+    assert set(pre.files) <= set(cur.files)
+    assert len(cur.files) > len(pre.files)
+    assert cur.dv_file and cur.dv_file != pre.dv_file
