@@ -814,7 +814,9 @@ def test_change_feed_equals_snapshot_diff_for_any_dml(
     def df_of(rows):
         return spark.createDataFrame(rows, "id bigint, v bigint")
 
+    n_ops = 0
     for kind, arg in ops:
+        n_ops += 1
         if kind == "create":
             t.create(df_of(arg))
         elif kind == "append":
@@ -827,6 +829,10 @@ def test_change_feed_equals_snapshot_diff_for_any_dml(
             t.delete_where_dv(f"id < {arg}")
         else:
             t.delete_insert_dv(df_of(arg), ["id"])
+        if n_ops == 2:
+            # fold a DV UPDATE into every long-enough sequence: its
+            # adds+set_dv commit shape must feed-reconstruct too
+            t.update_where_dv({"v": "v + 1000"}, "id % 2 = 1")
     latest = t.latest_version()
     for v0 in {0, latest // 2, max(0, latest - 1)}:
         want = _expected_feed(t, v0, latest)
