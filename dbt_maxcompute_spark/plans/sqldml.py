@@ -1470,10 +1470,23 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
     matched_clauses = [(i, c) for i, c in enumerate(m.clauses) if c.matched]
     notm_clauses = [(i, c) for i, c in enumerate(m.clauses) if not c.matched]
 
+    # DV route (stats-gated): on a big target with a broadcastable
+    # source, the merge commits as staged adds (updated + inserted
+    # rows) plus a deletion vector naming the replaced/deleted
+    # positions — untouched target rows NEVER move, so the write cost
+    # is O(matched + inserts) instead of rewriting the table. The
+    # small-table copy-on-write path below stays single-pass.
+    dv_route = _merge_dv_pays(t, src)
+
     for attempt in range(_TXN_MAX_ATTEMPTS):
         v = t.latest_version()
-        tgt = t.read(v)
-        out_cols = tgt.columns
+        if dv_route:
+            snap = t.snapshot(v)
+            tgt = t._visible_with_pos(snap)
+            out_cols = [c for c in tgt.columns if c not in ("__f", "__p")]
+        else:
+            tgt = t.read(v)
+            out_cols = tgt.columns
         tj = tgt.withColumn("__tid", F.monotonically_increasing_id()).alias(ta)
         sj = (
             src.withColumn("__smark", F.lit(1))
@@ -1553,6 +1566,44 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
                 expr = expr.when(F.col("__action") == f"i{i}", val)
             return expr.cast(dt).alias(c)
 
+        if dv_route:
+            u_tags = [f"u{i}" for i, c in matched_clauses if c.action == "update"]
+            d_tags = [f"d{i}" for i, c in matched_clauses if c.action == "delete"]
+            i_tags = [f"i{i}" for i, c in notm_clauses]
+            write_tags = u_tags + i_tags
+            try:
+                adds = []
+                if write_tags:
+                    # the observe node sits BELOW this filter, so the
+                    # staged write fires it over the FULL join — n is
+                    # the complete affected count (u + d + i)
+                    adds_frame = j.filter(
+                        F.col("__action").isin(*write_tags)
+                    ).select(*[out_col(c) for c in out_cols])
+                    adds = t._stage_files(adds_frame)
+                pos = j.filter(
+                    F.col("__action").isin(*(u_tags + d_tags))
+                    if (u_tags or d_tags)
+                    else F.lit(False)
+                ).select(
+                    F.col(f"{ta}.__f").alias("file"),
+                    F.col(f"{ta}.__p").alias("pos"),
+                )
+                _v, dv_delta = t.commit_dv_delta(snap, adds, pos)
+            except CommitConflict:
+                if attempt == _TXN_MAX_ATTEMPTS - 1:
+                    raise
+                continue
+            except Exception as e:  # noqa: BLE001 — map the in-plan guard
+                if _CARDINALITY_MSG in str(e):
+                    raise ValueError(
+                        "MERGE: a target row matches multiple source rows "
+                        "(cardinality violation)"
+                    ) from None
+                raise
+            if write_tags:
+                return int(obs.get["n"] or 0)
+            return dv_delta  # pure-delete merge: affected = deletions
         result = (
             j.filter(~F.col("__action").isin("drop", *[f"d{i}" for i, _ in matched_clauses]))
             .select(*[out_col(c) for c in out_cols])
@@ -1572,3 +1623,27 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
             raise
         return int(obs.get["n"] or 0)
     raise AssertionError
+
+
+MERGE_DV_MIN_ROWS = 100_000
+MERGE_DV_MAX_SOURCE = 1_000_000
+
+
+def _merge_dv_pays(t, src) -> bool:
+    """Metadata-gated routing for the MERGE DV path (mirrors
+    ``dv_update_pays``): pay the extra DV-write execution only when
+    the target is big enough (≥100k rows by logged footer stats —
+    or unknown stats, where a full rewrite is the risk) AND the source
+    is bounded (a merge batch ≤1M rows; a source that large belongs on
+    the copy-on-write path where rewriting is the right trade)."""
+    try:
+        snap = t.snapshot()
+    except Exception:
+        return False
+    if not snap.files:
+        return False
+    rows = [(snap.stats.get(f) or {}).get("numRecords") for f in snap.files]
+    big = any(r is None for r in rows) or sum(rows) >= MERGE_DV_MIN_ROWS
+    if not big:
+        return False
+    return src.limit(MERGE_DV_MAX_SOURCE + 1).count() <= MERGE_DV_MAX_SOURCE

@@ -1036,6 +1036,69 @@ class TxnTable:
         v = self._commit(snap.version + 1, [{"set_dv": dv_name}], snap.schema_json)
         return (v, affected) if return_count else v
 
+    def _visible_with_pos(
+        self, snap: "Snapshot", files: list[str] | None = None
+    ) -> DataFrame:
+        """VISIBLE rows of ``snap`` (DV already subtracted) carrying
+        their physical address as ``__f`` (file basename) and ``__p``
+        (row index) — the frame every DV writer matches against.
+        ``files`` restricts the scan (callers pass a stats/bloom-pruned
+        list); position fidelity is per-file, so pruning never shifts
+        an address."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        use = snap.files if files is None else files
+        paths = [os.path.join(self.path, f) for f in use]
+        reader = self.spark.read
+        if snap.schema_json:
+            reader = reader.schema(
+                StructType.fromJson(json.loads(snap.schema_json))
+            )
+        raw = reader.parquet(*paths)
+        return self._apply_dv(
+            raw.withColumn(
+                "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            ).withColumn("__p", F.col("_metadata.row_index")),
+            snap,
+        )
+
+    def commit_dv_delta(
+        self,
+        snap: "Snapshot",
+        adds: list[dict],
+        pos: DataFrame,
+        txn: dict[str, Any] | list[dict[str, Any]] | None = None,
+    ) -> tuple[int, int]:
+        """Commit staged ``adds`` plus a deletion-vector DELTA of
+        ``pos`` (file/pos of newly-deleted VISIBLE rows, disjoint from
+        the old store by construction) as ONE version on top of
+        ``snap``. Returns (version, dv_delta) where dv_delta is the
+        number of newly-deleted positions, read from parquet footers —
+        never a count job."""
+        old_rows = 0
+        if snap.dv_file:
+            old = self.spark.read.schema("file string, pos long").parquet(
+                os.path.join(self.path, snap.dv_file)
+            )
+            pos = pos.unionByName(old)
+            old_rows = self._dv_rows(snap.dv_file)
+        dv_name = f"dv-{uuid.uuid4().hex}"
+        pos.write.parquet(os.path.join(self.path, dv_name))
+        delta = self._dv_rows(dv_name) - old_rows
+        if delta == 0:
+            # no new deletions: keep the OLD store (don't swap in an
+            # identical copy) and commit only the adds (if any)
+            import shutil as _shutil
+
+            _shutil.rmtree(os.path.join(self.path, dv_name), ignore_errors=True)
+            v = self._commit(snap.version + 1, adds, snap.schema_json, txn=txn)
+            return v, 0
+        v = self._commit(
+            snap.version + 1, adds + [{"set_dv": dv_name}], snap.schema_json, txn=txn
+        )
+        return v, delta
+
     def dv_update_pays(self, condition: str) -> bool:
         """Metadata-only routing for conditional UPDATE (zero Spark
         jobs, mirrors ``_dv_feed_pays``): the DV path's second write
@@ -1099,33 +1162,19 @@ class TxnTable:
         if not files:
             v = self._commit(snap.version + 1, [], snap.schema_json)
             return (v, 0) if return_count else v
-        paths = [os.path.join(self.path, f) for f in files]
-        schema = (
-            StructType.fromJson(json.loads(snap.schema_json))
-            if snap.schema_json
-            else None
-        )
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        raw = reader.parquet(*paths)
-        cols = raw.columns
+        visible = self._visible_with_pos(snap, files)
+        cols = [c for c in visible.columns if c not in ("__f", "__p")]
         bad = set(sets) - set(cols)
         if bad:
             raise ValueError(f"update_where_dv: unknown columns {sorted(bad)}")
-        visible = self._apply_dv(
-            raw.withColumn(
-                "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-            ).withColumn("__p", F.col("_metadata.row_index")),
-            snap,
-        )
         matched = visible.filter(f"coalesce(({condition}), false)")
         # pass 1: the rewritten rows (SET against the pre-update row,
         # types re-pinned to the committed schema)
+        dtypes = {f.name: f.dataType for f in visible.schema.fields}
         new_rows = matched.select(
             *[
                 (
-                    F.expr(sets[c]).cast(raw.schema[c].dataType).alias(c)
+                    F.expr(sets[c]).cast(dtypes[c]).alias(c)
                     if c in sets
                     else F.col(c)
                 )
@@ -1136,26 +1185,7 @@ class TxnTable:
         # pass 2: the DV positions of the replaced rows (disjoint from
         # the old store — matching ran post-subtraction)
         pos = matched.select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
-        old_rows = 0
-        if snap.dv_file:
-            old = self.spark.read.schema("file string, pos long").parquet(
-                os.path.join(self.path, snap.dv_file)
-            )
-            pos = pos.unionByName(old)
-            old_rows = self._dv_rows(snap.dv_file)
-        dv_name = f"dv-{uuid.uuid4().hex}"
-        pos.write.parquet(os.path.join(self.path, dv_name))
-        affected = self._dv_rows(dv_name) - old_rows
-        if affected == 0 and not adds:
-            # nothing matched: no-op version, drop the empty DV copy
-            import shutil as _shutil
-
-            _shutil.rmtree(os.path.join(self.path, dv_name), ignore_errors=True)
-            v = self._commit(snap.version + 1, [], snap.schema_json)
-            return (v, 0) if return_count else v
-        v = self._commit(
-            snap.version + 1, adds + [{"set_dv": dv_name}], snap.schema_json
-        )
+        v, affected = self.commit_dv_delta(snap, adds, pos)
         return (v, affected) if return_count else v
 
     def stats_row_count(self, snap: "Snapshot | None" = None) -> int | None:

@@ -866,3 +866,60 @@ def test_sql_update_takes_dv_path_when_prunable(spark, cat):
     assert set(pre.files) <= set(cur.files)
     assert len(cur.files) > len(pre.files)
     assert cur.dv_file and cur.dv_file != pre.dv_file
+
+
+def test_sql_merge_dv_path_semantics(spark, cat, monkeypatch):
+    """Force the DV route: MERGE commits staged adds + a deletion
+    vector; untouched target rows never move (every pre-merge file
+    survives), clause order / cardinality / counts match the generic
+    path exactly."""
+    monkeypatch.setattr(sqldml, "MERGE_DV_MIN_ROWS", 0)
+    _mk(cat, spark, n=10)
+    src = spark.createDataFrame(
+        [(5, 555, "del"), (7, 777, "upd"), (40, 400, "new"), (41, 410, "new")],
+        "id long, v long, op string",
+    )
+    cat.create_table("updates", src)
+    out = cat.execute(
+        """
+        MERGE INTO t USING updates AS up ON t.id = up.id
+        WHEN MATCHED AND up.op = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = up.v, s = concat('m-', up.op)
+        WHEN NOT MATCHED AND up.op = 'new' THEN INSERT (id, v, s) VALUES (up.id, up.v, 'ins')
+        """
+    ).collect()[0]
+    assert out.affected_rows == 4  # 1 delete + 1 update + 2 inserts
+    rows = {r.id: (r.v, r.s) for r in cat.read("t").collect()}
+    assert 5 not in rows
+    assert rows[7] == (777, "m-upd")
+    assert rows[40] == (400, "ins") and rows[41] == (410, "ins")
+    assert rows[3] == (30, "row-3")
+    assert len(rows) == 9 + 2
+    # no table rewrite: every pre-merge file survives the commit
+    t = cat.txn("t")
+    cur = t.snapshot()
+    pre = t.snapshot(cur.version - 1)
+    assert set(pre.files) <= set(cur.files)
+    assert cur.dv_file
+
+
+def test_sql_merge_dv_path_cardinality_and_pure_delete(spark, cat, monkeypatch):
+    monkeypatch.setattr(sqldml, "MERGE_DV_MIN_ROWS", 0)
+    _mk(cat, spark, n=8)
+    dup = spark.createDataFrame([(1, 100), (1, 200)], "id long, v long")
+    dup.createOrReplaceTempView("dupsrc2")
+    with pytest.raises(ValueError, match="cardinality"):
+        cat.execute(
+            "MERGE INTO t USING (SELECT * FROM dupsrc2) AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+    # pure-delete merge: affected = deletions, from DV footers
+    spark.createDataFrame([(2,), (3,), (99,)], "id long").createOrReplaceTempView(
+        "delsrc"
+    )
+    out = cat.execute(
+        "MERGE INTO t USING (SELECT * FROM delsrc) AS s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE"
+    ).collect()[0]
+    assert out.affected_rows == 2
+    assert cat.read("t").count() == 6
