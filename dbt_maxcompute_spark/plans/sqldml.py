@@ -1642,8 +1642,17 @@ def _merge_dv_pays(t, src) -> bool:
         return False
     if not snap.files:
         return False
+    # session-settable threshold (a SET statement in a script scopes
+    # it per-statement through the hints machinery): lets operators
+    # force or disable the DV route without code changes
+    try:
+        min_rows = int(
+            t.spark.conf.get("spark.graft.merge.dvMinRows", str(MERGE_DV_MIN_ROWS))
+        )
+    except (TypeError, ValueError):
+        min_rows = MERGE_DV_MIN_ROWS
     rows = [(snap.stats.get(f) or {}).get("numRecords") for f in snap.files]
-    big = any(r is None for r in rows) or sum(rows) >= MERGE_DV_MIN_ROWS
+    big = any(r is None for r in rows) or sum(rows) >= min_rows
     if not big:
         return False
     return src.limit(MERGE_DV_MAX_SOURCE + 1).count() <= MERGE_DV_MAX_SOURCE

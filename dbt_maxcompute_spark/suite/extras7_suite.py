@@ -240,14 +240,94 @@ ORDER BY o_orderkey
 """
 
 
+def q_sql_merge_dv_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DV-based MERGE driven as PLAIN SQL: the session conf (scoped by
+    # the script's SET machinery) forces the stats route at this SF,
+    # so the merge commits staged adds + a deletion-vector delta — the
+    # no_rewrite column pins that EVERY pre-merge file survived the
+    # commit (untouched rows never moved). Clause semantics (ordered
+    # first-applicable DELETE/UPDATE/INSERT) are oracle-predicted from
+    # the simulated final state.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="mdv_wh_"))
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 6 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    cat.create_table("tgt", base, transactional=True, primary_keys=["o_orderkey"])
+    upd = (
+        base.filter((F.col("o_orderstatus") == "O") & (F.col("o_custkey") % 3 == 1))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("op", F.lit("upd"))
+    )
+    dele = base.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_custkey") % 3 == 2)
+    ).withColumn("op", F.lit("del"))
+    new = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 6 == 3) & (F.col("o_custkey") % 9 == 0))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .withColumn("op", F.lit("new"))
+    )
+    cat.create_table("src_batch", upd.unionByName(dele).unionByName(new))
+    pre = cat.txn("tgt").snapshot()
+    df, _hints, errors = cat.execute_script(
+        """
+        SET spark.graft.merge.dvMinRows=0;
+        MERGE INTO tgt USING src_batch AS up ON tgt.o_orderkey = up.o_orderkey
+        WHEN MATCHED AND up.op = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = up.o_totalprice
+        WHEN NOT MATCHED AND up.op = 'new' THEN INSERT
+            (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+            VALUES (up.o_orderkey, up.o_custkey, 'N', up.o_totalprice);
+        SELECT o_orderstatus AS status, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM tgt GROUP BY o_orderstatus ORDER BY status
+        """
+    )
+    if errors or df is None:
+        raise RuntimeError(f"merge-dv script failed: {errors}")
+    cur = cat.txn("tgt").snapshot()
+    no_rewrite = set(pre.files) <= set(cur.files) and bool(cur.dv_file)
+    return df.withColumn("no_rewrite", F.lit(no_rewrite))
+
+
+ORACLE_SQL_MERGE_DV = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 6 = 0
+),
+final AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'O' AND o_custkey % 3 = 1
+              THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice
+  FROM base
+  WHERE NOT (o_orderstatus = 'F' AND o_custkey % 3 = 2)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 6 = 3 AND o_custkey % 9 = 0
+)
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       TRUE AS no_rewrite
+FROM final GROUP BY o_orderstatus ORDER BY status
+"""
+
+
 QUERIES = {
     "txn_change_feed_keyed": q_txn_change_feed_keyed,
     "mv_minmax_maintenance": q_mv_minmax_maintenance,
     "txn_bloom_skipping": q_txn_bloom_skipping,
+    "sql_merge_dv_script": q_sql_merge_dv_script,
 }
 
 ORACLES = {
     "txn_change_feed_keyed": ORACLE_TXN_CHANGE_FEED_KEYED,
     "mv_minmax_maintenance": ORACLE_MV_MINMAX_MAINTENANCE,
     "txn_bloom_skipping": ORACLE_TXN_BLOOM_SKIPPING,
+    "sql_merge_dv_script": ORACLE_SQL_MERGE_DV,
 }
