@@ -146,6 +146,17 @@ def _has_data_files(path: str) -> bool:
     return False
 
 
+def _bloom_cols_from_props(meta: "TableMeta") -> list[str] | None:
+    """The ``bloom_filter_columns`` table property (comma-separated),
+    the user-facing switch for per-file equality blooms — same surface
+    shape as Delta's bloom-filter index properties. None (not []) when
+    unset, so writer instances fall back to the table's own sidecar."""
+    raw = (meta.tblproperties or {}).get("bloom_filter_columns")
+    if not raw:
+        return None
+    return [c.strip() for c in str(raw).split(",") if c.strip()]
+
+
 def _valid_ident(name: str) -> None:
     for part in name.split("."):
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", part):
@@ -353,7 +364,9 @@ class EngineCatalog:
             from dbt_maxcompute_spark.txnlog import TxnTable
 
             os.makedirs(path, exist_ok=True)
-            TxnTable(self.spark, path).create(out)
+            TxnTable(
+                self.spark, path, bloom_cols=_bloom_cols_from_props(meta)
+            ).create(out)
         elif nn_cols:
             # stage -> validate staged files -> swap (rollback parity:
             # the old relation survives a constraint violation)
@@ -508,7 +521,11 @@ class EngineCatalog:
         meta = self.meta(name)
         if not meta.transactional:
             raise ValueError(f"table {name} is not transactional")
-        t = TxnTable(self.spark, self.table_dir(name))
+        t = TxnTable(
+            self.spark,
+            self.table_dir(name),
+            bloom_cols=_bloom_cols_from_props(meta),
+        )
         # every commit through this handle is a catalog event
         t.on_commit = lambda _v, _n=name: self.mark_dirty(_n)
         return t

@@ -142,7 +142,10 @@ def rewrite_time_travel(catalog: "EngineCatalog", sql: str) -> str:
     'iso'`` references with temp views bound to the pinned snapshot
     (Spark's own v2 syntax, usable here on any transactional catalog
     table). Timestamps resolve to the newest version committed at or
-    before the given instant — exactly Delta's rule."""
+    before the given instant — exactly Delta's rule. Also resolves the
+    ``table_changes('t', v0[, v1])`` TVF (Delta's CDF read surface) to
+    the txn log's net change feed."""
+    sql = _rewrite_table_changes(catalog, sql)
     masked = mask_sql(sql)
     out, last = [], 0
     for m in re.finditer(_TT_RE, masked, re.IGNORECASE):
@@ -156,6 +159,36 @@ def rewrite_time_travel(catalog: "EngineCatalog", sql: str) -> str:
         out.append(sql[last:m.start()])
         out.append(view)
         last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _rewrite_table_changes(catalog: "EngineCatalog", sql: str) -> str:
+    """``table_changes('t', v0[, v1])`` → a temp view over
+    ``TxnTable.change_feed(v0, v1)`` (rows + ``_change_type``), the
+    Delta CDF TVF shape. Scanned on the MASKED text so the function
+    name inside a string literal never rewrites; unparseable argument
+    lists fall through to Spark (which reports the unknown TVF)."""
+    masked = mask_sql(sql)
+    out, last = [], 0
+    for m in re.finditer(r"\btable_changes\s*\(", masked, re.IGNORECASE):
+        close = masked.find(")", m.end())
+        if close < 0:
+            continue
+        args = [a.strip() for a in sql[m.end():close].split(",")]
+        if len(args) not in (2, 3) or not args[0][:1] in "'\"":
+            continue
+        tbl = args[0].strip("'\"")
+        try:
+            v0 = int(args[1])
+            v1 = int(args[2]) if len(args) == 3 else None
+        except ValueError:
+            continue
+        view = f"__tc_{tbl.replace('.', '_')}_{v0}_{v1 if v1 is not None else 'l'}"
+        catalog.txn(tbl).change_feed(v0, v1).createOrReplaceTempView(view)
+        out.append(sql[last:m.start()])
+        out.append(view)
+        last = close + 1
     out.append(sql[last:])
     return "".join(out)
 

@@ -923,3 +923,40 @@ def test_sql_merge_dv_path_cardinality_and_pure_delete(spark, cat, monkeypatch):
     ).collect()[0]
     assert out.affected_rows == 2
     assert cat.read("t").count() == 6
+
+
+def test_table_changes_tvf_and_bloom_tblproperty(spark, cat):
+    """table_changes('t', v0[, v1]) resolves to the txn change feed
+    through plain SQL; bloom_filter_columns in TBLPROPERTIES switches
+    on per-file blooms for every writer handle of the table."""
+    df = spark.range(8).select(
+        F.col("id"), (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    cat.create_table(
+        "cf", df, transactional=True, primary_keys=["id"],
+        tblproperties={"bloom_filter_columns": "v"},
+    )
+    cat.execute("DELETE FROM cf WHERE id >= 6")
+    cat.execute("INSERT INTO cf VALUES (100, 1000, 'new')")
+    rows = {
+        (r.id, r._change_type)
+        for r in cat.execute("SELECT * FROM table_changes('cf', 0)").collect()
+    }
+    assert rows == {(6, "delete"), (7, "delete"), (100, "insert")}
+    # bounded interval + aggregation over the feed
+    n = cat.execute(
+        "SELECT count(*) AS n FROM table_changes('cf', 0, 1) "
+        "WHERE _change_type = 'delete'"
+    ).collect()[0].n
+    assert n == 2
+    # a string literal containing the TVF name must NOT rewrite
+    lit = cat.execute(
+        "SELECT 'table_changes(''cf'', 0)' AS t0"
+    ).collect()[0].t0
+    assert lit == "table_changes('cf', 0)"
+    # the tblproperty wired blooms into the writer handle
+    t = cat.txn("cf")
+    assert t.bloom_cols == ["v"]
+    snap = t.snapshot()
+    assert any((snap.stats.get(f) or {}).get("bloomFile") for f in snap.files)
