@@ -318,11 +318,81 @@ FROM final GROUP BY o_orderstatus ORDER BY status
 """
 
 
+def q_sql_cdf_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delta's CDF read surface as PLAIN SQL: table_changes('t', v0)
+    # resolves to the txn log's net change feed inside an ordinary
+    # SELECT (joinable, aggregable). The script creates the table with
+    # bloom_filter_columns (the property-driven bloom wiring), runs a
+    # DV delete + key upsert + append, then aggregates the feed per
+    # change type — the oracle predicts the net feed from the
+    # simulated endpoint states.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="tvf_wh_"))
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 8 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    cat.create_table(
+        "cf",
+        base,
+        transactional=True,
+        primary_keys=["o_orderkey"],
+        tblproperties={"bloom_filter_columns": "o_orderkey"},
+    )
+    t = cat.txn("cf")
+    t.delete_where_dv("o_custkey % 3 = 0")
+    upd = (
+        base.filter(F.col("o_custkey") % 3 != 0)
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    t.delete_insert_dv(upd, ["o_orderkey"])
+    df = cat.execute(
+        """
+        SELECT _change_type AS change_type, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM table_changes('cf', 0)
+        GROUP BY _change_type ORDER BY change_type
+        """
+    )
+    return df
+
+
+ORACLE_SQL_CDF_TVF = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 8 = 0
+),
+final AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_custkey % 3 <> 0
+),
+ins AS (SELECT * FROM final EXCEPT ALL SELECT * FROM base),
+del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM final)
+SELECT change_type, n, total FROM (
+  SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+  FROM ins
+  UNION ALL
+  SELECT 'delete', CAST(count(*) AS BIGINT),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+  FROM del
+) ORDER BY change_type
+"""
+
+
 QUERIES = {
     "txn_change_feed_keyed": q_txn_change_feed_keyed,
     "mv_minmax_maintenance": q_mv_minmax_maintenance,
     "txn_bloom_skipping": q_txn_bloom_skipping,
     "sql_merge_dv_script": q_sql_merge_dv_script,
+    "sql_cdf_tvf": q_sql_cdf_tvf,
 }
 
 ORACLES = {
@@ -330,4 +400,5 @@ ORACLES = {
     "mv_minmax_maintenance": ORACLE_MV_MINMAX_MAINTENANCE,
     "txn_bloom_skipping": ORACLE_TXN_BLOOM_SKIPPING,
     "sql_merge_dv_script": ORACLE_SQL_MERGE_DV,
+    "sql_cdf_tvf": ORACLE_SQL_CDF_TVF,
 }
