@@ -945,3 +945,17 @@ def test_update_where_dv_set_sees_pre_update_row(spark, t):
     t.update_where_dv({"a": "b", "b": "a"}, "id = 1")
     r = t.read().collect()[0]
     assert (r["a"], r["b"]) == (100, 10)  # swapped, not b,b
+
+
+def test_change_feed_keyed_key_only_table(spark, t):
+    """All columns are keys: updates are impossible (same key = same
+    row, which nets out), classification is pure insert/delete."""
+    t.create(spark.range(5).select("id"))
+    v0 = t.latest_version()
+    t.delete_where_dv("id >= 3")
+    t.append(spark.range(10, 12).select("id"))
+    rows = sorted(
+        (r["id"], r["_change_type"])
+        for r in t.change_feed_keyed(["id"], v0).collect()
+    )
+    assert rows == [(3, "delete"), (4, "delete"), (10, "insert"), (11, "insert")]
