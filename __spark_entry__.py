@@ -53,12 +53,13 @@ _SUITES = [
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
 # FIRST 50 ``queries()`` entries only. Round 7 continues the freshness
-# rotation: the 7 NEW round-7 queries (never driver-checked) lead,
+# rotation: the 8 NEW round-7 queries (never driver-checked) lead,
 # then the two r3-stale rows the round-6 verdict queued
 # (txn_time_travel, webdataset_roundtrip), then the r4 block in name
 # order — computed from the union of CORRECTNESS_r01..r06 hard greens.
 _PRIORITY = [
     # new in round 7 — never driver-checked
+    "stream_cdf_pipeline",
     "sql_cdf_tvf",
     "sql_merge_dv_script",
     "txn_bloom_skipping",

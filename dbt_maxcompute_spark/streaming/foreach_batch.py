@@ -124,43 +124,93 @@ def stream_upsert_txn_table(
     """
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
+        table.idempotent_upsert(
+            _latest_per_key(batch, keys, seq_col), keys, app_id, batch_id
+        )
 
-        if seq_col is not None:
-            # highest seq per key wins; monotonic id only breaks exact
-            # seq ties (same-partition later row wins — best available)
-            w = Window.partitionBy(*keys).orderBy(
-                F.col(seq_col).desc_nulls_last(),
-                F.monotonically_increasing_id().desc(),
-            )
-            latest = (
-                batch.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-        else:
-            # same single pass: the per-key count rides the dedup window
-            # and converts an ambiguous batch into an error in-plan
-            w = Window.partitionBy(*keys)
-            latest = (
-                batch.withColumn("__kn", F.count(F.lit(1)).over(w))
-                .withColumn(
-                    "__guard",
-                    F.when(
-                        F.col("__kn") > 1,
-                        F.raise_error(F.lit(
-                            "stream_upsert_txn_table: micro-batch has "
-                            "multiple rows per key and no seq_col — "
-                            "within-batch order is undefined; pass "
-                            "seq_col (event time / offset) or pre-dedup"
-                        )),
-                    ),
-                )
-                .filter(F.col("__guard").isNull())
-                .drop("__kn", "__guard")
-            )
-        table.idempotent_upsert(latest, keys, app_id, batch_id)
+    writer = stream.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _latest_per_key(batch: DataFrame, keys: list[str], seq_col: str | None):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if seq_col is not None:
+        # highest seq per key wins; monotonic id only breaks exact
+        # seq ties (same-partition later row wins — best available)
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(seq_col).desc_nulls_last(),
+            F.monotonically_increasing_id().desc(),
+        )
+        return (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    # same single pass: the per-key count rides the dedup window
+    # and converts an ambiguous batch into an error in-plan
+    w = Window.partitionBy(*keys)
+    return (
+        batch.withColumn("__kn", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__guard",
+            F.when(
+                F.col("__kn") > 1,
+                F.raise_error(F.lit(
+                    "stream_upsert_txn_table: micro-batch has "
+                    "multiple rows per key and no seq_col — "
+                    "within-batch order is undefined; pass "
+                    "seq_col (event time / offset) or pre-dedup"
+                )),
+            ),
+        )
+        .filter(F.col("__guard").isNull())
+        .drop("__kn", "__guard")
+    )
+
+
+def stream_cdc_to_rollup(
+    stream: DataFrame,
+    table,
+    keys: list[str],
+    rollup,
+    rollup_keys: list[str],
+    sums: dict[str, str],
+    app_id: str,
+    count_col: str = "n",
+    seq_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC → transaction table → INCREMENTAL ROLLUP, end to
+    end exactly-once. Each micro-batch (a) key-upserts into ``table``
+    via :meth:`TxnTable.idempotent_upsert` (deletion vector + adds +
+    ``(app_id, batch_id)`` marker in ONE commit) and (b) advances the
+    downstream ``rollup`` by the source's change-feed interval via
+    :func:`sync_rollup_exactly_once` (the cursor rides the rollup's own
+    commit, at |rollup| + |changes| cost — never the table). A replayed
+    batch applies NOTHING at either stage; a crash between (a) and (b)
+    is healed by the NEXT batch's sync — the rollup lags by at most one
+    interval and never double-counts. This is the 100 TB CDC-pipeline
+    shape: raw stream in, maintained aggregate out, no full rebuilds
+    anywhere."""
+    from dbt_maxcompute_spark.materializations.materialized_view import (
+        sync_rollup_exactly_once,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        table.idempotent_upsert(
+            _latest_per_key(batch, keys, seq_col), keys, app_id, batch_id
+        )
+        sync_rollup_exactly_once(
+            table, rollup, rollup_keys, sums, count_col,
+            app_id=f"{app_id}_rollup",
+        )
 
     writer = stream.writeStream.foreachBatch(apply_batch)
     if checkpoint_dir:

@@ -387,12 +387,103 @@ SELECT change_type, n, total FROM (
 """
 
 
+def q_stream_cdf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB CDC-pipeline shape end to end: a raw keyed stream
+    # upserts into a transaction table (DV + adds + batch marker, ONE
+    # commit per trigger) and the SAME trigger advances a downstream
+    # rollup by the table's change-feed interval — exactly-once at
+    # both stages. Two file-source micro-batches (mtime-ordered,
+    # maxFilesPerTrigger=1): inserts, then overlapping updates + new
+    # keys. Invariants returned as columns: a replayed sync applies
+    # nothing; the rollup equals a full recompute of the final table.
+    import os
+    import tempfile
+    import time as _time
+
+    from dbt_maxcompute_spark.materializations.materialized_view import (
+        sync_rollup_exactly_once,
+    )
+    from dbt_maxcompute_spark.streaming.foreach_batch import stream_cdc_to_rollup
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    base = tempfile.mkdtemp(prefix="cdfpipe_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    b0 = ev.filter(F.col("event_id") % 3 == 0)
+    b1 = (
+        b0.filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") * 3)
+        .unionByName(ev.filter(F.col("event_id") % 3 == 1))
+    )
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    p0, p1 = os.path.join(src_dir, "b0.parquet"), os.path.join(src_dir, "b1.parquet")
+    b0.coalesce(1).write.parquet(p0)
+    b1.coalesce(1).write.parquet(p1)
+    now = _time.time()
+    for root, age in ((p0, 20.0), (p1, 10.0)):  # b0 strictly older
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (now - age, now - age))
+        os.utime(root, (now - age, now - age))
+    t = TxnTable(spark, os.path.join(base, "tbl"))
+    t.create(b0.limit(0))
+    rollup = TxnTable(spark, os.path.join(base, "rollup"))
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    q = stream_cdc_to_rollup(
+        stream, t, ["event_id"], rollup, ["event_type"],
+        {"sum_val": "value"}, app_id="cdf_pipe",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    replay_noop = (
+        sync_rollup_exactly_once(
+            t, rollup, ["event_type"], {"sum_val": "value"}, "n",
+            app_id="cdf_pipe_rollup",
+        )
+        == 0
+    )
+    recompute = t.read().groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("sum_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    matches = rollup.read().exceptAll(recompute).unionAll(
+        recompute.exceptAll(rollup.read())
+    ).limit(1).count() == 0
+    return rollup.read().select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("sum_val").cast("double").alias("total_value"),
+        F.lit(bool(replay_noop and matches)).alias("exactly_once"),
+    ).orderBy("event_type")
+
+
+ORACLE_STREAM_CDF_PIPELINE = """
+WITH final AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 6 = 0 THEN value * 3 ELSE value END AS value
+  FROM events WHERE event_id % 3 = 0
+  UNION ALL
+  SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 1
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+       TRUE AS exactly_once
+FROM final GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "txn_change_feed_keyed": q_txn_change_feed_keyed,
     "mv_minmax_maintenance": q_mv_minmax_maintenance,
     "txn_bloom_skipping": q_txn_bloom_skipping,
     "sql_merge_dv_script": q_sql_merge_dv_script,
     "sql_cdf_tvf": q_sql_cdf_tvf,
+    "stream_cdf_pipeline": q_stream_cdf_pipeline,
 }
 
 ORACLES = {
@@ -401,4 +492,5 @@ ORACLES = {
     "txn_bloom_skipping": ORACLE_TXN_BLOOM_SKIPPING,
     "sql_merge_dv_script": ORACLE_SQL_MERGE_DV,
     "sql_cdf_tvf": ORACLE_SQL_CDF_TVF,
+    "stream_cdf_pipeline": ORACLE_STREAM_CDF_PIPELINE,
 }
