@@ -1515,7 +1515,22 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
         v = t.latest_version()
         if dv_route:
             snap = t.snapshot(v)
-            tgt = t._visible_with_pos(snap)
+            # dynamic file pruning: with an extractable equi-join key
+            # and a bounded source key set, scan ONLY the target files
+            # that may hold a matching key (stats range + bloom proof —
+            # SOUND, so a source row matching a pruned file is
+            # impossible and NOT-MATCHED classification stays exact)
+            files = None
+            pair = _merge_equi_key(m)
+            if pair is not None and pair[1] in src.columns:
+                key_rows = (
+                    src.select(pair[1]).distinct().limit(100_001).collect()
+                )
+                if len(key_rows) <= 100_000:
+                    files = t.files_matching_keys(
+                        snap, pair[0], [r[0] for r in key_rows]
+                    )
+            tgt = t._visible_with_pos(snap, files)
             out_cols = [c for c in tgt.columns if c not in ("__f", "__p")]
         else:
             tgt = t.read(v)
@@ -1660,6 +1675,36 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
 
 MERGE_DV_MIN_ROWS = 100_000
 MERGE_DV_MAX_SOURCE = 1_000_000
+
+_EQ_PAIR_RX = re.compile(
+    r"^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*=\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$"
+)
+
+
+def _merge_equi_key(m: "MergeStmt") -> tuple[str, str] | None:
+    """(target_col, source_col) of ONE equi-join conjunct in the MERGE
+    ON condition, or None. Conservative: parens / OR / NOT anywhere →
+    None; only alias-qualified `a.c1 = b.c2` conjuncts are considered,
+    resolved against the statement's target/source aliases. Used only
+    for SOUND file pruning — a miss just means no pruning."""
+    masked = mask_sql(m.on)
+    if "(" in masked or re.search(r"\bor\b|\bnot\b", masked, re.IGNORECASE):
+        return None
+    t_names = {m.target_alias, m.target, m.target.split(".")[-1]}
+    s_names = {m.source_alias}
+    if not m.source_is_query:
+        s_names.add(m.source_sql)
+        s_names.add(m.source_sql.split(".")[-1])
+    for part in re.split(r"\band\b", masked, flags=re.IGNORECASE):
+        mm = _EQ_PAIR_RX.match(part)
+        if not mm:
+            continue
+        a1, c1, a2, c2 = mm.groups()
+        if a1 in t_names and a2 in s_names:
+            return (c1, c2)
+        if a2 in t_names and a1 in s_names:
+            return (c2, c1)
+    return None
 
 
 def _merge_dv_pays(t, src) -> bool:

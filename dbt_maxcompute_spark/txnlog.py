@@ -1036,6 +1036,83 @@ class TxnTable:
         v = self._commit(snap.version + 1, [{"set_dv": dv_name}], snap.schema_json)
         return (v, affected) if return_count else v
 
+    def files_matching_keys(
+        self, snap: "Snapshot", col: str, values: list
+    ) -> list[str]:
+        """SOUND dynamic file pruning for an equi-join key set: the
+        files of ``snap`` that may contain ANY of ``values`` in
+        ``col``. A dropped file PROVABLY holds none of the keys —
+        logged min/max range check first (sorted probe, O(log n) per
+        file), then vectorized bloom membership where a sidecar exists
+        (blooms have no false negatives, so a present key always
+        keeps its file). Unknown stats keep the file. This is what
+        lets a MERGE of a small batch into a huge table scan only the
+        files the batch's keys can live in."""
+        import bisect
+
+        vals = sorted(v for v in values if v is not None)
+        if not vals:
+            return []
+        out = []
+        for f in snap.files:
+            st = snap.stats.get(f) or {}
+            mn = (st.get("min") or {}).get(col)
+            mx = (st.get("max") or {}).get(col)
+            if mn is not None and mx is not None:
+                try:
+                    i = bisect.bisect_left(vals, mn)
+                    if i >= len(vals) or vals[i] > mx:
+                        continue  # no key can be inside [mn, mx]
+                except TypeError:
+                    pass  # incomparable types: keep
+            if not self._bloom_any_hit(snap, f, col, vals):
+                continue
+            out.append(f)
+        return out
+
+    def _bloom_any_hit(
+        self, snap: "Snapshot", f: str, col: str, vals: list
+    ) -> bool:
+        """True unless the file's bloom PROVES none of ``vals`` is
+        present (vectorized: all k probe bits checked for the whole
+        value array at once)."""
+        import numpy as np
+
+        bf = (snap.stats.get(f) or {}).get("bloomFile")
+        if not bf:
+            return True
+        meta = self._bloom_cache.get(bf)
+        if meta is None:
+            try:
+                with open(os.path.join(self.path, bf)) as fh:
+                    raw = json.load(fh)
+                import base64
+
+                meta = {
+                    "m": raw["m"],
+                    "cols": {
+                        c: (base64.b64decode(d["b"]), d["t"])
+                        for c, d in raw["cols"].items()
+                    },
+                }
+            except (OSError, ValueError, KeyError):
+                meta = {"m": 0, "cols": {}}
+            self._bloom_cache[bf] = meta
+        ent = meta["cols"].get(col)
+        if ent is None or not meta["m"]:
+            return True
+        bits, fam = ent
+        probes = [_bloom_normalize(v, fam) for v in vals]
+        probes = [p for p in probes if p is not None]
+        if len(probes) != len(vals):
+            return True  # any un-normalizable value: cannot prove absence
+        arr = np.frombuffer(bits, dtype=np.uint8)
+        hit = np.ones(len(probes), dtype=bool)
+        for idx in _bloom_indices(_bloom_hash64(probes), meta["m"]):
+            i = idx.astype(np.int64)
+            hit &= ((arr[i >> 3] >> (i & 7)) & 1).astype(bool)
+        return bool(hit.any())
+
     def _visible_with_pos(
         self, snap: "Snapshot", files: list[str] | None = None
     ) -> DataFrame:
@@ -1049,6 +1126,12 @@ class TxnTable:
         from pyspark.sql.types import StructType
 
         use = snap.files if files is None else files
+        if not use:
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            empty = self.spark.createDataFrame([], schema)
+            return empty.withColumn("__f", F.lit(None).cast("string")).withColumn(
+                "__p", F.lit(None).cast("long")
+            )
         paths = [os.path.join(self.path, f) for f in use]
         reader = self.spark.read
         if snap.schema_json:

@@ -142,3 +142,59 @@ def test_delete_where_dv_prunes_scan_and_stays_correct(spark, tmp_path):
     assert affected2 == 0 and v2 == v + 1
     assert t.snapshot().dv_file == snap_before.dv_file  # no new DV store
     assert t.read().count() == before - 1
+
+
+def test_files_matching_keys_range_and_bloom(spark, tmp_path):
+    # disjoint-range files on id; scattered v with blooms
+    t = _mk(spark, tmp_path, bloom_cols=("v",))
+    snap = t.snapshot()
+    # range pruning on id: keys living in one file keep exactly it
+    kept = t.files_matching_keys(snap, "id", [405, 410])
+    assert len(kept) == 1
+    assert t.files_matching_keys(snap, "id", [99999]) == []
+    # bloom pruning on scattered v: a present value keeps >=1 file
+    # (no false negatives), an absent value keeps almost none
+    present = (777 * 2654435761) % 1000003
+    kept_v = t.files_matching_keys(snap, "v", [present])
+    assert 1 <= len(kept_v) < 8
+    # nulls never match
+    assert t.files_matching_keys(snap, "id", [None]) == []
+
+
+def test_merge_dv_dynamic_file_pruning_is_sound(spark, tmp_path):
+    """Forced DV merge on a disjoint-range target: matched updates,
+    unmatched inserts, and untouched rows all come out exactly right
+    when the target scan is pruned to the key-hit files."""
+    import pytest as _pytest  # noqa: F401
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+    from dbt_maxcompute_spark.plans import sqldml
+
+    cat = EngineCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    )
+    cat.create_table("big", df, transactional=True, primary_keys=["id"])
+    t = cat.txn("big")
+    # three more disjoint-range files
+    for lo in (300, 600, 900):
+        cat.execute(
+            f"INSERT INTO big SELECT id, id * 10 AS v FROM RANGE({lo}, {lo + 300})"
+        )
+    spark.createDataFrame(
+        [(50, 1), (950, 2), (5000, 3)], "id long, v long"
+    ).createOrReplaceTempView("mbatch")
+    old_min = sqldml.MERGE_DV_MIN_ROWS
+    sqldml.MERGE_DV_MIN_ROWS = 0
+    try:
+        out = cat.execute(
+            "MERGE INTO big USING (SELECT * FROM mbatch) AS s ON big.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+        ).collect()[0]
+    finally:
+        sqldml.MERGE_DV_MIN_ROWS = old_min
+    assert out.affected_rows == 3  # 2 updates + 1 insert
+    got = {r.id: r.v for r in cat.read("big").filter("id in (50, 950, 5000, 51)").collect()}
+    assert got == {50: 1, 950: 2, 5000: 3, 51: 510}
+    assert cat.read("big").count() == 1201
