@@ -103,6 +103,14 @@ def main() -> None:
             pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Emit the queries dict SLOWEST-FIRST (failures first): the driver
+    # stores only a truncated prefix of this line, so the ordering
+    # guarantees the queries that matter — failures and the expensive
+    # tail — are always inside the stored window (round-7 verdict,
+    # "What's wrong" #2).
+    timings = dict(
+        sorted(timings.items(), key=lambda kv: (kv[1] >= 0, -kv[1], kv[0]))
+    )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
