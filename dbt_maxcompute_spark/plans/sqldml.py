@@ -166,9 +166,26 @@ def rewrite_time_travel(catalog: "EngineCatalog", sql: str) -> str:
 def _rewrite_table_changes(catalog: "EngineCatalog", sql: str) -> str:
     """``table_changes('t', v0[, v1])`` → a temp view over
     ``TxnTable.change_feed(v0, v1)`` (rows + ``_change_type``), the
-    Delta CDF TVF shape. Scanned on the MASKED text so the function
-    name inside a string literal never rewrites; unparseable argument
+    Delta CDF TVF shape. Each bound is either an integer VERSION or a
+    quoted TIMESTAMP literal (round-8: Delta's CDF surface accepts
+    both); a timestamp resolves against the txn log's commit
+    timestamps with the SAME rule as ``FOR TIMESTAMP AS OF`` — the
+    newest version committed at or before the instant — so
+    ``table_changes('t', '<ts>')`` reads "changes since the snapshot
+    as of <ts>". Scanned on the MASKED text so the function name
+    inside a string literal never rewrites; unparseable argument
     lists fall through to Spark (which reports the unknown TVF)."""
+
+    def _bound(text: str) -> int | None:
+        text = text.strip()
+        try:
+            return int(text)
+        except ValueError:
+            pass
+        if len(text) >= 2 and text[0] in "'\"" and text[-1] == text[0]:
+            return _version_at_timestamp(catalog, tbl, text[1:-1])
+        return None
+
     masked = mask_sql(sql)
     out, last = [], 0
     for m in re.finditer(r"\btable_changes\s*\(", masked, re.IGNORECASE):
@@ -179,10 +196,9 @@ def _rewrite_table_changes(catalog: "EngineCatalog", sql: str) -> str:
         if len(args) not in (2, 3) or not args[0][:1] in "'\"":
             continue
         tbl = args[0].strip("'\"")
-        try:
-            v0 = int(args[1])
-            v1 = int(args[2]) if len(args) == 3 else None
-        except ValueError:
+        v0 = _bound(args[1])
+        v1 = _bound(args[2]) if len(args) == 3 else None
+        if v0 is None or (len(args) == 3 and v1 is None):
             continue
         view = f"__tc_{tbl.replace('.', '_')}_{v0}_{v1 if v1 is not None else 'l'}"
         catalog.txn(tbl).change_feed(v0, v1).createOrReplaceTempView(view)

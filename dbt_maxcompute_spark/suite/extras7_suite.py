@@ -359,7 +359,35 @@ def q_sql_cdf_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY _change_type ORDER BY change_type
         """
     )
-    return df
+    # round-8: the TIMESTAMP-bound form (Delta's CDF surface accepts
+    # both) — a timestamp between the v0 and v1 commits resolves to
+    # version 0 under the AS-OF rule, so the feed is identical to the
+    # version form above; pinned as a column via one signed-count
+    # comparison (each side evaluated once).
+    from datetime import datetime, timezone
+
+    hist = {e["version"]: e["committed_at"] for e in t.history()}
+    ts_mid = (hist[0] + hist[1]) / 2.0
+    ts_lit = datetime.fromtimestamp(ts_mid, timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f+00:00"
+    )
+    df_ts = cat.execute(
+        f"""
+        SELECT _change_type AS change_type, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM table_changes('cf', '{ts_lit}')
+        GROUP BY _change_type
+        """
+    )
+    n_mismatch = (
+        df.withColumn("__s", F.lit(1))
+        .unionByName(df_ts.withColumn("__s", F.lit(-1)))
+        .groupBy("change_type", "n", "total")
+        .agg(F.sum("__s").alias("__net"))
+        .filter(F.col("__net") != 0)
+        .count()
+    )
+    return df.withColumn("ts_form_matches", F.lit(n_mismatch == 0))
 
 
 ORACLE_SQL_CDF_TVF = """
@@ -375,7 +403,7 @@ final AS (
 ),
 ins AS (SELECT * FROM final EXCEPT ALL SELECT * FROM base),
 del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM final)
-SELECT change_type, n, total FROM (
+SELECT change_type, n, total, TRUE AS ts_form_matches FROM (
   SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
   FROM ins

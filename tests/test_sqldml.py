@@ -960,3 +960,51 @@ def test_table_changes_tvf_and_bloom_tblproperty(spark, cat):
     assert t.bloom_cols == ["v"]
     snap = t.snapshot()
     assert any((snap.stats.get(f) or {}).get("bloomFile") for f in snap.files)
+
+
+def test_table_changes_tvf_timestamp_bounds(spark, cat):
+    """Round-8: table_changes accepts quoted TIMESTAMP bounds, resolved
+    like FOR TIMESTAMP AS OF (newest version committed at or before) —
+    'changes since the snapshot as of <ts>'. Mixed version/timestamp
+    bounds work; a pre-table timestamp is a statement error."""
+    from datetime import datetime, timezone
+
+    import pytest
+
+    df = spark.range(8).select(
+        F.col("id"), (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    cat.create_table("cft", df, transactional=True, primary_keys=["id"])
+    cat.execute("DELETE FROM cft WHERE id >= 6")          # v1
+    cat.execute("INSERT INTO cft VALUES (100, 1000, 'new')")  # v2
+    hist = {e["version"]: e["committed_at"] for e in cat.txn("cft").history()}
+
+    def lit(epoch: float) -> str:
+        return datetime.fromtimestamp(epoch, timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S.%f+00:00"
+        )
+
+    # ts between v0 and v1 commits → start snapshot v0: full feed
+    t0 = lit((hist[0] + hist[1]) / 2.0)
+    rows = {
+        (r.id, r._change_type)
+        for r in cat.execute(
+            f"SELECT * FROM table_changes('cft', '{t0}')"
+        ).collect()
+    }
+    assert rows == {(6, "delete"), (7, "delete"), (100, "insert")}
+    # mixed bounds: version start, timestamp end pinned at v1
+    t1 = lit((hist[1] + hist[2]) / 2.0)
+    rows = {
+        (r.id, r._change_type)
+        for r in cat.execute(
+            f"SELECT * FROM table_changes('cft', 0, '{t1}')"
+        ).collect()
+    }
+    assert rows == {(6, "delete"), (7, "delete")}
+    # a timestamp before the first commit resolves to no version
+    with pytest.raises(ValueError, match="no version"):
+        cat.execute(
+            "SELECT * FROM table_changes('cft', '1990-01-01T00:00:00+00:00')"
+        )
