@@ -172,7 +172,29 @@ def q_sql_ddl_statement_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"ddl script failed: {errors}")
     meta = cat.meta("fact")
     doc = f"{meta.comment}|{meta.column_comments.get('price')}"
-    return df.withColumn("doc", F.lit(doc)).orderBy("src")
+    # round-8 statement routing: schema DDL + listing/introspection
+    # forms resolve against the ENGINE catalog (impl.py:217-248,
+    # 250-297) — results folded into a deterministic literal column.
+    cat.execute("CREATE SCHEMA IF NOT EXISTS aux")
+    facts = ",".join(
+        r.table_name for r in cat.execute("SHOW TABLES LIKE 'fact%'").collect()
+    )
+    schemas = ",".join(
+        r.schema_name for r in cat.execute("SHOW SCHEMAS LIKE 'au_'").collect()
+    )
+    price_comment = {
+        r.col_name: r.comment for r in cat.execute("DESCRIBE fact").collect()
+    }["price"]
+    cat.execute("DROP SCHEMA aux CASCADE")
+    after = ",".join(
+        r.schema_name for r in cat.execute("SHOW SCHEMAS LIKE 'au_'").collect()
+    ) or "absent"
+    ddl8 = f"{facts}|{schemas}|{price_comment}|{after}"
+    return (
+        df.withColumn("doc", F.lit(doc))
+        .withColumn("ddl8", F.lit(ddl8))
+        .orderBy("src")
+    )
 
 
 ORACLE_SQL_DDL_STATEMENT = """
@@ -186,17 +208,20 @@ fact2 AS (
 )
 SELECT 'archive' AS src, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS total,
-       'facts|total price' AS doc
+       'facts|total price' AS doc,
+       'fact,fact_archive,fact_f|aux|total price|absent' AS ddl8
 FROM fact1
 UNION ALL
 SELECT 'mv_f', CAST(count(*) AS BIGINT),
        CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE),
-       'facts|total price'
+       'facts|total price',
+       'fact,fact_archive,fact_f|aux|total price|absent'
 FROM fact2 WHERE status = 'F'
 UNION ALL
 SELECT 'view_f', CAST(count(*) AS BIGINT),
        CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE),
-       'facts|total price'
+       'facts|total price',
+       'fact,fact_archive,fact_f|aux|total price|absent'
 FROM fact2 WHERE status = 'F'
 ORDER BY src
 """

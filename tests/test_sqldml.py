@@ -1008,3 +1008,69 @@ def test_table_changes_tvf_timestamp_bounds(spark, cat):
         cat.execute(
             "SELECT * FROM table_changes('cft', '1990-01-01T00:00:00+00:00')"
         )
+
+
+def test_sql_schema_ddl_statements(spark, cat):
+    """Round-8: CREATE/DROP SCHEMA as SQL statements route to the
+    engine catalog (reference impl.py:217-248), never to spark.sql —
+    the last unrouted DDL the reference's flow can emit. SQL default
+    is RESTRICT; CASCADE opts into recursive drop."""
+    import pytest
+
+    assert cat.execute("CREATE SCHEMA aux8").collect()[0].affected_rows == 1
+    assert "aux8" in cat.list_schemas()
+    # duplicate without IF NOT EXISTS raises; with it, no-ops
+    with pytest.raises(ValueError, match="already exists"):
+        cat.execute("CREATE SCHEMA aux8")
+    assert cat.execute("CREATE SCHEMA IF NOT EXISTS aux8").collect()[0].affected_rows == 0
+    cat.create_table("aux8.t1", spark.range(3).selectExpr("id"))
+    # RESTRICT (the default) refuses a non-empty schema
+    with pytest.raises(ValueError, match="not empty"):
+        cat.execute("DROP SCHEMA aux8")
+    out = cat.execute("DROP SCHEMA aux8 CASCADE").collect()[0]
+    assert out.affected_rows == 1  # one relation dropped with it
+    assert "aux8" not in cat.list_schemas()
+    # missing schema: IF EXISTS no-ops, bare raises
+    assert cat.execute("DROP SCHEMA IF EXISTS aux8").collect()[0].affected_rows == 0
+    with pytest.raises(ValueError, match="not found"):
+        cat.execute("DROP SCHEMA aux8")
+
+
+def test_sql_show_and_describe_statements(spark, cat):
+    """Round-8: SHOW TABLES / SHOW SCHEMAS / DESCRIBE resolve against
+    the ENGINE catalog (reference impl.py:250-297 list-relations with
+    LIKE→regex), not Spark's session catalog; DESCRIBE of a non-catalog
+    name still falls through to spark.sql."""
+    _mk(cat, spark, 5)
+    cat.create_table("t_extra", spark.range(2).selectExpr("id", "id AS v"))
+    cat.execute("CREATE SCHEMA IF NOT EXISTS shw8")
+    cat.create_table("shw8.inner_t", spark.range(2).selectExpr("id"))
+
+    got = {(r.table_schema, r.table_name) for r in cat.execute("SHOW TABLES").collect()}
+    assert ("default", "t") in got and ("default", "t_extra") in got
+    assert ("shw8", "inner_t") not in got  # default schema only
+    got = [r.table_name for r in cat.execute("SHOW TABLES IN shw8").collect()]
+    assert got == ["inner_t"]
+    got = [r.table_name for r in cat.execute("SHOW TABLES LIKE 't_e%'").collect()]
+    assert got == ["t_extra"]
+    schemas = [r.schema_name for r in cat.execute("SHOW SCHEMAS").collect()]
+    assert "default" in schemas and "shw8" in schemas
+    assert [
+        r.schema_name for r in cat.execute("SHOW SCHEMAS LIKE 'sh__'").collect()
+    ] == ["shw8"]
+
+    cat.execute("ALTER TABLE t CHANGE COLUMN v COMMENT 'the value'")
+    desc = {r.col_name: (r.data_type, r.comment) for r in cat.execute("DESCRIBE t").collect()}
+    assert desc["v"] == ("bigint", "the value")
+    assert desc["id"][1] is None
+    # partitioned table: partition column flagged, listed last
+    src = spark.range(4).selectExpr("id", "concat('p', id % 2) AS pt")
+    cat.create_table("pt_desc", src, partition_by=["pt"])
+    rows = cat.execute("DESCRIBE pt_desc").collect()
+    assert [r.col_name for r in rows] == ["id", "pt"]
+    assert [r.is_partition for r in rows] == [False, True]
+    # a session temp view is NOT in the engine catalog: native fallback
+    spark.range(1).selectExpr("id AS zz").createOrReplaceTempView("tv_desc")
+    native = cat.execute("DESCRIBE tv_desc").collect()
+    assert any(r.col_name == "zz" for r in native)
+    cat.execute("DROP SCHEMA shw8 CASCADE")
