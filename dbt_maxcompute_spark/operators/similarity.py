@@ -364,6 +364,96 @@ def build_ivf_index(
     return meta
 
 
+def assign_with_meta(df: DataFrame, meta: dict) -> DataFrame:
+    """Assign rows to IVF cells using a build artifact's SIDECAR
+    centroid matrix (not a fresh centroid pick) — the same
+    pure-Catalyst projection as the build, so maintenance and
+    verification reproduce the stored assignment exactly."""
+    sims = _unit_sims_expr(F.col(meta["vec_col"]), meta["unit_mat"])
+    idx = F.array_position(sims, F.array_max(sims))
+    return df.withColumn(
+        "centroid_id",
+        F.element_at(F.array(*[F.lit(i) for i in meta["ids"]]), idx.cast("int")),
+    )
+
+
+def maintain_ivf_index(spark, index_path: str, changes: DataFrame) -> dict:
+    """Incrementally maintain a :func:`build_ivf_index` artifact from a
+    keyed change feed — the missing piece of the 100 TB ANN story: at
+    scale the corpus churns, and "rebuild the index" is the thing you
+    cannot do.
+
+    ``changes`` carries the corpus columns plus ``_change_type`` in
+    the keyed-CDF four-type alphabet (``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage``); pre-image rows must
+    carry the STORED vector (that is what a keyed change feed emits),
+    so a moved vector removes from its OLD cell and adds to its new
+    one.
+
+    Scale shape:
+    - the coarse quantizer is FIXED across maintenance (standard IVF
+      practice); change rows are assigned to cells with the sidecar's
+      centroid matrix — one pure-Catalyst projection over the
+      feed-sized batch, no corpus scan;
+    - touched cells = the batch's distinct cells (collected — bounded
+      by ``num_centroids``, metadata-sized);
+    - ONLY touched cell partitions rewrite: their old rows are read
+      back partition-pruned, removals drop via a broadcast anti-join
+      on the feed-sized key set, additions union in, and the result
+      stages to a sibling directory whose cell dirs then swap in —
+      untouched cells are never listed, read, or rewritten (the
+      ``maintain_rollup_from_changes`` pattern applied to the index).
+
+    Returns {"touched_cells": [...], "n_changes": int}.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
+        meta = _json.load(fh)
+    id_col = meta["id_col"]
+
+    ch = assign_with_meta(changes, meta).localCheckpoint()
+    touched = sorted(
+        r["centroid_id"] for r in ch.select("centroid_id").distinct().collect()
+    )
+    if not touched:
+        return {"touched_cells": [], "n_changes": 0}
+    removals = ch.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(F.col(id_col), "centroid_id")
+    additions = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+
+    old = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(touched))
+    kept = old.join(F.broadcast(removals), [id_col, "centroid_id"], "left_anti")
+    out = kept.unionByName(additions.select(*kept.columns))
+
+    stage = index_path.rstrip("/") + ".maint.tmp"
+    (
+        out.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(stage)
+    )
+    staged = {
+        d for d in _os.listdir(stage) if d.startswith("centroid_id=")
+    }
+    # swap in rewritten cells; a touched cell emptied by the batch has
+    # no staged dir and its old dir is simply removed
+    for cell in touched:
+        d = f"centroid_id={cell}"
+        dst = _os.path.join(index_path, d)
+        if _os.path.exists(dst):
+            _shutil.rmtree(dst)
+        if d in staged:
+            _shutil.move(_os.path.join(stage, d), dst)
+    _shutil.rmtree(stage, ignore_errors=True)
+    return {"touched_cells": touched, "n_changes": ch.count()}
+
+
 def ivf_indexed_topk(
     spark,
     index_path: str,
