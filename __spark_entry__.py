@@ -22,6 +22,7 @@ from dbt_maxcompute_spark.suite import (
     extras5_suite,
     extras6_suite,
     extras7_suite,
+    extras8_suite,
     extras_suite,
     functions_suite,
     pipeline_suite,
@@ -43,6 +44,7 @@ _SUITES = [
     extras5_suite,
     extras6_suite,
     extras7_suite,
+    extras8_suite,
     functions_suite,
     relational2,
     tpch2,

@@ -1,0 +1,146 @@
+"""Round-8 suite: incremental IVF index maintenance (the churn half
+of the 100 TB ANN story — touched-cell rewrites from a keyed change
+feed, never a rebuild) and normalized join-tree MV auto-rewrite.
+
+Oracle conventions as elsewhere: exact sums through DECIMAL(28,6)
+cast to DOUBLE at the edge, counts as BIGINT, explicit ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.sources.registry import load_table
+
+
+def q_ann_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8 (verdict item 4): a persisted IVF index maintained from
+    # a keyed change feed — deletes, vector updates (pre/post pairs,
+    # including cross-cell moves) and inserts assign to cells under
+    # the SIDECAR centroids and rewrite ONLY the touched cell
+    # partitions (untouched cell directories stay byte-identical —
+    # checked here and pinned in tests/test_ivf_index.py). The
+    # invariant driver-checked: maintained content equals the final
+    # corpus assigned under the original centroids (a fresh rebuild
+    # with the same coarse quantizer), and search over the maintained
+    # artifact still returns full top-k per query.
+    import json
+    import os
+    import tempfile
+
+    from dbt_maxcompute_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    idx_path = tempfile.mkdtemp(prefix="ivfm_") + "/index"
+    similarity.build_ivf_index(
+        base, "vec_id", "embedding", idx_path, num_centroids=16
+    )
+
+    def listing(path: str) -> dict:
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("centroid_id="):
+                p = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = listing(idx_path)
+
+    # keyed-CDF batch: delete %7==0 of the base, negate the vectors of
+    # %11==1 (update pair — may move cells), insert the held-out slice
+    dels = base.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    upd = base.filter((F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 11 == 1))
+    pre = upd.withColumn("_change_type", F.lit("update_preimage"))
+    post = upd.withColumn(
+        "embedding", F.transform("embedding", lambda x: (-x).cast("float"))
+    ).withColumn("_change_type", F.lit("update_postimage"))
+    ins = emb.filter(F.col("vec_id") % 5 == 4).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    res = similarity.maintain_ivf_index(
+        spark, idx_path, dels.unionByName(pre).unionByName(post).unionByName(ins)
+    )
+
+    after = listing(idx_path)
+    touched = {f"centroid_id={c}" for c in res["touched_cells"]}
+    untouched_ok = all(
+        after.get(d) == lst for d, lst in before.items() if d not in touched
+    )
+
+    # final corpus under the ORIGINAL centroids == maintained content
+    kept = emb.filter((F.col("vec_id") % 5 != 4) & (F.col("vec_id") % 7 != 0))
+    final = kept.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 11 == 1,
+            F.transform("embedding", lambda x: (-x).cast("float")),
+        ).otherwise(F.col("embedding")),
+    ).unionByName(emb.filter(F.col("vec_id") % 5 == 4))
+    with open(os.path.join(idx_path, "_ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    want = similarity.assign_with_meta(final, meta)
+    got = spark.read.parquet(idx_path)
+
+    def keyed(df: DataFrame, s: int) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.col("centroid_id").cast("string").alias("cell"),
+            F.hash("embedding").alias("eh"),
+        ).withColumn("__s", F.lit(s))
+
+    net = (
+        keyed(got, 1)
+        .unionByName(keyed(want, -1))
+        .groupBy("vec_id", "cell", "eh")
+        .agg(F.sum("__s").alias("net"))
+        .filter(F.col("net") != 0)
+        .count()
+    )
+    corpus_n = got.count()
+
+    queries = final.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_indexed_topk(spark, idx_path, queries, k=10, nprobe=8)
+    return (
+        out.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .select(
+            "query_id",
+            "n_results",
+            F.lit(net == 0).alias("matches_fresh"),
+            F.lit(bool(untouched_ok)).alias("untouched_ok"),
+            F.lit(corpus_n).cast("bigint").alias("corpus_n"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_IVF_INDEX_MAINTENANCE = """
+WITH final_ids AS (
+  SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 4 AND vec_id % 7 <> 0
+  UNION ALL
+  SELECT vec_id FROM embeddings WHERE vec_id % 5 = 4
+)
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+       TRUE AS matches_fresh, TRUE AS untouched_ok,
+       (SELECT CAST(count(*) AS BIGINT) FROM final_ids) AS corpus_n
+FROM embeddings
+WHERE vec_id < 5 AND (vec_id % 5 = 4 OR vec_id % 7 <> 0)
+ORDER BY vec_id
+"""
+
+
+QUERIES = {
+    "ann_ivf_index_maintenance": q_ann_ivf_index_maintenance,
+}
+
+ORACLES = {
+    "ann_ivf_index_maintenance": ORACLE_ANN_IVF_INDEX_MAINTENANCE,
+}

@@ -54,3 +54,152 @@ def test_indexed_scan_prunes_partitions(spark, sf_dir, tmp_path):
     assert m, pf_line
     in_list = (m.group(1) or m.group(2)).split(",")
     assert 0 < len(in_list) <= 2 * 2 < meta["num_centroids"]
+
+
+# -- round-8: incremental maintenance ---------------------------------------
+
+def _cell_listing(idx_path):
+    """cell dir -> sorted (file, size) pairs, data files only."""
+    import os
+
+    out = {}
+    for d in os.listdir(idx_path):
+        if not d.startswith("centroid_id="):
+            continue
+        p = os.path.join(idx_path, d)
+        out[d] = sorted(
+            (f, os.path.getsize(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _changes(emb):
+    """Keyed-CDF batch: delete %7==0 of the base, negate %11==1
+    (update pair), insert the held-out %5==4 slice."""
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    dels = base.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    upd_keys = base.filter(
+        (F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 11 == 1)
+    )
+    pre = upd_keys.withColumn("_change_type", F.lit("update_preimage"))
+    post = upd_keys.withColumn(
+        "embedding", F.transform("embedding", lambda x: (-x).cast("float"))
+    ).withColumn("_change_type", F.lit("update_postimage"))
+    ins = emb.filter(F.col("vec_id") % 5 == 4).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    return dels.unionByName(pre).unionByName(post).unionByName(ins)
+
+
+def _final_corpus(emb):
+    kept = emb.filter((F.col("vec_id") % 5 != 4) & (F.col("vec_id") % 7 != 0))
+    flipped = kept.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 11 == 1,
+            F.transform("embedding", lambda x: (-x).cast("float")),
+        ).otherwise(F.col("embedding")),
+    )
+    return flipped.unionByName(emb.filter(F.col("vec_id") % 5 == 4))
+
+
+def test_maintain_matches_fresh_assignment(spark, sf_dir, tmp_path):
+    """Maintained index content == the final corpus assigned under the
+    ORIGINAL (sidecar) centroids — cell placement and vectors both,
+    via signed-count multiset equality."""
+    import json
+    import os
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    idx_path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, "vec_id", "embedding", idx_path, num_centroids=8)
+    res = similarity.maintain_ivf_index(spark, idx_path, _changes(emb))
+    assert res["touched_cells"]
+
+    with open(os.path.join(idx_path, "_ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    want = similarity.assign_with_meta(_final_corpus(emb), meta)
+    got = spark.read.parquet(idx_path)
+    cols = ["vec_id", "centroid_id"]
+    net = (
+        got.select(*cols, F.hash("embedding").alias("eh")).withColumn("__s", F.lit(1))
+        .unionByName(
+            want.select(*cols, F.hash("embedding").alias("eh")).withColumn(
+                "__s", F.lit(-1)
+            )
+        )
+        .groupBy(*cols, "eh")
+        .agg(F.sum("__s").alias("net"))
+        .filter(F.col("net") != 0)
+        .count()
+    )
+    assert net == 0
+    # search still works against the maintained artifact
+    queries = _final_corpus(emb).filter(F.col("vec_id").isin(1, 2, 3))
+    out = similarity.ivf_indexed_topk(spark, idx_path, queries, k=5, nprobe=3)
+    per_q = {r.query_id: r.n for r in out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert per_q == {1: 5, 2: 5, 3: 5}
+
+
+def test_maintain_touches_only_changed_cells(spark, sf_dir, tmp_path):
+    """Untouched cell directories are byte-identical after maintenance
+    (same files, same sizes) — the rewrite set is the touched cells,
+    nothing else."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    idx_path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, "vec_id", "embedding", idx_path, num_centroids=16)
+    before = _cell_listing(idx_path)
+    # a small, cell-local batch: delete + reinsert two specific rows
+    two = base.filter(F.col("vec_id").isin(10, 20))
+    batch = two.withColumn("_change_type", F.lit("delete")).unionByName(
+        two.withColumn("_change_type", F.lit("insert"))
+    )
+    res = similarity.maintain_ivf_index(spark, idx_path, batch)
+    after = _cell_listing(idx_path)
+    touched_dirs = {f"centroid_id={c}" for c in res["touched_cells"]}
+    assert 0 < len(touched_dirs) <= 2
+    for d, listing in before.items():
+        if d not in touched_dirs:
+            assert after[d] == listing, f"untouched cell {d} was rewritten"
+    # content unchanged overall (delete+reinsert is a no-op)
+    assert spark.read.parquet(idx_path).count() == base.count()
+
+
+def test_maintain_empties_cell_and_noop_batch(spark, sf_dir, tmp_path):
+    """Deleting every row of a cell removes its directory; an empty
+    change batch touches nothing."""
+    import os
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 200)
+    idx_path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, "vec_id", "embedding", idx_path, num_centroids=4)
+    cells = spark.read.parquet(idx_path)
+    victim = cells.groupBy("centroid_id").count().orderBy("count").first()
+    victim_rows = cells.filter(F.col("centroid_id") == victim["centroid_id"])
+    batch = victim_rows.drop("centroid_id").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    res = similarity.maintain_ivf_index(spark, idx_path, batch)
+    # session reads partition values back as strings (type inference
+    # off); the maintenance assignment yields the native id type —
+    # same cell, same directory name
+    assert [str(c) for c in res["touched_cells"]] == [str(victim["centroid_id"])]
+    assert not os.path.exists(
+        os.path.join(idx_path, f"centroid_id={victim['centroid_id']}")
+    )
+    assert (
+        spark.read.parquet(idx_path).count()
+        == base.count() - victim["count"]
+    )
+    # empty batch: no touched cells, listing unchanged
+    before = _cell_listing(idx_path)
+    res = similarity.maintain_ivf_index(spark, idx_path, batch.limit(0))
+    assert res == {"touched_cells": [], "n_changes": 0}
+    assert _cell_listing(idx_path) == before
