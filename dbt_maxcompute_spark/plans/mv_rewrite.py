@@ -388,6 +388,224 @@ def _implies_or(user_c: str, mv_c: str) -> bool:
     )
 
 
+# ---------------------------------------------------------------------------
+# join-tree normalization (round 8)
+# ---------------------------------------------------------------------------
+
+_IDENT_RX = re.compile(r"^[a-z_]\w*$")
+
+# keywords that may follow a table ref — never aliases
+_JOIN_STOP = frozenset({"join", "inner", "on", "as"})
+# join shapes that are NOT inner-commutative — their presence fails the
+# tree parse and matching stays exact-canonical-text
+_BAD_JOIN = frozenset(
+    {"left", "right", "full", "cross", "outer", "semi", "anti",
+     "lateral", "natural", "using", ","}
+)
+
+
+def _parse_join_tree(from_text: str):
+    """Token-level parse of ``t [as] a (inner? join t2 [as] a2 on
+    cond)*``. Returns (tables, on_conds) — tables as (name, alias)
+    pairs, on_conds as token-joined ON texts — or None for anything
+    else (subquery, outer/cross/comma join, USING): fail closed."""
+    toks = _CANON_TOKEN_RX.findall(from_text)
+    n = len(toks)
+
+    def table_ref(i):
+        if i >= n or not _IDENT_RX.match(toks[i]) or toks[i] in _JOIN_STOP | _BAD_JOIN:
+            return None
+        name = toks[i]
+        i += 1
+        while i + 1 < n and toks[i] == "." and _IDENT_RX.match(toks[i + 1]):
+            name += "." + toks[i + 1]
+            i += 2
+        alias = None
+        if i < n and toks[i] == "as":
+            i += 1
+            if i >= n or not _IDENT_RX.match(toks[i]):
+                return None
+            alias = toks[i]
+            i += 1
+        elif (
+            i < n
+            and _IDENT_RX.match(toks[i])
+            and toks[i] not in _JOIN_STOP | _BAD_JOIN
+        ):
+            alias = toks[i]
+            i += 1
+        return name, alias, i
+
+    ref = table_ref(0)
+    if ref is None:
+        return None
+    tables = [(ref[0], ref[1])]
+    i = ref[2]
+    on_conds: list[str] = []
+    while i < n:
+        if toks[i] == "inner" and i + 1 < n and toks[i + 1] == "join":
+            i += 2
+        elif toks[i] == "join":
+            i += 1
+        else:
+            return None
+        ref = table_ref(i)
+        if ref is None:
+            return None
+        tables.append((ref[0], ref[1]))
+        i = ref[2]
+        if i >= n or toks[i] != "on":
+            return None
+        i += 1
+        depth, cond = 0, []
+        while i < n:
+            t = toks[i]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if depth == 0 and (
+                t == "join"
+                or (t == "inner" and i + 1 < n and toks[i + 1] == "join")
+            ):
+                break
+            cond.append(t)
+            i += 1
+        if not cond:
+            return None
+        on_conds.append(" ".join(cond))
+    return tables, on_conds
+
+
+def _qualify_map(tables) -> dict | None:
+    """alias / table-name / short-name → canonical table name; None on
+    any ambiguity (self-join, colliding alias) — fail closed."""
+    names = [t for t, _ in tables]
+    if len(set(names)) != len(names):
+        return None
+    qmap: dict[str, str] = {}
+    for name, alias in tables:
+        keys = {name, name.split(".")[-1]}
+        if alias:
+            keys.add(alias)
+        for k in keys:
+            if k in qmap and qmap[k] != name:
+                return None
+            qmap[k] = name
+    return qmap
+
+
+def _retarget(text: str, qmap: dict, single: bool) -> str:
+    """Rewrite ``q . col`` references per ``qmap`` at token level —
+    aliases become table names; with ``single`` (one-table FROM) the
+    qualifier drops entirely, so ``o.price`` and bare ``price``
+    normalize identically. Literals pass through untouched."""
+    toks = _CANON_TOKEN_RX.findall(text)
+    out: list[str] = []
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if (
+            t in qmap
+            and i + 2 <= n - 1
+            and toks[i + 1] == "."
+            and _IDENT_RX.match(toks[i + 2])
+            and (not out or out[-1] != ".")
+        ):
+            if single:
+                out.append(toks[i + 2])
+            else:
+                out.extend([qmap[t], ".", toks[i + 2]])
+            i += 3
+            continue
+        out.append(t)
+        i += 1
+    return " ".join(out)
+
+
+def _sorted_eq(conjunct: str) -> str:
+    """Orderless form of a single equality conjunct: ``a = b`` and
+    ``b = a`` canonicalize identically (token-joined input)."""
+    parts = conjunct.split(" = ")
+    if len(parts) == 2:
+        return " = ".join(sorted(p.strip() for p in parts))
+    return conjunct
+
+
+def _normalize_rollup_relation(r: _Rollup) -> _Rollup:
+    """Round-8 rewrite breadth: an all-INNER join tree normalizes to a
+    canonical relation key — aliases resolved to table names (dropped
+    for a single table), tables sorted, the union of ON conjuncts
+    side-sorted — so alias renames and join reordering still match
+    (inner joins commute and associate; the same table set under the
+    conjunction of all ON predicates IS the same relation). Outer
+    joins, subqueries, self-joins and comma joins return the rollup
+    unchanged: matching stays exact-canonical-text for them."""
+    parsed = _parse_join_tree(_norm(r.table))
+    if parsed is None:
+        return r
+    tables, on_conds = parsed
+    qmap = _qualify_map(tables)
+    if qmap is None:
+        return r
+    single = len(tables) == 1
+    conjs: set[str] = set()
+    for c in on_conds:
+        for cj in _conjuncts(_retarget(c, qmap, single)):
+            conjs.add(_sorted_eq(cj))
+    names = sorted(t for t, _ in tables)
+    canon_from = " join ".join(names)
+    if conjs:
+        canon_from += " on " + " and ".join(sorted(conjs))
+
+    def rt(text):
+        return _retarget(text, qmap, single) if text else text
+
+    def rt_col(text):
+        return rt(text).replace(" . ", ".")
+
+    items = []
+    for it in r.items:
+        if it.kind == "key":
+            items.append(
+                _Item(kind="key", alias=it.alias, col=rt_col(it.col))
+            )
+        else:
+            items.append(
+                _Item(
+                    kind="agg", alias=it.alias, func=it.func,
+                    arg=rt(it.arg), cast_type=it.cast_type,
+                )
+            )
+    return _Rollup(
+        table=canon_from,
+        items=items,
+        group_keys=[rt_col(g) for g in r.group_keys],
+        where=rt(r.where),
+        order=rt(r.order),
+        having=rt(r.having),
+    )
+
+
+def _subst_keys(text: str, key_out: dict) -> str:
+    """Replace (possibly qualified) grouping-key references with the
+    MV's output column names in emitted SQL fragments."""
+    for k in sorted(key_out, key=len, reverse=True):
+        pat = (
+            r"\b" + r"\s*\.\s*".join(re.escape(p) for p in k.split(".")) + r"\b"
+        )
+        text = re.sub(pat, key_out[k], text)
+    return text
+
+
+def _ident_parts(keys) -> set[str]:
+    """Every dotted segment of the grouping keys — the identifier
+    whitelist for residual predicates (a stray allowed token that is
+    not actually a key fails at analysis time and the caller falls
+    back; never a wrong answer)."""
+    return {seg for k in keys for seg in k.split(".")}
+
+
 def _reagg_expr(func: str, arg: str, mv_aggs: dict) -> str | None:
     """Re-aggregation expression for one user aggregate over the MV's
     output columns. AVG is not directly re-aggregable (avg of avgs is
@@ -516,18 +734,25 @@ def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
         return None
     residual = [c for c in user_conj if c not in mv_conj]
     if residual and not (
-        _where_identifiers(" ".join(residual)) <= set(mv.group_keys)
+        _where_identifiers(" ".join(residual)) <= _ident_parts(mv.group_keys)
     ):
         return None
-    effective_where = " and ".join(residual) if residual else None
     mv_keys = set(mv.group_keys)
     if not set(user.group_keys) <= mv_keys:
         return None
-    # MV output column name per grouping key (bare select) and per
+    # MV output column name per grouping key (alias if given, else the
+    # bare column name — qualified keys emit through this map) and per
     # aggregate (func, argtext) — aggregates must be aliased in the MV
-    mv_key_cols = {it.col for it in mv.items if it.kind == "key"}
-    if not mv_keys <= mv_key_cols:
+    mv_key_out = {
+        it.col: (it.alias or it.col.split(".")[-1])
+        for it in mv.items
+        if it.kind == "key"
+    }
+    if not mv_keys <= set(mv_key_out):
         return None
+    effective_where = (
+        _subst_keys(" and ".join(residual), mv_key_out) if residual else None
+    )
     mv_aggs: dict[tuple[str, str], str] = {}
     for it in mv.items:
         if it.kind == "agg":
@@ -546,7 +771,13 @@ def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
         if it.kind == "key":
             if it.col not in set(user.group_keys):
                 return None
-            out_items.append(it.col if it.alias is None else f"{it.col} AS {it.alias}")
+            src = mv_key_out.get(it.col)
+            if src is None:
+                return None
+            # preserve the user query's output name: its alias, else
+            # the bare column name direct execution would produce
+            out_name = it.alias or it.col.split(".")[-1]
+            out_items.append(src if src == out_name else f"{src} AS {out_name}")
             continue
         if it.alias is None:
             # an unaliased aggregate's output column NAME depends on the
@@ -562,21 +793,25 @@ def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
 
     having_sql = None
     if user.having:
-        allowed = set(user.group_keys) | {
-            it.alias for it in user.items if it.alias is not None
-        }
-        having_sql = _rewrite_having(user.having, mv_aggs, allowed)
+        allowed = (
+            _ident_parts(user.group_keys)
+            | set(mv_key_out.values())
+            | {it.alias for it in user.items if it.alias is not None}
+        )
+        having_sql = _rewrite_having(
+            _subst_keys(user.having, mv_key_out), mv_aggs, allowed
+        )
         if having_sql is None:
             return None
 
     sql = f"SELECT {', '.join(out_items)} FROM {mv_table}"
     if effective_where:
         sql += f" WHERE {effective_where}"
-    sql += f" GROUP BY {', '.join(user.group_keys)}"
+    sql += f" GROUP BY {', '.join(mv_key_out[k] for k in user.group_keys)}"
     if having_sql:
         sql += f" HAVING {having_sql}"
     if user.order:
-        sql += f" ORDER BY {user.order}"
+        sql += f" ORDER BY {_subst_keys(user.order, mv_key_out)}"
     return sql
 
 
@@ -592,11 +827,12 @@ def try_rewrite(user_sql: str, mvs: list[tuple[str, str]]) -> str | None:
     user = parse_rollup(user_sql)
     if user is None:
         return None
+    user = _normalize_rollup_relation(user)
     for mv_table, defining_sql in mvs:
         mv = parse_rollup(defining_sql)
         if mv is None:
             continue
-        out = _rewrite_rollup(user, mv, mv_table)
+        out = _rewrite_rollup(user, _normalize_rollup_relation(mv), mv_table)
         if out is not None:
             return out
     return None

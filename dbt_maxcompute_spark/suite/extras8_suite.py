@@ -137,10 +137,80 @@ ORDER BY vec_id
 """
 
 
+def q_mv_rewrite_join_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8 (verdict item 6): MV auto-rewrite over JOIN MVs with
+    # NORMALIZED join-tree matching — aliases resolve to table names,
+    # inner-join order and ON-conjunct side/order are canonicalized —
+    # so a user query written through different aliases and a
+    # reordered join still answers from the rollup-cardinality MV
+    # (plan-pinned: MV scanned, fact absent). A LEFT JOIN over the
+    # same tables is a DIFFERENT relation and must fall back to the
+    # base tables (negative plan-pin). Values hash-checked against
+    # DuckDB computing from the base tables.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+    from dbt_maxcompute_spark.materializations.materialized_view import (
+        create_materialized_view,
+    )
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="mvj8_wh_"))
+    cat.create_table("orders", load_table(spark, sf_dir, "orders"))
+    cat.create_table("customer", load_table(spark, sf_dir, "customer"))
+    create_materialized_view(
+        cat,
+        "mv_seg",
+        """SELECT c.c_mktsegment AS seg, count(*) AS n,
+                  CAST(sum(CAST(o.o_totalprice AS decimal(28,6))) AS double) AS total
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY c.c_mktsegment""",
+    )
+
+    def plan_of(df: DataFrame) -> str:
+        return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    served = cat.sql(
+        """SELECT x.c_mktsegment AS seg, count(*) AS n,
+                  CAST(sum(CAST(y.o_totalprice AS decimal(28,6))) AS double) AS total
+           FROM customer x JOIN orders y ON y.o_custkey = x.c_custkey
+           GROUP BY x.c_mktsegment"""
+    )
+    p1 = plan_of(served)
+    used_mv = ("mv_seg" in p1) and ("default/orders" not in p1)
+
+    p2 = plan_of(
+        cat.sql(
+            """SELECT x.c_mktsegment AS seg, count(*) AS n
+               FROM customer x LEFT JOIN orders y ON y.o_custkey = x.c_custkey
+               GROUP BY x.c_mktsegment"""
+        )
+    )
+    outer_fell_back = ("mv_seg" not in p2) and ("default/orders" in p2)
+
+    return (
+        served.withColumn("used_mv", F.lit(bool(used_mv)))
+        .withColumn("outer_join_fell_back", F.lit(bool(outer_fell_back)))
+        .orderBy("seg")
+    )
+
+
+ORACLE_MV_REWRITE_JOIN_ALIAS = """
+SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       TRUE AS used_mv, TRUE AS outer_join_fell_back
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY seg
+"""
+
+
 QUERIES = {
     "ann_ivf_index_maintenance": q_ann_ivf_index_maintenance,
+    "mv_rewrite_join_alias": q_mv_rewrite_join_alias,
 }
 
 ORACLES = {
     "ann_ivf_index_maintenance": ORACLE_ANN_IVF_INDEX_MAINTENANCE,
+    "mv_rewrite_join_alias": ORACLE_MV_REWRITE_JOIN_ALIAS,
 }

@@ -286,13 +286,85 @@ def test_join_mv_rewrites_on_identical_from_text():
     assert "join" not in out.lower()  # the join itself is gone
 
 
-def test_join_mv_no_rewrite_on_different_join_text():
+def test_join_mv_rewrites_on_reordered_join():
+    # round-8 upgrade: inner joins commute — a reordered join tree
+    # over the same tables and ON conjuncts IS the same relation and
+    # now rewrites (was fail-closed identical-FROM-text through r7)
     user = """
     SELECT o_orderstatus, count(*) AS n
-    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus
     """
-    assert try_rewrite(user, [("default_mvj", JOIN_MV_SQL)]) is None
+    out = try_rewrite(user, [("default_mvj", JOIN_MV_SQL)])
+    assert out is not None and "default_mvj" in out
+    assert "join" not in out.lower()
+
+
+def test_join_mv_alias_renamed_rewrites():
+    # aliases resolve to table names before matching: a user query
+    # written through different aliases still answers from the MV
+    mv = """
+    SELECT c.seg AS seg, count(*) AS n,
+           CAST(sum(CAST(o.price AS decimal(28,6))) AS double) AS total
+    FROM ord o JOIN cust c ON o.ck = c.ck
+    GROUP BY c.seg
+    """
+    user = """
+    SELECT x.seg AS seg, count(*) AS n
+    FROM cust x JOIN ord y ON y.ck = x.ck
+    GROUP BY x.seg
+    """
+    out = try_rewrite(user, [("default_mvx", mv)])
+    assert out is not None and "default_mvx" in out
+    assert "join" not in out.lower()
+    # emitted columns are the MV's OUTPUT names
+    assert "seg" in out and "x." not in out and "y." not in out
+
+
+def test_join_mv_refuses_non_inner_and_missing_conjunct():
+    mv = """
+    SELECT c.seg AS seg, count(*) AS n
+    FROM ord o JOIN cust c ON o.ck = c.ck AND o.region = c.region
+    GROUP BY c.seg
+    """
+    # LEFT JOIN is not commutative — never matches an inner-join MV
+    user_left = """
+    SELECT c.seg AS seg, count(*) AS n
+    FROM ord o LEFT JOIN cust c ON o.ck = c.ck AND o.region = c.region
+    GROUP BY c.seg
+    """
+    assert try_rewrite(user_left, [("default_mvx", mv)]) is None
+    # a user join MISSING one ON conjunct is a DIFFERENT relation
+    user_less = """
+    SELECT c.seg AS seg, count(*) AS n
+    FROM ord o JOIN cust c ON o.ck = c.ck
+    GROUP BY c.seg
+    """
+    assert try_rewrite(user_less, [("default_mvx", mv)]) is None
+    # ... and one with an EXTRA conjunct likewise
+    user_more = """
+    SELECT c.seg AS seg, count(*) AS n
+    FROM ord o JOIN cust c ON o.ck = c.ck AND o.region = c.region
+      AND o.day = c.day
+    GROUP BY c.seg
+    """
+    assert try_rewrite(user_more, [("default_mvx", mv)]) is None
+
+
+def test_join_mv_refuses_self_join_alias_ambiguity():
+    # a self-join loses positional identity under alias erasure —
+    # normalization declines and only exact text could match
+    mv = """
+    SELECT a.k AS k, count(*) AS n
+    FROM t a JOIN t b ON a.k = b.pk
+    GROUP BY a.k
+    """
+    user = """
+    SELECT b.k AS k, count(*) AS n
+    FROM t b JOIN t a ON b.k = a.pk
+    GROUP BY b.k
+    """
+    assert try_rewrite(user, [("default_mvx", mv)]) is None
 
 
 def test_join_mv_values_match_base(spark, tmp_path, sf_dir):
