@@ -54,70 +54,65 @@ _SUITES = [
 ]
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
-# FIRST 50 ``queries()`` entries only. Round 7 continues the freshness
-# rotation: the 8 NEW round-7 queries (never driver-checked) lead,
-# then the two r3-stale rows the round-6 verdict queued
-# (txn_time_travel, webdataset_roundtrip), then the r4 block in name
-# order — computed from the union of CORRECTNESS_r01..r06 hard greens.
+# FIRST 50 ``queries()`` entries only. Round 8 continues the freshness
+# rotation: the 2 NEW round-8 queries and the 3 round-7 rows whose
+# behavior/output changed this round lead, then the 8 r4-stale rows the
+# round-7 verdict queued, then the stalest hard-green block (all r5) in
+# name order — computed from the union of CORRECTNESS_r01..r07 greens.
 _PRIORITY = [
-    # new in round 7 — never driver-checked
-    "stream_cdf_pipeline",
+    # new or output-changed in round 8 — must be driver-checked
+    "ann_ivf_index_maintenance",
+    "mv_rewrite_join_alias",
     "sql_cdf_tvf",
-    "sql_merge_dv_script",
-    "txn_bloom_skipping",
-    "txn_change_feed_keyed",
-    "mv_minmax_maintenance",
-    "mv_join_cdf_maintenance",
     "sql_ddl_statement_script",
-    # stalest hard-green rows next (r3 pair, then the r4 block)
-    "txn_time_travel",
-    "webdataset_roundtrip",
-    "agg_daily_orders",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "anti_join_customers_without_orders",
-    "bloom_prefilter_join",
-    "cube_orders",
-    "date_spine",
-    "dedup_incremental_lsh",
-    "dedup_shared_chunks",
-    "distinct_counts",
-    "exists_suppliers",
-    "explode_order_lines",
-    "flagship_customers",
-    "fn_any_value",
-    "fn_datetime_ops",
-    "fn_listagg_lineitems",
-    "fn_string_ops",
-    "mixture_sample_langs",
-    "ops_compact_probe",
-    "percentiles_exact",
-    "pivot_status_priority",
-    "pricing_summary",
-    "ranking_family",
-    "regexp_ops",
-    "revenue_by_nation",
-    "rollup_revenue",
-    "scalar_subquery_recent_orders",
-    "semi_join_parts_with_lineitems",
-    "setops_nationkeys",
-    "sketch_heavy_hitters",
-    "sketch_mergeable_distinct",
-    "skew_salted_rollup",
-    "stats_moments",
-    "stream_custom_state_totals",
-    "stream_interval_join",
-    "stream_late_data_drop",
-    "stream_session_windows",
-    "stream_txn_exactly_once",
-    "top10_expensive_orders",
-    "tpch_q2_min_cost_supplier",
+    "sql_merge_dv_script",
+    # the 8 r4-stale rows (round-7 verdict item 1)
     "tuple_in_subquery",
     "txn_deletion_vectors",
     "txn_dv_upsert",
     "txn_file_skipping",
     "txn_schema_evolution",
     "txn_zorder_skipping",
+    "window_running_revenue",
+    "window_top_orders_per_segment",
+    # stalest hard-green rows (all last checked r5), name order
+    "ann_ivf_indexed_topk",
+    "cartesian_regions",
+    "corpus_zipf_profile",
+    "decontam_ngram_overlap",
+    "events_funnel",
+    "events_json_props",
+    "exact_distinct_users",
+    "hash_split_counts",
+    "incr_append_partitioned",
+    "incr_delete_insert_lineitem",
+    "incr_merge_orders",
+    "multimodal_features",
+    "multimodal_metadata",
+    "mv_auto_rewrite",
+    "mv_rewrite_containment",
+    "sample_domain_quota",
+    "sample_quality_weighted",
+    "sample_stratified_lang",
+    "sql_dml_script",
+    "sql_maintenance_script",
+    "stream_txn_upsert",
+    "text_chunking",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_redaction",
+    "text_repetition",
+    "text_stats",
+    "text_tfidf_top_terms",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_lateness_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
 ]
 
 
