@@ -1161,3 +1161,36 @@ def test_sql_show_and_describe_statements(spark, cat):
     native = cat.execute("DESCRIBE tv_desc").collect()
     assert any(r.col_name == "zz" for r in native)
     cat.execute("DROP SCHEMA shw8 CASCADE")
+
+
+def test_sql_show_partitions(spark, cat):
+    """SHOW PARTITIONS (the reference's functional tests drive it —
+    test_core.py:439,641,829): one `col=val[/col2=val2]` row per
+    partition, from the hive directory tree (zero Spark jobs) for
+    plain tables, from a pruned distinct scan for transactional ones;
+    multi-level and auto-partition tables both answer."""
+    import pytest
+
+    src = spark.range(6).selectExpr(
+        "id", "concat('p', id % 2) AS pt", "concat('q', id % 3) AS sub"
+    )
+    cat.create_table("pt_show", src, partition_by=["pt", "sub"])
+    got = [r.partition for r in cat.execute("SHOW PARTITIONS pt_show").collect()]
+    assert got == [
+        "pt=p0/sub=q0", "pt=p0/sub=q1", "pt=p0/sub=q2",
+        "pt=p1/sub=q0", "pt=p1/sub=q1", "pt=p1/sub=q2",
+    ]
+    # unpartitioned raises (reference parity: statement error)
+    cat.create_table("flat_show", spark.range(2).selectExpr("id"))
+    with pytest.raises(ValueError, match="not partitioned"):
+        cat.execute("SHOW PARTITIONS flat_show")
+    # auto-partition: the generated column's directories answer
+    src2 = spark.range(4).selectExpr(
+        "id", "timestamp(concat('2024-0', id % 2 + 1, '-15 08:00:00')) AS ts"
+    )
+    cat.create_table(
+        "auto_show", src2,
+        auto_partition={"source_column": "ts", "granularity": "month"},
+    )
+    got = [r.partition for r in cat.execute("SHOW PARTITIONS auto_show").collect()]
+    assert len(got) == 2 and all(g.startswith("_pt=") for g in got)
