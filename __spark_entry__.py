@@ -62,6 +62,7 @@ _SUITES = [
 _PRIORITY = [
     # new or output-changed in round 8 — must be driver-checked
     "ann_ivf_index_maintenance",
+    "ann_ivf_cdf_sync",
     "mv_rewrite_join_alias",
     "sql_cdf_tvf",
     "sql_ddl_statement_script",
@@ -112,7 +113,6 @@ _PRIORITY = [
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_count",
     "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
 ]
 
 

@@ -327,6 +327,7 @@ def build_ivf_index(
     index_path: str,
     num_centroids: int = 16,
     seed: int = 42,
+    cursor: int | None = None,
 ) -> dict:
     """Materialize the IVF index: the assigned corpus is WRITTEN
     PARTITIONED BY centroid cell, and the centroid matrix (metadata:
@@ -359,6 +360,10 @@ def build_ivf_index(
         "num_centroids": num_centroids,
         "seed": seed,
     }
+    if cursor is not None:
+        # version of the source transactional table this build captured
+        # — the starting point for sync_ivf_index_from_table
+        meta["cursor"] = int(cursor)
     with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
         _json.dump(meta, fh)
     return meta
@@ -429,6 +434,13 @@ def maintain_ivf_index(spark, index_path: str, changes: DataFrame) -> dict:
 
     old = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(touched))
     kept = old.join(F.broadcast(removals), [id_col, "centroid_id"], "left_anti")
+    # IDEMPOTENT upsert semantics on a keyed corpus: an addition whose
+    # id already survives in the touched cells is skipped — a replayed
+    # batch (crash between the cell swap and a caller's cursor commit)
+    # applies nothing instead of duplicating rows. A same-batch
+    # replacement still lands: its removal dropped the id from `kept`
+    # first.
+    additions = additions.join(kept.select(id_col), [id_col], "left_anti")
     out = kept.unionByName(additions.select(*kept.columns))
 
     stage = index_path.rstrip("/") + ".maint.tmp"
@@ -452,6 +464,45 @@ def maintain_ivf_index(spark, index_path: str, changes: DataFrame) -> dict:
             _shutil.move(_os.path.join(stage, d), dst)
     _shutil.rmtree(stage, ignore_errors=True)
     return {"touched_cells": touched, "n_changes": ch.count()}
+
+
+def sync_ivf_index_from_table(spark, index_path: str, table) -> int:
+    """Advance a persisted IVF index to a transactional corpus table's
+    latest version — the end-to-end 100 TB churn story: SQL DML
+    mutates the embeddings table, the table's KEYED change feed
+    (insert / delete / update pre+post pairs) drives touched-cell
+    maintenance, and a VERSION CURSOR stored in the index sidecar
+    makes the sync exactly-once:
+
+    - already-current (cursor == latest): returns 0 without reading a
+      byte — the replay no-op;
+    - crash AFTER the cell swaps but BEFORE the cursor write: the next
+      sync replays the same interval, and :func:`maintain_ivf_index`'s
+      idempotent upsert applies nothing — rows are never duplicated;
+    - the cursor write is an atomic rename, so a torn sidecar is
+      impossible.
+
+    Feed cost is the change interval's (append-only / DV fast paths
+    apply), never the corpus. Returns the number of change rows
+    applied."""
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(index_path, "_ivf_meta.json")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    v0 = int(meta.get("cursor", 0))
+    v1 = table.latest_version()
+    if v1 <= v0:
+        return 0
+    feed = table.change_feed_keyed([meta["id_col"]], v0, v1)
+    res = maintain_ivf_index(spark, index_path, feed)
+    meta["cursor"] = v1
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh)
+    _os.replace(tmp, meta_path)
+    return res["n_changes"]
 
 
 def ivf_indexed_topk(

@@ -137,6 +137,100 @@ ORDER BY vec_id
 """
 
 
+def q_ann_ivf_cdf_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8 composition row: the EXACTLY-ONCE churn pipeline for a
+    # vector corpus end to end — embeddings live in a transaction
+    # table, row-level DML mutates it (DV delete, key upsert, append),
+    # and the table's KEYED change feed advances the persisted IVF
+    # index through a sidecar version cursor
+    # (similarity.sync_ivf_index_from_table): a replayed sync applies
+    # nothing, a crash between cell swap and cursor write is healed by
+    # the idempotent upsert, and the maintained index equals the final
+    # table state assigned under the original centroids. The oracle
+    # predicts the feed's four-type counts from the simulated endpoint
+    # states.
+    import json
+    import os
+    import tempfile
+
+    from dbt_maxcompute_spark.operators import similarity
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    t = TxnTable(spark, tempfile.mkdtemp(prefix="ivfs_") + "/corpus")
+    t.create(emb.filter(F.col("vec_id") % 5 != 4))
+    idx_path = tempfile.mkdtemp(prefix="ivfs_") + "/index"
+    v_build = t.latest_version()
+    similarity.build_ivf_index(
+        t.read(), "vec_id", "embedding", idx_path,
+        num_centroids=16, cursor=v_build,
+    )
+    t.delete_where_dv("vec_id % 7 = 0")
+    upd = t.read().filter(F.col("vec_id") % 11 == 1).withColumn(
+        "embedding", F.transform("embedding", lambda x: (x + 1.0).cast("float"))
+    )
+    t.delete_insert_dv(upd, ["vec_id"])
+    t.append(emb.filter(F.col("vec_id") % 5 == 4))
+
+    applied = similarity.sync_ivf_index_from_table(spark, idx_path, t)
+    replayed = similarity.sync_ivf_index_from_table(spark, idx_path, t)
+
+    with open(os.path.join(idx_path, "_ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    want = similarity.assign_with_meta(t.read(), meta)
+    got = spark.read.parquet(idx_path)
+
+    def keyed(df: DataFrame, s: int) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.col("centroid_id").cast("string").alias("cell"),
+            F.hash("embedding").alias("eh"),
+        ).withColumn("__s", F.lit(s))
+
+    net = (
+        keyed(got, 1)
+        .unionByName(keyed(want, -1))
+        .groupBy("vec_id", "cell", "eh")
+        .agg(F.sum("__s").alias("net"))
+        .filter(F.col("net") != 0)
+        .count()
+    )
+    counts = (
+        t.change_feed_keyed(["vec_id"], v_build)
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.select(
+            F.col("_change_type").alias("change_type"),
+            "n",
+            F.lit(applied > 0 and replayed == 0).alias("exactly_once"),
+            F.lit(net == 0).alias("matches_final"),
+        )
+        .orderBy("change_type")
+    )
+
+
+ORACLE_ANN_IVF_CDF_SYNC = """
+WITH base AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 4)
+SELECT change_type, n, TRUE AS exactly_once, TRUE AS matches_final FROM (
+  SELECT 'insert' AS change_type,
+         (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 = 4) AS n
+  UNION ALL
+  SELECT 'delete',
+         (SELECT CAST(count(*) AS BIGINT) FROM base WHERE vec_id % 7 = 0)
+  UNION ALL
+  SELECT 'update_preimage',
+         (SELECT CAST(count(*) AS BIGINT) FROM base
+          WHERE vec_id % 7 <> 0 AND vec_id % 11 = 1)
+  UNION ALL
+  SELECT 'update_postimage',
+         (SELECT CAST(count(*) AS BIGINT) FROM base
+          WHERE vec_id % 7 <> 0 AND vec_id % 11 = 1)
+) ORDER BY change_type
+"""
+
+
 def q_mv_rewrite_join_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-8 (verdict item 6): MV auto-rewrite over JOIN MVs with
     # NORMALIZED join-tree matching — aliases resolve to table names,
@@ -207,10 +301,12 @@ GROUP BY c_mktsegment ORDER BY seg
 
 QUERIES = {
     "ann_ivf_index_maintenance": q_ann_ivf_index_maintenance,
+    "ann_ivf_cdf_sync": q_ann_ivf_cdf_sync,
     "mv_rewrite_join_alias": q_mv_rewrite_join_alias,
 }
 
 ORACLES = {
     "ann_ivf_index_maintenance": ORACLE_ANN_IVF_INDEX_MAINTENANCE,
+    "ann_ivf_cdf_sync": ORACLE_ANN_IVF_CDF_SYNC,
     "mv_rewrite_join_alias": ORACLE_MV_REWRITE_JOIN_ALIAS,
 }

@@ -171,6 +171,63 @@ def test_maintain_touches_only_changed_cells(spark, sf_dir, tmp_path):
     assert spark.read.parquet(idx_path).count() == base.count()
 
 
+def test_sync_from_txn_table_exactly_once(spark, sf_dir, tmp_path):
+    """Round-8: the cursor-based sync — a transactional corpus table's
+    keyed change feed drives touched-cell maintenance; the sidecar
+    cursor makes replays no-ops, and a crash BETWEEN the cell swap and
+    the cursor write (simulated by re-applying the same feed) changes
+    nothing thanks to the idempotent upsert."""
+    import json
+    import os
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    t = TxnTable(spark, str(tmp_path / "corpus"))
+    t.create(emb.filter(F.col("vec_id") % 5 != 4))
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(
+        t.read(), "vec_id", "embedding", idx,
+        num_centroids=8, cursor=t.latest_version(),
+    )
+    t.delete_where_dv("vec_id % 7 = 0")
+    upd = t.read().filter(F.col("vec_id") % 11 == 1).withColumn(
+        "embedding", F.transform("embedding", lambda x: (x + 1.0).cast("float"))
+    )
+    t.delete_insert_dv(upd, ["vec_id"])
+    t.append(emb.filter(F.col("vec_id") % 5 == 4))
+
+    n1 = similarity.sync_ivf_index_from_table(spark, idx, t)
+    assert n1 > 0
+    assert similarity.sync_ivf_index_from_table(spark, idx, t) == 0  # replay
+
+    with open(os.path.join(idx, "_ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["cursor"] == t.latest_version()
+    want = similarity.assign_with_meta(t.read(), meta)
+    got = spark.read.parquet(idx)
+    cols = ["vec_id"]
+    net = (
+        got.select(*cols, F.col("centroid_id").cast("string").alias("c"),
+                   F.hash("embedding").alias("eh")).withColumn("__s", F.lit(1))
+        .unionByName(
+            want.select(*cols, F.col("centroid_id").cast("string").alias("c"),
+                        F.hash("embedding").alias("eh")).withColumn("__s", F.lit(-1))
+        )
+        .groupBy("vec_id", "c", "eh")
+        .agg(F.sum("__s").alias("net"))
+        .filter(F.col("net") != 0)
+        .count()
+    )
+    assert net == 0
+    # crash-window simulation: the swap happened but the cursor write
+    # didn't — re-applying the SAME feed is a no-op on content
+    feed = t.change_feed_keyed(["vec_id"], 0, t.latest_version())
+    before = got.count()
+    similarity.maintain_ivf_index(spark, idx, feed)
+    assert spark.read.parquet(idx).count() == before
+
+
 def test_maintain_empties_cell_and_noop_batch(spark, sf_dir, tmp_path):
     """Deleting every row of a cell removes its directory; an empty
     change batch touches nothing."""
