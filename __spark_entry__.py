@@ -63,6 +63,7 @@ _PRIORITY = [
     # new or output-changed in round 8 — must be driver-checked
     "ann_ivf_index_maintenance",
     "ann_ivf_cdf_sync",
+    "txn_restore",
     "mv_rewrite_join_alias",
     "sql_cdf_tvf",
     "sql_ddl_statement_script",
@@ -112,7 +113,6 @@ _PRIORITY = [
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
 ]
 
 

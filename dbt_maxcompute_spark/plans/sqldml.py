@@ -407,6 +407,13 @@ _SHOW_SCHEMAS_RE = re.compile(
     r"^\s*SHOW\s+(?:SCHEMAS|DATABASES)(?:\s+LIKE\s+(?P<pat>'[^']*'))?\s*$",
     re.IGNORECASE,
 )
+_RESTORE_RE = re.compile(
+    # Delta's RESTORE surface: rollback-as-a-new-commit, metadata-only
+    r"^\s*RESTORE\s+(?:TABLE\s+)?(?P<tbl>[A-Za-z_][\w.]*)\s+TO\s+"
+    r"(?:(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+))|"
+    r"(?:TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*')))\s*$",
+    re.IGNORECASE,
+)
 _SHOW_PARTITIONS_RE = re.compile(
     # the reference's functional tests drive this form repeatedly
     # (test_core.py:439,641,829 — partition lines as col=val[/col2=val2])
@@ -893,6 +900,11 @@ def classify(stmt: str):
     if m:
         pat = stmt[m.start("pat") + 1:m.end("pat") - 1] if m.group("pat") else None
         return ("show_schemas", pat)
+    m = _RESTORE_RE.match(masked)
+    if m:
+        ver = int(m.group("ver")) if m.group("ver") else None
+        ts = stmt[m.start("ts") + 1:m.end("ts") - 1] if m.group("ts") else None
+        return ("restore", m.group("tbl"), ver, ts)
     m = _SHOW_PARTITIONS_RE.match(masked)
     if m:
         return ("show_partitions", m.group("tbl"))
@@ -1263,6 +1275,13 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         return catalog.spark.createDataFrame(
             [(n,) for n in names], "schema_name string"
         )
+    if op == "restore":
+        _, tbl, ver, ts = parsed
+        t = _require_txn(catalog, tbl, "RESTORE")
+        if ver is None:
+            ver = _version_at_timestamp(catalog, tbl, ts)
+        new_v = t.restore(ver)
+        return _summary(catalog, "RESTORE", tbl, new_v)
     if op == "show_partitions":
         import os as _os
 

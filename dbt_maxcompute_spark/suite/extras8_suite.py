@@ -1,6 +1,8 @@
-"""Round-8 suite: incremental IVF index maintenance (the churn half
-of the 100 TB ANN story — touched-cell rewrites from a keyed change
-feed, never a rebuild) and normalized join-tree MV auto-rewrite.
+"""Round-8 suite: incremental IVF index maintenance + the
+exactly-once CDF-to-index sync (the churn half of the 100 TB ANN
+story — touched-cell rewrites from a keyed change feed, never a
+rebuild), normalized join-tree MV auto-rewrite, and Delta-style
+RESTORE (rollback as a metadata-only commit).
 
 Oracle conventions as elsewhere: exact sums through DECIMAL(28,6)
 cast to DOUBLE at the edge, counts as BIGINT, explicit ORDER BY.
@@ -231,6 +233,68 @@ SELECT change_type, n, TRUE AS exactly_once, TRUE AS matches_final FROM (
 """
 
 
+def q_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8: Delta-style RESTORE as plain SQL — rollback is a NEW
+    # metadata-only commit (no data moves), history stays time-
+    # travelable across the rolled-back interval, and the change feed
+    # nets the restore out to zero against the restored-to snapshot.
+    # The oracle predicts the restored content and the intermediate
+    # state from the base table.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="rst_wh_"))
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    cat.create_table("rt", base, transactional=True, primary_keys=["o_orderkey"])
+    cat.execute("DELETE FROM rt WHERE o_custkey % 2 = 0")          # v1
+    t = cat.txn("rt")
+    t.append(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9 == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )                                                              # v2
+    v2_n = t.read().count()
+    cat.execute("RESTORE TABLE rt TO VERSION AS OF 0")             # v3
+    feed_net = t.change_feed(0).count()
+    return (
+        cat.read("rt")
+        .agg(
+            F.count(F.lit(1)).alias("n_restored"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_restored"),
+        )
+        .select(
+            "n_restored",
+            "total_restored",
+            F.lit(v2_n).cast("bigint").alias("n_intermediate"),
+            F.lit(feed_net == 0).alias("feed_net_zero"),
+        )
+    )
+
+
+ORACLE_TXN_RESTORE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 9 = 0
+),
+v2 AS (
+  SELECT * FROM base WHERE o_custkey % 2 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 9 = 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_restored,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) FROM base)
+         AS total_restored,
+       (SELECT CAST(count(*) AS BIGINT) FROM v2) AS n_intermediate,
+       TRUE AS feed_net_zero
+"""
+
+
 def q_mv_rewrite_join_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-8 (verdict item 6): MV auto-rewrite over JOIN MVs with
     # NORMALIZED join-tree matching — aliases resolve to table names,
@@ -302,11 +366,13 @@ GROUP BY c_mktsegment ORDER BY seg
 QUERIES = {
     "ann_ivf_index_maintenance": q_ann_ivf_index_maintenance,
     "ann_ivf_cdf_sync": q_ann_ivf_cdf_sync,
+    "txn_restore": q_txn_restore,
     "mv_rewrite_join_alias": q_mv_rewrite_join_alias,
 }
 
 ORACLES = {
     "ann_ivf_index_maintenance": ORACLE_ANN_IVF_INDEX_MAINTENANCE,
     "ann_ivf_cdf_sync": ORACLE_ANN_IVF_CDF_SYNC,
+    "txn_restore": ORACLE_TXN_RESTORE,
     "mv_rewrite_join_alias": ORACLE_MV_REWRITE_JOIN_ALIAS,
 }

@@ -1855,6 +1855,54 @@ class TxnTable:
             snap.version + 1, adds + removes + [{"clear_dv": True}], df.schema.json()
         )
 
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: commit a NEW version whose visible
+        state equals ``snapshot(version)`` — METADATA-ONLY (no data
+        moves; the old files are simply re-referenced). History is
+        preserved: the restore is itself a commit, so time travel
+        across the rolled-back interval keeps working and the change
+        feed nets the restore out like any other change. Fails BEFORE
+        committing anything when a required file of the target
+        snapshot was vacuumed away (the Delta contract: RESTORE
+        reaches only as far back as retention). The idempotence
+        ledger (app_versions) is NOT rolled back — streaming cursors
+        stay monotonic, exactly like Delta's txn actions."""
+        old = self.snapshot(version)
+        needed = list(old.files) + ([old.dv_file] if old.dv_file else [])
+        missing = [
+            f for f in needed if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"RESTORE to version {version}: {len(missing)} required "
+                f"file(s) no longer exist (vacuumed): {missing[:3]}"
+            )
+        for _attempt in range(3):
+            cur = self.snapshot()
+            if cur.version == version:
+                return cur.version  # restoring to the present: no-op
+            old_set = set(old.files)
+            cur_set = set(cur.files)
+            actions: list[dict[str, Any]] = (
+                [{"remove": f} for f in cur.files if f not in old_set]
+                + [
+                    {"add": f, "stats": old.stats.get(f)}
+                    for f in old.files
+                    if f not in cur_set
+                ]
+            )
+            if old.dv_file != cur.dv_file:
+                actions.append(
+                    {"set_dv": old.dv_file} if old.dv_file else {"clear_dv": True}
+                )
+            if not actions and old.schema_json == cur.schema_json:
+                return cur.version  # state already equals the target
+            try:
+                return self._commit(cur.version + 1, actions, old.schema_json)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"RESTORE to {version}: commit contention")
+
     def vacuum(
         self, retain_versions: int = 1, retention_seconds: float = 3600.0
     ) -> list[str]:

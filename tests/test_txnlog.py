@@ -959,3 +959,77 @@ def test_change_feed_keyed_key_only_table(spark, t):
         for r in t.change_feed_keyed(["id"], v0).collect()
     )
     assert rows == [(3, "delete"), (4, "delete"), (10, "insert"), (11, "insert")]
+
+
+# -- round-8: RESTORE (rollback-as-a-commit) ---------------------------------
+
+def test_restore_rolls_back_metadata_only(spark, t):
+    """RESTORE commits a NEW version equal to the target snapshot —
+    no data moves, history preserved, change feed nets it out."""
+    t.create(_r(spark, 0, 100))                       # v0
+    t.delete_where_dv("id < 20")                      # v1 (DV)
+    t.append(_r(spark, 100, 120))                     # v2
+    assert t.read().count() == 100  # 80 + 20 appended
+    new_v = t.restore(0)
+    assert new_v == 3                                  # a commit, not a rewind
+    assert t.read().count() == 100
+    assert sorted(r.id for r in t.read().collect()) == list(range(100))
+    # the rolled-back interval still time-travels
+    assert t.read(version=2).count() == 100
+    assert sorted(r.id for r in t.read(2).collect()) == list(range(20, 120))
+    # change feed across the restore nets to zero vs v0
+    feed = t.change_feed(0)
+    assert feed.count() == 0
+    # restore FORWARD to v2 works too (files still on disk)
+    t.restore(2)
+    assert sorted(r.id for r in t.read().collect()) == list(range(20, 120))
+    # restoring to the already-current state commits nothing
+    v_before = t.latest_version()
+    assert t.restore(2) == v_before
+
+
+def test_restore_preserves_idempotence_ledger(spark, t):
+    t.create(_r(spark, 0, 10))
+    assert t.idempotent_append(_r(spark, 10, 20), "appA", 7) is True
+    t.restore(0)
+    # the streaming cursor survives the rollback (Delta txn semantics):
+    # a replay of batch 7 must still be a no-op
+    assert t.last_batch("appA") == 7
+    assert t.idempotent_append(_r(spark, 10, 20), "appA", 7) is False
+    assert t.read().count() == 10
+
+
+def test_restore_blocked_after_vacuum(spark, t):
+    t.create(_r(spark, 0, 50))                        # v0
+    t.overwrite(_r(spark, 0, 5))                      # v1 (v0 files dead)
+    t.vacuum(retain_versions=1, retention_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(0)
+    # table unchanged: nothing was committed
+    assert t.read().count() == 5
+
+
+def test_sql_restore_statement(spark, tmp_path):
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, str(tmp_path / "wh_restore"))
+    df = spark.range(30).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    cat.create_table("rt", df, transactional=True, primary_keys=["id"])
+    cat.execute("DELETE FROM rt WHERE id >= 10")
+    hist = {e["version"]: e["committed_at"] for e in cat.txn("rt").history()}
+    assert cat.read("rt").count() == 10
+    out = cat.execute("RESTORE TABLE rt TO VERSION AS OF 0").collect()[0]
+    assert out.operation == "RESTORE"
+    assert cat.read("rt").count() == 30
+    # timestamp form: resolve to the post-delete snapshot
+    from datetime import datetime, timezone
+
+    ts = datetime.fromtimestamp(
+        (hist[1] + hist[0]) / 2.0 + (hist[1] - hist[0]), timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+    cat.execute(f"RESTORE TABLE rt TO TIMESTAMP AS OF '{ts}'")
+    assert cat.read("rt").count() == 10
+    # non-transactional target raises
+    cat.create_table("plain_rt", spark.range(3).selectExpr("id"))
+    with pytest.raises(ValueError, match="transactional"):
+        cat.execute("RESTORE TABLE plain_rt TO VERSION AS OF 0")
