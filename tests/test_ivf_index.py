@@ -260,3 +260,97 @@ def test_maintain_empties_cell_and_noop_batch(spark, sf_dir, tmp_path):
     res = similarity.maintain_ivf_index(spark, idx_path, batch.limit(0))
     assert res == {"touched_cells": [], "n_changes": 0}
     assert _cell_listing(idx_path) == before
+
+
+# ---------------------------------------------------------------------------
+# property: any DML sequence + any sync cadence == full re-assignment
+# ---------------------------------------------------------------------------
+
+import json as _json  # noqa: E402
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from dbt_maxcompute_spark.txnlog import TxnTable  # noqa: E402
+
+
+def _vec(i: int, salt: int) -> list[float]:
+    # deterministic, never all-zero (consecutive components differ)
+    return [float((i * 7 + salt * 3 + d) % 13 - 6) for d in range(4)]
+
+
+def _mk_corpus(spark, ids, salt):
+    rows = [(int(i), _vec(i, salt.get(i, 0))) for i in sorted(ids)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+_IVF_OP = st.one_of(
+    st.tuples(st.just("append"), st.integers(1, 3)),
+    st.tuples(st.just("delete_mod"), st.integers(0, 2)),
+    st.tuples(
+        st.just("upsert"),
+        st.lists(st.integers(0, 14), min_size=1, max_size=3, unique=True),
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(st.tuples(_IVF_OP, st.booleans()), min_size=1, max_size=4))
+def test_ivf_sync_equals_reassignment_for_any_dml_sequence(spark, ops):
+    """For ANY interleaving of appends / predicate deletes / key
+    upserts on the corpus table, and ANY sync cadence (each op may or
+    may not be followed by a sync — multi-commit feed intervals
+    included), the synced index content equals assigning the final
+    corpus under the sidecar centroids."""
+    base_dir = _tempfile.mkdtemp(prefix="ivfh_")
+    t = TxnTable(spark, base_dir + "/corpus")
+    ids = set(range(12))
+    salt: dict[int, int] = {}
+    t.create(_mk_corpus(spark, ids, salt))
+    idx = base_dir + "/ivf"
+    similarity.build_ivf_index(
+        t.read(), "vec_id", "embedding", idx,
+        num_centroids=4, cursor=t.latest_version(),
+    )
+    next_id = 100
+    for (op, arg), do_sync in ops:
+        if op == "append":
+            new = list(range(next_id, next_id + arg))
+            next_id += arg
+            ids.update(new)
+            t.append(_mk_corpus(spark, new, salt))
+        elif op == "delete_mod":
+            t.delete_where_dv(f"vec_id % 3 = {arg}")
+            ids = {i for i in ids if i % 3 != arg}
+        else:
+            for i in arg:
+                salt[i] = salt.get(i, 0) + 1
+            t.delete_insert_dv(_mk_corpus(spark, arg, salt), ["vec_id"])
+            ids.update(arg)
+        if do_sync:
+            similarity.sync_ivf_index_from_table(spark, idx, t)
+    similarity.sync_ivf_index_from_table(spark, idx, t)
+
+    with open(_os.path.join(idx, "_ivf_meta.json")) as fh:
+        meta = _json.load(fh)
+    cell_dirs = [d for d in _os.listdir(idx) if d.startswith("centroid_id=")]
+    if not ids:
+        assert cell_dirs == []
+        return
+    want = {
+        (r["vec_id"], str(r["centroid_id"]), tuple(r["embedding"]))
+        for r in similarity.assign_with_meta(
+            _mk_corpus(spark, ids, salt), meta
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], str(r["centroid_id"]), tuple(r["embedding"]))
+        for r in spark.read.parquet(idx).collect()
+    }
+    assert got == want
