@@ -420,6 +420,11 @@ _SHOW_PARTITIONS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+(?P<tbl>[A-Za-z_][\w.]*)\s*$",
     re.IGNORECASE,
 )
+_DESCRIBE_DETAIL_RE = re.compile(
+    # Delta's DESCRIBE DETAIL: one metadata row per table
+    r"^\s*(?:DESCRIBE|DESC)\s+DETAIL\s+(?P<tbl>[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
 _DESCRIBE_RE = re.compile(
     # DESCRIBE HISTORY never reaches this (matched earlier); a
     # non-catalog name falls back to spark.sql at execution time
@@ -908,6 +913,9 @@ def classify(stmt: str):
     m = _SHOW_PARTITIONS_RE.match(masked)
     if m:
         return ("show_partitions", m.group("tbl"))
+    m = _DESCRIBE_DETAIL_RE.match(masked)
+    if m:
+        return ("describe_detail", m.group("tbl"))
     m = _DESCRIBE_RE.match(masked)
     if m:
         return ("describe", m.group("tbl"))
@@ -1312,6 +1320,52 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         walk(base, 0, [])
         return catalog.spark.createDataFrame(
             [(p,) for p in combos], "partition string"
+        )
+    if op == "describe_detail":
+        import os as _os
+
+        _, tbl = parsed
+        meta = catalog.meta(tbl)
+        base = catalog.table_dir(tbl)
+        version = None
+        if meta.transactional:
+            t = catalog.txn(tbl)
+            snap = t.snapshot()
+            version = snap.version
+            files = snap.files
+            size = sum(
+                _os.path.getsize(_os.path.join(base, f))
+                for f in files
+                if _os.path.exists(_os.path.join(base, f))
+            )
+            n_files = len(files)
+        else:
+            n_files, size = 0, 0
+            for root, _dirs, fs in _os.walk(base):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        size += _os.path.getsize(_os.path.join(root, f))
+        pt = list(meta.partition_by or [])
+        if meta.auto_partition and meta.auto.generated_column not in pt:
+            pt.append(meta.auto.generated_column)
+        return catalog.spark.createDataFrame(
+            [(
+                tbl,
+                meta.table_type,
+                "parquet",
+                base,
+                pt,
+                n_files,
+                size,
+                bool(meta.transactional),
+                version,
+                meta.comment,
+            )],
+            "name string, type string, format string, location string, "
+            "partition_columns array<string>, num_files bigint, "
+            "size_in_bytes bigint, transactional boolean, version bigint, "
+            "comment string",
         )
     if op == "describe":
         _, tbl = parsed

@@ -1194,3 +1194,24 @@ def test_sql_show_partitions(spark, cat):
     )
     got = [r.partition for r in cat.execute("SHOW PARTITIONS auto_show").collect()]
     assert len(got) == 2 and all(g.startswith("_pt=") for g in got)
+
+
+def test_sql_describe_detail(spark, cat):
+    """DESCRIBE DETAIL (Delta's table-detail surface): one metadata
+    row — format, location, partition columns, file count/bytes, txn
+    version — all from driver-side metadata (txn tables: the snapshot,
+    never a directory listing of data)."""
+    _mk(cat, spark, 10)
+    row = cat.execute("DESCRIBE DETAIL t").collect()[0]
+    assert row.type == "table" and row.format == "parquet"
+    assert row.transactional is True and row.version == 0
+    assert row.num_files >= 1 and row.size_in_bytes > 0
+    assert row.partition_columns == []
+    cat.execute("DELETE FROM t WHERE id < 3")
+    assert cat.execute("DESCRIBE DETAIL t").collect()[0].version == 1
+    # partitioned plain table
+    src = spark.range(4).selectExpr("id", "concat('p', id % 2) AS pt")
+    cat.create_table("pt_dd", src, partition_by=["pt"])
+    row = cat.execute("DESCRIBE DETAIL pt_dd").collect()[0]
+    assert row.partition_columns == ["pt"]
+    assert row.version is None and row.num_files >= 2
