@@ -888,6 +888,31 @@ class EngineCatalog:
             "bytes": total,
         }
 
+    def set_tblproperties(self, name: str, props: dict[str, str]) -> None:
+        """Merge-update table properties (round-8 extension: the
+        reference sets them only at create — create.sql:7 — but
+        operational toggles like ``bloom_filter_columns`` want a
+        post-create switch; new writer handles pick the change up)."""
+        meta = self.meta(name)
+        merged = dict(meta.tblproperties or {})
+        merged.update({str(k): str(v) for k, v in props.items()})
+        if merged == (meta.tblproperties or {}):
+            return
+        meta.tblproperties = merged
+        self._write_meta(name, meta)
+
+    def unset_tblproperties(self, name: str, keys: list[str]) -> None:
+        meta = self.meta(name)
+        props = dict(meta.tblproperties or {})
+        changed = False
+        for k in keys:
+            if k in props:
+                del props[k]
+                changed = True
+        if changed:
+            meta.tblproperties = props
+            self._write_meta(name, meta)
+
     def set_comment(self, name: str, comment: str) -> None:
         """Idempotent-skip comment update (reference impl.py:629-669)."""
         meta = self.meta(name)

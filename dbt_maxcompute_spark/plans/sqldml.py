@@ -420,6 +420,20 @@ _SHOW_PARTITIONS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+(?P<tbl>[A-Za-z_][\w.]*)\s*$",
     re.IGNORECASE,
 )
+_SET_TBLPROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+SET\s+TBLPROPERTIES\s*\("
+    r"(?P<body>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNSET_TBLPROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+UNSET\s+TBLPROPERTIES\s*\("
+    r"(?P<body>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_TBLPROPS_RE = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<tbl>[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
 _DESCRIBE_DETAIL_RE = re.compile(
     # Delta's DESCRIBE DETAIL: one metadata row per table
     r"^\s*(?:DESCRIBE|DESC)\s+DETAIL\s+(?P<tbl>[A-Za-z_][\w.]*)\s*$",
@@ -913,6 +927,28 @@ def classify(stmt: str):
     m = _SHOW_PARTITIONS_RE.match(masked)
     if m:
         return ("show_partitions", m.group("tbl"))
+    m = _SET_TBLPROPS_RE.match(masked)
+    if m:
+        body = stmt[m.start("body"):m.end("body")]
+        bmask = masked[m.start("body"):m.end("body")]
+        props: dict[str, str] = {}
+        for part in _split_top_level(body, bmask):
+            k, eq, v = part.partition("=")
+            if not eq:
+                raise ValueError(f"SET TBLPROPERTIES: malformed {part!r}")
+            props[k.strip().strip("'\"`")] = v.strip().strip("'\"")
+        return ("set_tblprops", m.group("tbl"), props)
+    m = _UNSET_TBLPROPS_RE.match(masked)
+    if m:
+        body = stmt[m.start("body"):m.end("body")]
+        bmask = masked[m.start("body"):m.end("body")]
+        keys = [
+            p.strip().strip("'\"`") for p in _split_top_level(body, bmask)
+        ]
+        return ("unset_tblprops", m.group("tbl"), keys)
+    m = _SHOW_TBLPROPS_RE.match(masked)
+    if m:
+        return ("show_tblprops", m.group("tbl"))
     m = _DESCRIBE_DETAIL_RE.match(masked)
     if m:
         return ("describe_detail", m.group("tbl"))
@@ -1320,6 +1356,20 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         walk(base, 0, [])
         return catalog.spark.createDataFrame(
             [(p,) for p in combos], "partition string"
+        )
+    if op == "set_tblprops":
+        _, tbl, props = parsed
+        catalog.set_tblproperties(tbl, props)
+        return _summary(catalog, "ALTER TABLE SET TBLPROPERTIES", tbl, len(props))
+    if op == "unset_tblprops":
+        _, tbl, keys = parsed
+        catalog.unset_tblproperties(tbl, keys)
+        return _summary(catalog, "ALTER TABLE UNSET TBLPROPERTIES", tbl, len(keys))
+    if op == "show_tblprops":
+        _, tbl = parsed
+        props = catalog.meta(tbl).tblproperties or {}
+        return catalog.spark.createDataFrame(
+            sorted(props.items()), "key string, value string"
         )
     if op == "describe_detail":
         import os as _os

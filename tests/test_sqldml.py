@@ -1215,3 +1215,24 @@ def test_sql_describe_detail(spark, cat):
     row = cat.execute("DESCRIBE DETAIL pt_dd").collect()[0]
     assert row.partition_columns == ["pt"]
     assert row.version is None and row.num_files >= 2
+
+
+def test_sql_tblproperties_statements(spark, cat):
+    """ALTER TABLE SET/UNSET TBLPROPERTIES + SHOW TBLPROPERTIES
+    (round-8 extension): post-create property toggles — new writer
+    handles pick up bloom_filter_columns immediately."""
+    _mk(cat, spark, 8)
+    cat.execute(
+        "ALTER TABLE t SET TBLPROPERTIES('bloom_filter_columns'='v', "
+        "'owner'='data-eng')"
+    )
+    got = {r.key: r.value for r in cat.execute("SHOW TBLPROPERTIES t").collect()}
+    assert got == {"bloom_filter_columns": "v", "owner": "data-eng"}
+    # the toggle is live for new writer handles
+    assert cat.txn("t").bloom_cols == ["v"]
+    cat.execute("INSERT INTO t VALUES (100, 1000, 'x')")
+    snap = cat.txn("t").snapshot()
+    assert any((snap.stats.get(f) or {}).get("bloomFile") for f in snap.files)
+    cat.execute("ALTER TABLE t UNSET TBLPROPERTIES('owner', 'missing_key')")
+    got = {r.key: r.value for r in cat.execute("SHOW TBLPROPERTIES t").collect()}
+    assert got == {"bloom_filter_columns": "v"}
