@@ -64,6 +64,7 @@ _PRIORITY = [
     "ann_ivf_index_maintenance",
     "ann_ivf_cdf_sync",
     "txn_restore",
+    "sql_copy_into",
     "mv_rewrite_join_alias",
     "sql_cdf_tvf",
     "sql_ddl_statement_script",
@@ -112,7 +113,6 @@ _PRIORITY = [
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
 ]
 
 

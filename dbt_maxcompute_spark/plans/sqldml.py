@@ -420,6 +420,15 @@ _SHOW_PARTITIONS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+(?P<tbl>[A-Za-z_][\w.]*)\s*$",
     re.IGNORECASE,
 )
+_COPY_INTO_RE = re.compile(
+    # Delta's idempotent-ingest surface (supported subset):
+    # COPY INTO t FROM '<dir-or-file>' FILEFORMAT = PARQUET|CSV|JSON
+    #   [PATTERN = '<glob>']
+    r"^\s*COPY\s+INTO\s+(?P<tbl>[A-Za-z_][\w.]*)\s+FROM\s+(?P<src>'[^']*')\s+"
+    r"FILEFORMAT\s*=\s*(?P<fmt>\w+)"
+    r"(?:\s+PATTERN\s*=\s*(?P<pat>'[^']*'))?\s*$",
+    re.IGNORECASE,
+)
 _SET_TBLPROPS_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+SET\s+TBLPROPERTIES\s*\("
     r"(?P<body>.*)\)\s*$",
@@ -927,6 +936,11 @@ def classify(stmt: str):
     m = _SHOW_PARTITIONS_RE.match(masked)
     if m:
         return ("show_partitions", m.group("tbl"))
+    m = _COPY_INTO_RE.match(masked)
+    if m:
+        src = stmt[m.start("src") + 1:m.end("src") - 1]
+        pat = stmt[m.start("pat") + 1:m.end("pat") - 1] if m.group("pat") else None
+        return ("copy_into", m.group("tbl"), src, m.group("fmt").lower(), pat)
     m = _SET_TBLPROPS_RE.match(masked)
     if m:
         body = stmt[m.start("body"):m.end("body")]
@@ -1357,6 +1371,29 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         return catalog.spark.createDataFrame(
             [(p,) for p in combos], "partition string"
         )
+    if op == "copy_into":
+        import fnmatch as _fnmatch
+        import os as _os
+
+        _, tbl, src, fmt, pat = parsed
+        if fmt not in ("parquet", "csv", "json"):
+            raise ValueError(f"COPY INTO: unsupported FILEFORMAT {fmt!r}")
+        t = _require_txn(catalog, tbl, "COPY INTO")
+        if _os.path.isdir(src):
+            names = sorted(
+                f for f in _os.listdir(src)
+                if not f.startswith((".", "_"))
+                and _os.path.isfile(_os.path.join(src, f))
+            )
+            if pat:
+                names = [f for f in names if _fnmatch.fnmatch(f, pat)]
+            paths = [_os.path.join(src, f) for f in names]
+        else:
+            paths = [src]
+        if not paths:
+            return _summary(catalog, "COPY INTO", tbl, 0)
+        _files, rows = t.copy_into(paths, fmt=fmt)
+        return _summary(catalog, "COPY INTO", tbl, rows)
     if op == "set_tblprops":
         _, tbl, props = parsed
         catalog.set_tblproperties(tbl, props)

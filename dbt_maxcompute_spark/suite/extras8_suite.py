@@ -2,7 +2,8 @@
 exactly-once CDF-to-index sync (the churn half of the 100 TB ANN
 story — touched-cell rewrites from a keyed change feed, never a
 rebuild), normalized join-tree MV auto-rewrite, and Delta-style
-RESTORE (rollback as a metadata-only commit).
+RESTORE (rollback as a metadata-only commit) and COPY INTO
+(exactly-once per-file landing-zone ingest).
 
 Oracle conventions as elsewhere: exact sums through DECIMAL(28,6)
 cast to DOUBLE at the edge, counts as BIGINT, explicit ORDER BY.
@@ -295,6 +296,81 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_restored,
 """
 
 
+def q_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8: COPY INTO as the exactly-once ingest primitive — the
+    # 100 TB landing-zone pattern (files arrive continuously; the
+    # loader must never double-load a file across retries/replays).
+    # Each source file rides the snapshot's idempotence ledger as a
+    # txn marker: the second COPY applies NOTHING metadata-only, a
+    # later file loads ALONE. Oracle predicts the final table from
+    # the slices landed.
+    import os
+    import shutil
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="cpy_wh_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_table(
+        "cp",
+        orders.filter(F.col("o_orderkey") % 10 == 0),
+        transactional=True,
+        primary_keys=["o_orderkey"],
+    )
+    landing = tempfile.mkdtemp(prefix="cpy_land_")
+    stage = tempfile.mkdtemp(prefix="cpy_stage_")
+
+    def land(name: str, mod: int) -> None:
+        d = os.path.join(stage, name)
+        orders.filter(F.col("o_orderkey") % 10 == mod).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(d, part), os.path.join(landing, name))
+
+    land("a.parquet", 1)
+    land("b.parquet", 2)
+    r1 = cat.execute(
+        f"COPY INTO cp FROM '{landing}' FILEFORMAT = PARQUET"
+    ).collect()[0].affected_rows
+    r2 = cat.execute(
+        f"COPY INTO cp FROM '{landing}' FILEFORMAT = PARQUET"
+    ).collect()[0].affected_rows
+    land("c.parquet", 3)
+    r3 = cat.execute(
+        f"COPY INTO cp FROM '{landing}' FILEFORMAT = PARQUET"
+    ).collect()[0].affected_rows
+    n_files_loaded = sum(
+        1 for k in cat.txn("cp").snapshot().app_versions if k.startswith("copy:")
+    )
+    return cat.read("cp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total"),
+    ).select(
+        "n",
+        "total",
+        F.lit(r1 > 0 and r2 == 0 and 0 < r3 < r1).alias("exactly_once_per_file"),
+        F.lit(n_files_loaded).cast("bigint").alias("files_loaded"),
+    )
+
+
+ORACLE_SQL_COPY_INTO = """
+WITH landed AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 IN (0, 1, 2, 3)
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       TRUE AS exactly_once_per_file,
+       CAST(3 AS BIGINT) AS files_loaded
+FROM landed
+"""
+
+
 def q_mv_rewrite_join_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-8 (verdict item 6): MV auto-rewrite over JOIN MVs with
     # NORMALIZED join-tree matching — aliases resolve to table names,
@@ -367,6 +443,7 @@ QUERIES = {
     "ann_ivf_index_maintenance": q_ann_ivf_index_maintenance,
     "ann_ivf_cdf_sync": q_ann_ivf_cdf_sync,
     "txn_restore": q_txn_restore,
+    "sql_copy_into": q_sql_copy_into,
     "mv_rewrite_join_alias": q_mv_rewrite_join_alias,
 }
 
@@ -374,5 +451,6 @@ ORACLES = {
     "ann_ivf_index_maintenance": ORACLE_ANN_IVF_INDEX_MAINTENANCE,
     "ann_ivf_cdf_sync": ORACLE_ANN_IVF_CDF_SYNC,
     "txn_restore": ORACLE_TXN_RESTORE,
+    "sql_copy_into": ORACLE_SQL_COPY_INTO,
     "mv_rewrite_join_alias": ORACLE_MV_REWRITE_JOIN_ALIAS,
 }

@@ -53,6 +53,7 @@ from pyspark.sql.functions import col as F_col
 
 LOG_DIR = "_txn_log"
 CHECKPOINT_EVERY = 10
+_TXN_RETRIES = 3
 
 
 class CommitConflict(RuntimeError):
@@ -660,6 +661,74 @@ class TxnTable:
         """Highest batch id committed by ``app_id`` (None if never) —
         the read side of the exactly-once streaming contract."""
         return self.snapshot().app_versions.get(str(app_id))
+
+    def copy_into(
+        self,
+        paths: list[str],
+        fmt: str = "parquet",
+        options: dict[str, str] | None = None,
+    ) -> tuple[int, int]:
+        """Idempotent file ingest (Delta's COPY INTO surface): each
+        SOURCE FILE loads exactly ONCE — the commit carries one txn
+        marker per file (``app_id = 'copy:<abspath>'``), so the
+        loaded-file ledger rides the snapshot's app_versions: replays
+        are METADATA-ONLY no-ops (no read of already-loaded files) and
+        the ledger survives checkpoints. Incoming rows conform to the
+        table schema by NAME with casts; a missing table column in the
+        source raises before anything commits.
+
+        Returns (files_loaded, rows_loaded)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        for _attempt in range(_TXN_RETRIES):
+            snap = self.snapshot()
+            new = [
+                p
+                for p in paths
+                if f"copy:{os.path.abspath(p)}" not in snap.app_versions
+            ]
+            if not new:
+                return (0, 0)
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            reader = self.spark.read
+            for k, v in (options or {}).items():
+                reader = reader.option(k, v)
+            if fmt == "csv":
+                reader = reader.option("header", "true").schema(schema)
+            elif fmt == "json":
+                reader = reader.schema(schema)
+            df = reader.format(fmt).load(new)
+            missing = [f.name for f in schema.fields if f.name not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"COPY INTO: source lacks table columns {missing}"
+                )
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
+            adds = self._stage_files(df)
+            markers = [
+                {"app_id": f"copy:{os.path.abspath(p)}", "batch_id": 0}
+                for p in new
+            ]
+            try:
+                self._commit(snap.version + 1, adds, snap.schema_json, txn=markers)
+            except CommitConflict:
+                # a racing writer took the version: roll our staged
+                # files back and retry against the fresh ledger (a
+                # racing COPY of the same files then dedups correctly)
+                for a in adds:
+                    try:
+                        os.unlink(os.path.join(self.path, a["add"]))
+                    except OSError:
+                        pass
+                continue
+            rows = sum(
+                int((a.get("stats") or {}).get("numRecords") or 0) for a in adds
+            )
+            return (len(new), rows)
+        raise CommitConflict("COPY INTO: commit contention")
 
     def delete_insert_dv(
         self,

@@ -1236,3 +1236,64 @@ def test_sql_tblproperties_statements(spark, cat):
     cat.execute("ALTER TABLE t UNSET TBLPROPERTIES('owner', 'missing_key')")
     got = {r.key: r.value for r in cat.execute("SHOW TBLPROPERTIES t").collect()}
     assert got == {"bloom_filter_columns": "v"}
+
+
+def test_sql_copy_into_idempotent(spark, cat, tmp_path):
+    """COPY INTO (Delta's idempotent ingest): each source FILE loads
+    exactly once via per-file txn markers in the snapshot ledger —
+    replays are metadata-only no-ops; a new file in the directory
+    loads alone on the next COPY; schema conforms by name with casts;
+    CSV loads through the table schema."""
+    import os
+
+    _mk(cat, spark, 5)
+    src = tmp_path / "landing"
+    os.makedirs(src)
+
+    def drop_file(name, lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") * 10).alias("v"),
+            F.concat(F.lit("c-"), F.col("id")).alias("s"),
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        part = [
+            f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+        ][0]
+        os.rename(tmp_path / "stage" / part, src / name)
+
+    drop_file("a.parquet", 100, 110)
+    drop_file("b.parquet", 110, 115)
+    out = cat.execute(
+        f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert out.affected_rows == 15
+    assert cat.read("t").count() == 20
+    # replay: nothing loads, nothing is even read
+    out = cat.execute(
+        f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert out.affected_rows == 0
+    assert cat.read("t").count() == 20
+    # a NEW file loads alone
+    drop_file("c.parquet", 115, 118)
+    out = cat.execute(
+        f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET PATTERN = '*.parquet'"
+    ).collect()[0]
+    assert out.affected_rows == 3
+    assert cat.read("t").count() == 23
+    # the ledger survives a checkpoint-heavy future: markers live in
+    # app_versions
+    snap = cat.txn("t").snapshot()
+    assert sum(1 for k in snap.app_versions if k.startswith("copy:")) == 3
+    # CSV through the table schema
+    csv_dir = tmp_path / "csv_landing"
+    os.makedirs(csv_dir)
+    (csv_dir / "d.csv").write_text("id,v,s\n500,5000,csv-row\n")
+    out = cat.execute(
+        f"COPY INTO t FROM '{csv_dir}' FILEFORMAT = CSV"
+    ).collect()[0]
+    assert out.affected_rows == 1
+    got = {r.id: (r.v, r.s) for r in cat.read("t").collect()}
+    assert got[500] == (5000, "csv-row")
+    # unsupported format is a statement error
+    with pytest.raises(ValueError, match="FILEFORMAT"):
+        cat.execute(f"COPY INTO t FROM '{src}' FILEFORMAT = ORC")
