@@ -382,6 +382,31 @@ def assign_with_meta(df: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+def _heal_ivf_cells(index_path: str) -> int:
+    """Restore the crash-swap invariant before touching an index: for
+    every leftover ``.centroid_id=N.old`` aside dir, if the live cell
+    dir is MISSING the crash hit between rename-aside and move-in —
+    restore the aside (the un-committed batch replays later, cursor
+    unchanged); if the live dir EXISTS the swap completed — drop the
+    stale aside. Either way the index is whole afterwards. Returns the
+    number of asides handled (metadata-sized listdir, zero Spark jobs)."""
+    import os as _os
+    import shutil as _shutil
+
+    healed = 0
+    for name in _os.listdir(index_path):
+        if not (name.startswith(".centroid_id=") and name.endswith(".old")):
+            continue
+        live = _os.path.join(index_path, name[1:-4])
+        aside = _os.path.join(index_path, name)
+        if _os.path.exists(live):
+            _shutil.rmtree(aside)
+        else:
+            _os.replace(aside, live)
+        healed += 1
+    return healed
+
+
 def maintain_ivf_index(spark, index_path: str, changes: DataFrame) -> dict:
     """Incrementally maintain a :func:`build_ivf_index` artifact from a
     keyed change feed — the missing piece of the 100 TB ANN story: at
@@ -415,6 +440,7 @@ def maintain_ivf_index(spark, index_path: str, changes: DataFrame) -> dict:
     import os as _os
     import shutil as _shutil
 
+    _heal_ivf_cells(index_path)
     with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
         meta = _json.load(fh)
     id_col = meta["id_col"]
@@ -453,15 +479,23 @@ def maintain_ivf_index(spark, index_path: str, changes: DataFrame) -> dict:
     staged = {
         d for d in _os.listdir(stage) if d.startswith("centroid_id=")
     }
-    # swap in rewritten cells; a touched cell emptied by the batch has
-    # no staged dir and its old dir is simply removed
+    # Crash-atomic swap (round-9 advisory fix): the pre-existing cell
+    # is RENAMED aside (never deleted before its replacement is in
+    # place), the staged dir renames in, and only then does the old
+    # copy drop. A crash in any window leaves either the old dir, the
+    # new dir, or both — never neither — and _heal_ivf_cells restores
+    # the invariant on the next maintain/search. The aside name leads
+    # with a dot so Spark's file listing ignores it.
     for cell in touched:
         d = f"centroid_id={cell}"
         dst = _os.path.join(index_path, d)
+        aside = _os.path.join(index_path, f".{d}.old")
         if _os.path.exists(dst):
-            _shutil.rmtree(dst)
+            _os.replace(dst, aside)
         if d in staged:
             _shutil.move(_os.path.join(stage, d), dst)
+        if _os.path.exists(aside):
+            _shutil.rmtree(aside)
     _shutil.rmtree(stage, ignore_errors=True)
     return {"touched_cells": touched, "n_changes": ch.count()}
 
@@ -524,6 +558,7 @@ def ivf_indexed_topk(
 
     from pyspark.sql import Window as W
 
+    _heal_ivf_cells(index_path)
     with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
         meta = _json.load(fh)
     id_col, vec_col = meta["id_col"], meta["vec_col"]

@@ -589,13 +589,21 @@ def _normalize_rollup_relation(r: _Rollup) -> _Rollup:
 
 def _subst_keys(text: str, key_out: dict) -> str:
     """Replace (possibly qualified) grouping-key references with the
-    MV's output column names in emitted SQL fragments."""
+    MV's output column names in emitted SQL fragments. Substitution is
+    applied OUTSIDE single-quoted string literals only — a residual
+    like ``status = 'status pending'`` must keep its literal intact
+    (rewriting data text would silently change the predicate while the
+    emitted SQL still analyzes fine, so the fallback never fires)."""
+    segments = re.split(r"('[^']*')", text)
     for k in sorted(key_out, key=len, reverse=True):
-        pat = (
+        pat = re.compile(
             r"\b" + r"\s*\.\s*".join(re.escape(p) for p in k.split(".")) + r"\b"
         )
-        text = re.sub(pat, key_out[k], text)
-    return text
+        segments = [
+            s if s.startswith("'") else pat.sub(key_out[k], s)
+            for s in segments
+        ]
+    return "".join(segments)
 
 
 def _ident_parts(keys) -> set[str]:

@@ -168,21 +168,28 @@ def _rewrite_table_changes(catalog: "EngineCatalog", sql: str) -> str:
     ``TxnTable.change_feed(v0, v1)`` (rows + ``_change_type``), the
     Delta CDF TVF shape. Each bound is either an integer VERSION or a
     quoted TIMESTAMP literal (round-8: Delta's CDF surface accepts
-    both); a timestamp resolves against the txn log's commit
-    timestamps with the SAME rule as ``FOR TIMESTAMP AS OF`` — the
-    newest version committed at or before the instant — so
-    ``table_changes('t', '<ts>')`` reads "changes since the snapshot
-    as of <ts>". Scanned on the MASKED text so the function name
+    both); timestamps resolve against the txn log's commit timestamps
+    with Delta's CDF boundary rules — the START bound is
+    from-INCLUSIVE (first commit at or after the instant; a commit at
+    exactly the given timestamp is in the feed), the END bound keeps
+    the AS-OF rule (newest commit at or before the instant). Naive
+    literals resolve in the session timezone (``_ts_epoch``).
+    Scanned on the MASKED text so the function name
     inside a string literal never rewrites; unparseable argument
     lists fall through to Spark (which reports the unknown TVF)."""
 
-    def _bound(text: str) -> int | None:
+    def _bound(text: str, is_start: bool = False) -> int | None:
         text = text.strip()
         try:
             return int(text)
         except ValueError:
             pass
         if len(text) >= 2 and text[0] in "'\"" and text[-1] == text[0]:
+            # Delta CDF boundary semantics: the START timestamp is
+            # from-INCLUSIVE (first commit >= ts), the END keeps the
+            # AS-OF rule (newest commit <= ts)
+            if is_start:
+                return _start_version_at_timestamp(catalog, tbl, text[1:-1])
             return _version_at_timestamp(catalog, tbl, text[1:-1])
         return None
 
@@ -196,11 +203,14 @@ def _rewrite_table_changes(catalog: "EngineCatalog", sql: str) -> str:
         if len(args) not in (2, 3) or not args[0][:1] in "'\"":
             continue
         tbl = args[0].strip("'\"")
-        v0 = _bound(args[1])
+        v0 = _bound(args[1], is_start=True)
         v1 = _bound(args[2]) if len(args) == 3 else None
         if v0 is None or (len(args) == 3 and v1 is None):
             continue
-        view = f"__tc_{tbl.replace('.', '_')}_{v0}_{v1 if v1 is not None else 'l'}"
+        # v0 may be -1 (pre-first-commit start); '-' is not a valid
+        # view-name character
+        v0_tag = str(v0).replace("-", "m")
+        view = f"__tc_{tbl.replace('.', '_')}_{v0_tag}_{v1 if v1 is not None else 'l'}"
         catalog.txn(tbl).change_feed(v0, v1).createOrReplaceTempView(view)
         out.append(sql[last:m.start()])
         out.append(view)
@@ -209,21 +219,66 @@ def _rewrite_table_changes(catalog: "EngineCatalog", sql: str) -> str:
     return "".join(out)
 
 
-def _version_at_timestamp(catalog: "EngineCatalog", tbl: str, ts_text: str) -> int:
+def _ts_epoch(catalog: "EngineCatalog", ts_text: str) -> float:
+    """Epoch seconds for a time-travel timestamp literal. A NAIVE
+    literal resolves in the SESSION timezone (round-9 advisory fix:
+    Spark/Delta resolve naive time-travel timestamps in
+    ``spark.sql.session.timeZone``, not UTC — assuming UTC picks the
+    wrong version on non-UTC sessions)."""
     from datetime import datetime, timezone
 
     dt = datetime.fromisoformat(ts_text)
     if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
-    epoch = dt.timestamp()
+        tz_name = catalog.spark.conf.get("spark.sql.session.timeZone", "UTC")
+        try:
+            from zoneinfo import ZoneInfo
+
+            dt = dt.replace(tzinfo=ZoneInfo(tz_name))
+        except Exception:
+            # offset-style zone ids ("GMT+08:00", "+08:00") or unknown
+            # names: fall back to UTC rather than failing the statement
+            dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def _us(epoch_s: float) -> int:
+    """Quantize epoch seconds to integer microseconds — timestamp
+    literals carry microsecond precision, so comparing at that
+    granularity makes a literal copied from a commit's own timestamp
+    land ON the commit instead of missing it by float jitter."""
+    return int(round(epoch_s * 1_000_000))
+
+
+def _version_at_timestamp(catalog: "EngineCatalog", tbl: str, ts_text: str) -> int:
+    """AS-OF rule (Delta's time-travel + CDF END bound): the newest
+    version committed at or before the instant."""
+    epoch = _us(_ts_epoch(catalog, ts_text))
     best = None
     for entry in catalog.txn(tbl).history():
         at = entry.get("committed_at")
-        if at is not None and at <= epoch:
+        if at is not None and _us(at) <= epoch:
             best = max(best, entry["version"]) if best is not None else entry["version"]
     if best is None:
         raise ValueError(f"no version of {tbl} committed at or before {ts_text!r}")
     return best
+
+
+def _start_version_at_timestamp(catalog: "EngineCatalog", tbl: str, ts_text: str) -> int:
+    """Delta's CDF START-bound rule (round-9 advisory fix): a start
+    timestamp resolves to the FIRST commit at or after the instant,
+    inclusive — a commit at exactly the given timestamp is part of the
+    feed. ``change_feed`` is from-exclusive, so the exclusive start is
+    that version minus one. A start past the last commit raises, like
+    Delta's "timestamp after latest commit" error."""
+    epoch = _us(_ts_epoch(catalog, ts_text))
+    first = None
+    for entry in catalog.txn(tbl).history():
+        at = entry.get("committed_at")
+        if at is not None and _us(at) >= epoch:
+            first = min(first, entry["version"]) if first is not None else entry["version"]
+    if first is None:
+        raise ValueError(f"no version of {tbl} committed at or after {ts_text!r}")
+    return first - 1
 
 
 # ---------------------------------------------------------------------------

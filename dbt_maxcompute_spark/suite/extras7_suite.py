@@ -360,8 +360,9 @@ def q_sql_cdf_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     # round-8: the TIMESTAMP-bound form (Delta's CDF surface accepts
-    # both) — a timestamp between the v0 and v1 commits resolves to
-    # version 0 under the AS-OF rule, so the feed is identical to the
+    # both) — a timestamp between the v0 and v1 commits resolves under
+    # Delta's start-bound rule (first commit at or after the instant,
+    # here version 1, from-inclusive), so the feed is identical to the
     # version form above; pinned as a column via one signed-count
     # comparison (each side evaluated once).
     from datetime import datetime, timezone

@@ -695,7 +695,11 @@ class TxnTable:
             for k, v in (options or {}).items():
                 reader = reader.option(k, v)
             if fmt == "csv":
-                reader = reader.option("header", "true").schema(schema)
+                # header defaults on for COPY INTO, but an explicit
+                # caller header=false must win (round-9 advisory fix)
+                if "header" not in {k.lower() for k in (options or {})}:
+                    reader = reader.option("header", "true")
+                reader = reader.schema(schema)
             elif fmt == "json":
                 reader = reader.schema(schema)
             df = reader.format(fmt).load(new)
@@ -724,9 +728,20 @@ class TxnTable:
                     except OSError:
                         pass
                 continue
-            rows = sum(
-                int((a.get("stats") or {}).get("numRecords") or 0) for a in adds
-            )
+            stats = [(a.get("stats") or {}).get("numRecords") for a in adds]
+            if any(s is None for s in stats):
+                # a staged file missing footer stats would silently
+                # report 0 rows (round-9 advisory fix): count the
+                # committed files directly instead
+                rows = (
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, a["add"]) for a in adds]
+                    ).count()
+                    if adds
+                    else 0
+                )
+            else:
+                rows = sum(int(s) for s in stats)
             return (len(new), rows)
         raise CommitConflict("COPY INTO: commit contention")
 
@@ -1494,6 +1509,14 @@ class TxnTable:
         to_version = self.latest_version() if to_version is None else to_version
         if to_version < from_version:
             raise ValueError("change_feed: to_version < from_version")
+        if from_version < 0:
+            # exclusive start before the first commit (Delta: a CDF
+            # start timestamp earlier than v0 resolves there): the
+            # from-snapshot is empty, so the net feed is every row
+            # visible at ``to`` as an insert — one snapshot read
+            return self.read(to_version).withColumn(
+                "_change_type", F.lit("insert")
+            )
         append_only, dv_compatible, interval_adds = True, True, []
         for v in range(from_version + 1, to_version + 1):
             with open(self._entry_path(v)) as fh:

@@ -262,6 +262,68 @@ def test_maintain_empties_cell_and_noop_batch(spark, sf_dir, tmp_path):
     assert _cell_listing(idx_path) == before
 
 
+def test_cell_swap_is_crash_atomic(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-9 advisory fix: a crash between the aside-rename and the
+    staged move-in must not lose the cell's pre-existing rows. The old
+    dir is renamed aside (never deleted first); _heal_ivf_cells on the
+    next maintain/search restores it, and the replayed batch then
+    applies cleanly."""
+    import os
+    import shutil
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    idx_path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, "vec_id", "embedding", idx_path, num_centroids=4)
+    before_rows = spark.read.parquet(idx_path).count()
+    two = base.filter(F.col("vec_id").isin(10, 20))
+    batch = two.withColumn("_change_type", F.lit("delete")).unionByName(
+        two.withColumn("_change_type", F.lit("insert"))
+    )
+
+    def exploding_move(src, dst):
+        raise RuntimeError("simulated crash between aside-rename and move-in")
+
+    monkeypatch.setattr(shutil, "move", exploding_move)
+    try:
+        similarity.maintain_ivf_index(spark, idx_path, batch)
+        raise AssertionError("simulated crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # crash window: some cell's live dir is gone but its aside survives
+    asides = [d for d in os.listdir(idx_path) if d.endswith(".old")]
+    assert asides, "crash should have left an aside dir"
+    # search heals before probing — full corpus visible again
+    q = base.filter(F.col("vec_id") == 1)
+    out = similarity.ivf_indexed_topk(spark, idx_path, q, k=3, nprobe=4)
+    assert out.count() == 3
+    assert not [d for d in os.listdir(idx_path) if d.endswith(".old")]
+    assert spark.read.parquet(idx_path).count() == before_rows
+    # replaying the batch after heal applies cleanly (delete+reinsert
+    # is content-neutral)
+    similarity.maintain_ivf_index(spark, idx_path, batch)
+    assert spark.read.parquet(idx_path).count() == before_rows
+
+
+def test_heal_drops_stale_aside_when_swap_completed(tmp_path):
+    """Other crash window: the staged dir moved in but the aside was
+    not yet dropped — heal keeps the NEW live dir and removes the
+    stale aside."""
+    import os
+
+    idx = tmp_path / "ivf"
+    live = idx / "centroid_id=3"
+    aside = idx / ".centroid_id=3.old"
+    live.mkdir(parents=True)
+    aside.mkdir()
+    (live / "part-new.parquet").write_bytes(b"new")
+    (aside / "part-old.parquet").write_bytes(b"old")
+    assert similarity._heal_ivf_cells(str(idx)) == 1
+    assert os.listdir(idx) == ["centroid_id=3"]
+    assert os.listdir(live) == ["part-new.parquet"]
+
+
 # ---------------------------------------------------------------------------
 # property: any DML sequence + any sync cadence == full re-assignment
 # ---------------------------------------------------------------------------

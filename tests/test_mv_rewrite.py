@@ -578,6 +578,35 @@ def test_having_identifier_inside_literal_not_checked():
     assert try_rewrite(user_bad, [("m", SUMCOUNT_MV_SQL)]) is None
 
 
+def test_subst_keys_leaves_string_literals_alone():
+    """Round-9 advisory fix: _subst_keys must not rewrite grouping-key
+    text INSIDE string literals. With an MV key aliased (rf), a
+    residual WHERE like l_returnflag = 'l_returnflag pending' used to
+    emit rf = 'rf pending' — analyzes fine, silently wrong rows."""
+    mv = """SELECT l_returnflag AS rf, count(*) AS n
+            FROM lineitem GROUP BY l_returnflag"""
+    user = """
+    SELECT l_returnflag, count(*) AS cnt
+    FROM lineitem WHERE l_returnflag = 'l_returnflag pending'
+    GROUP BY l_returnflag
+    """
+    out = try_rewrite(user, [("m", mv)])
+    assert out is not None
+    assert "'l_returnflag pending'" in out   # literal untouched
+    assert "rf = 'l_returnflag pending'" in out  # key substituted outside
+    # same protection on ORDER BY / HAVING emission
+    user2 = """
+    SELECT l_returnflag, count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    HAVING l_returnflag <> 'l_returnflag x'
+    ORDER BY l_returnflag
+    """
+    out2 = try_rewrite(user2, [("m", mv)])
+    assert out2 is not None
+    assert "'l_returnflag x'" in out2
+    assert out2.endswith("ORDER BY rf")
+
+
 # -- round-7 breadth: expression canon, OR containment, string ranges --------
 
 def test_expression_normalized_matching():

@@ -1050,10 +1050,12 @@ def test_table_changes_tvf_and_bloom_tblproperty(spark, cat):
 
 
 def test_table_changes_tvf_timestamp_bounds(spark, cat):
-    """Round-8: table_changes accepts quoted TIMESTAMP bounds, resolved
-    like FOR TIMESTAMP AS OF (newest version committed at or before) —
-    'changes since the snapshot as of <ts>'. Mixed version/timestamp
-    bounds work; a pre-table timestamp is a statement error."""
+    """Round-8/9: table_changes accepts quoted TIMESTAMP bounds with
+    Delta's CDF boundary rules — the START bound resolves to the first
+    commit at or after the instant (from-INCLUSIVE: a commit at exactly
+    the given timestamp is in the feed), the END bound keeps the AS-OF
+    rule (newest commit at or before). Mixed version/timestamp bounds
+    work; a start past the last commit is a statement error."""
     from datetime import datetime, timezone
 
     import pytest
@@ -1072,7 +1074,8 @@ def test_table_changes_tvf_timestamp_bounds(spark, cat):
             "%Y-%m-%dT%H:%M:%S.%f+00:00"
         )
 
-    # ts between v0 and v1 commits → start snapshot v0: full feed
+    # ts between v0 and v1 commits → first commit >= ts is v1,
+    # from-inclusive: full feed
     t0 = lit((hist[0] + hist[1]) / 2.0)
     rows = {
         (r.id, r._change_type)
@@ -1081,7 +1084,16 @@ def test_table_changes_tvf_timestamp_bounds(spark, cat):
         ).collect()
     }
     assert rows == {(6, "delete"), (7, "delete"), (100, "insert")}
-    # mixed bounds: version start, timestamp end pinned at v1
+    # a start ts EXACTLY at the v2 commit includes v2 (Delta inclusive
+    # boundary — the AS-OF rule would wrongly exclude it)
+    rows = {
+        (r.id, r._change_type)
+        for r in cat.execute(
+            f"SELECT * FROM table_changes('cft', '{lit(hist[2])}')"
+        ).collect()
+    }
+    assert rows == {(100, "insert")}
+    # mixed bounds: version start, timestamp end pinned at v1 (AS-OF)
     t1 = lit((hist[1] + hist[2]) / 2.0)
     rows = {
         (r.id, r._change_type)
@@ -1090,11 +1102,61 @@ def test_table_changes_tvf_timestamp_bounds(spark, cat):
         ).collect()
     }
     assert rows == {(6, "delete"), (7, "delete")}
-    # a timestamp before the first commit resolves to no version
+    # a start before the first commit resolves to version 0 inclusive —
+    # the feed carries the initial load as inserts (Delta's rule)
+    rows = {
+        (r.id, r._change_type)
+        for r in cat.execute(
+            "SELECT * FROM table_changes('cft', '1990-01-01T00:00:00+00:00')"
+        ).collect()
+    }
+    assert rows == {(i, "insert") for i in range(6)} | {(100, "insert")}
+    # a start past the LAST commit has no commit at-or-after: error
     with pytest.raises(ValueError, match="no version"):
         cat.execute(
-            "SELECT * FROM table_changes('cft', '1990-01-01T00:00:00+00:00')"
+            "SELECT * FROM table_changes('cft', '2990-01-01T00:00:00+00:00')"
         )
+
+
+def test_naive_time_travel_timestamp_uses_session_timezone(spark, cat):
+    """Round-9 advisory fix: a NAIVE timestamp literal resolves in
+    spark.sql.session.timeZone (Spark/Delta behavior), not UTC. With
+    the session pinned to a +0 offset zone vs a far-east zone, the
+    same naive literal must pick different versions."""
+    from datetime import datetime, timezone
+
+    df = spark.range(4).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    cat.create_table("tzt", df, transactional=True, primary_keys=["id"])
+    cat.execute("DELETE FROM tzt WHERE id = 3")  # v1
+    hist = {e["version"]: e["committed_at"] for e in cat.txn("tzt").history()}
+    mid = (hist[0] + hist[1]) / 2.0
+    naive_utc = datetime.fromtimestamp(mid, timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f"
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        n_utc = cat.execute(
+            f"SELECT count(*) AS n FROM tzt FOR TIMESTAMP AS OF '{naive_utc}'"
+        ).collect()[0].n
+        assert n_utc == 4  # resolves to v0 (before the delete)
+        # same wall-clock text read in Kolkata (+05:30) is EARLIER in
+        # absolute time than both commits → no version at-or-before
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        import pytest
+
+        with pytest.raises(ValueError, match="no version"):
+            cat.execute(
+                f"SELECT count(*) AS n FROM tzt FOR TIMESTAMP AS OF '{naive_utc}'"
+            )
+        # and a zone WEST of UTC pushes the instant after the delete
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        n_ny = cat.execute(
+            f"SELECT count(*) AS n FROM tzt FOR TIMESTAMP AS OF '{naive_utc}'"
+        ).collect()[0].n
+        assert n_ny == 3  # resolves to v1 (after the delete)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
 
 
 def test_sql_schema_ddl_statements(spark, cat):
@@ -1297,3 +1359,54 @@ def test_sql_copy_into_idempotent(spark, cat, tmp_path):
     # unsupported format is a statement error
     with pytest.raises(ValueError, match="FILEFORMAT"):
         cat.execute(f"COPY INTO t FROM '{src}' FILEFORMAT = ORC")
+
+
+def test_copy_into_header_false_respected(spark, cat, tmp_path):
+    """Round-9 advisory fix: an explicit header=false option must win
+    over COPY INTO's header-on default — headerless CSV rows load as
+    data, not as a swallowed header line."""
+    import os
+
+    _mk(cat, spark, 3)
+    csv_dir = tmp_path / "hdrless"
+    os.makedirs(csv_dir)
+    (csv_dir / "x.csv").write_text("700,7000,no-header-row\n701,7010,second\n")
+    files, rows = cat.txn("t").copy_into(
+        [str(csv_dir / "x.csv")], fmt="csv", options={"header": "false"}
+    )
+    assert (files, rows) == (1, 2)
+    got = {r.id: (r.v, r.s) for r in cat.read("t").collect()}
+    assert got[700] == (7000, "no-header-row") and got[701] == (7010, "second")
+
+
+def test_copy_into_rows_loaded_counts_without_stats(spark, cat, tmp_path, monkeypatch):
+    """Round-9 advisory fix: rows_loaded falls back to counting the
+    committed files when any add-action lacks footer numRecords,
+    instead of silently reporting 0 for those files."""
+    import os
+
+    from dbt_maxcompute_spark import txnlog as _tl
+
+    _mk(cat, spark, 3)
+    src = tmp_path / "nostats"
+    os.makedirs(src)
+    spark.range(200, 207).select(
+        F.col("id"), (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("n-"), F.col("id")).alias("s"),
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage2"))
+    part = [f for f in os.listdir(tmp_path / "stage2") if f.endswith(".parquet")][0]
+    os.rename(tmp_path / "stage2" / part, src / "a.parquet")
+
+    t = cat.txn("t")
+    real_stage = t._stage_files
+
+    def strip_stats(df):
+        adds = real_stage(df)
+        for a in adds:
+            a.pop("stats", None)
+        return adds
+
+    monkeypatch.setattr(t, "_stage_files", strip_stats)
+    files, rows = t.copy_into([str(src / "a.parquet")])
+    assert (files, rows) == (1, 7)
+    assert cat.read("t").count() == 10
