@@ -23,6 +23,7 @@ from dbt_maxcompute_spark.suite import (
     extras6_suite,
     extras7_suite,
     extras8_suite,
+    extras9_suite,
     extras_suite,
     functions_suite,
     pipeline_suite,
@@ -45,6 +46,7 @@ _SUITES = [
     extras6_suite,
     extras7_suite,
     extras8_suite,
+    extras9_suite,
     functions_suite,
     relational2,
     tpch2,
@@ -54,65 +56,65 @@ _SUITES = [
 ]
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
-# FIRST 50 ``queries()`` entries only. Round 8 continues the freshness
-# rotation: the 2 NEW round-8 queries and the 3 round-7 rows whose
-# behavior/output changed this round lead, then the 8 r4-stale rows the
-# round-7 verdict queued, then the stalest hard-green block (all r5) in
-# name order — computed from the union of CORRECTNESS_r01..r07 greens.
+# FIRST 50 ``queries()`` entries only. Round 9 rotation: the NEW round-9
+# queries and the rows whose SEMANTICS changed this round (CDF timestamp
+# start bound) lead, then the 16 r5-stale rows the round-8 verdict queued
+# (freshness floor r5 -> r6), then the stalest r6 block in name order —
+# computed from the union of CORRECTNESS_r01..r08 greens.
 _PRIORITY = [
-    # new or output-changed in round 8 — must be driver-checked
-    "ann_ivf_index_maintenance",
-    "ann_ivf_cdf_sync",
-    "txn_restore",
-    "sql_copy_into",
-    "mv_rewrite_join_alias",
+    # new or behavior-changed in round 9 — must be driver-checked
+    "model_hooks_script",
     "sql_cdf_tvf",
-    "sql_ddl_statement_script",
-    "sql_merge_dv_script",
-    # the 8 r4-stale rows (round-7 verdict item 1)
-    "tuple_in_subquery",
-    "txn_deletion_vectors",
-    "txn_dv_upsert",
-    "txn_file_skipping",
-    "txn_schema_evolution",
-    "txn_zorder_skipping",
-    "window_running_revenue",
-    "window_top_orders_per_segment",
-    # stalest hard-green rows (all last checked r5), name order
-    "ann_ivf_indexed_topk",
-    "cartesian_regions",
-    "corpus_zipf_profile",
-    "decontam_ngram_overlap",
-    "events_funnel",
-    "events_json_props",
-    "exact_distinct_users",
-    "hash_split_counts",
-    "incr_append_partitioned",
-    "incr_delete_insert_lineitem",
-    "incr_merge_orders",
-    "multimodal_features",
-    "multimodal_metadata",
-    "mv_auto_rewrite",
-    "mv_rewrite_containment",
-    "sample_domain_quota",
-    "sample_quality_weighted",
-    "sample_stratified_lang",
-    "sql_dml_script",
-    "sql_maintenance_script",
-    "stream_txn_upsert",
-    "text_chunking",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_redaction",
-    "text_repetition",
-    "text_stats",
-    "text_tfidf_top_terms",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_lateness_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
+    # the 16 r5-stale rows (round-8 verdict item 2)
+    "tpch_q3_shipping_priority",
+    "tpch_q4_late_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_small_part_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
+    "txn_change_feed",
+    "txn_incremental_merge",
+    # stalest hard-green rows (last checked r6), name order
+    "ann_brute_force_cosine",
+    "ann_ivf_topk",
+    "bucketed_colocated_join",
+    "catalog_ddl_audit",
+    "contracts_not_null",
+    "curation_filter_funnel",
+    "decimal_fidelity",
+    "dedup_cluster_components",
+    "dedup_exact_documents",
+    "dedup_incremental_batch",
+    "dedup_keep_canonical",
+    "dedup_lsh_recall_pinned",
+    "dedup_minhash_lsh",
+    "dedup_semantic_clusters",
+    "dedup_simhash_pairs",
+    "dedup_token_jaccard_pairs",
+    "doc_length_histogram",
+    "emb_cosine_dup_pairs",
+    "emb_cosine_exact_pairs",
+    "emb_kmeans_profile",
+    "emb_quantize_int8",
+    "events_asof_last_purchase",
+    "events_range_click_error",
+    "events_sessionize",
+    "events_sliding_windows",
+    "events_tumbling_hourly",
+    "fn_array_ops",
+    "group_split_leakage_safe",
+    "incr_insert_overwrite_events",
+    "incr_microbatch_events",
+    "jsonl_roundtrip",
+    "mv_cdf_maintenance",
 ]
 
 

@@ -10,6 +10,25 @@ to the matching materialization:
 Materializations (reference §2.2): table, view, incremental, snapshot,
 materialized_view, seed, clone, raw, ephemeral. Unknown keys raise —
 config typos should not silently no-op.
+
+Round 9 (reference parity, the last substantive surface):
+
+- ``pre_hook`` / ``post_hook`` — arbitrary SQL run before/after the
+  materialization through :meth:`EngineCatalog.execute_script`
+  (reference ``macros/materializations/hooks.sql:1-10`` runs each
+  rendered hook as its own statement; exercised by
+  ``tests/functional/adapter/test_hooks.py``). A hook is a SQL string,
+  a ``{"sql": ...}`` dict, or a list of either; hooks run in order,
+  and a failing pre-hook aborts the materialization.
+- ``sql_header`` / ``sql_hints`` — merged into a ``set k=v;`` preamble
+  (reference ``macros/relations/table/create.sql:122-133``
+  ``merge_sql_hints_and_header``; tested by
+  ``tests/functional/maxcompute/test_sql_header.py``) whose settings
+  apply as session confs SCOPED to the materialization (the Spark
+  analog of per-statement hints — ``plans/settings.py``), covering the
+  model query's planning AND its write jobs. Hooks run OUTSIDE the
+  header scope, matching the reference where the header is part of the
+  create script, not the hook statements.
 """
 
 from __future__ import annotations
@@ -56,6 +75,60 @@ def _as_df(catalog: EngineCatalog, model: DataFrame | str) -> DataFrame:
     return catalog.sql(model) if isinstance(model, str) else model
 
 
+def _hook_list(value: Any, key: str) -> list[str]:
+    """Normalize a hook config value to a list of SQL strings. dbt's
+    shapes: a string, a ``{"sql": ..., "transaction": ...}`` dict, or a
+    list of either (hooks.sql iterates; the transaction flag is inert
+    here — there is no warehouse transaction to be inside of)."""
+    if value is None:
+        return []
+    items = value if isinstance(value, (list, tuple)) else [value]
+    out: list[str] = []
+    for h in items:
+        sql = h.get("sql") if isinstance(h, dict) else h
+        if not isinstance(sql, str) or not sql.strip():
+            raise ValueError(
+                f"{key}: each hook must be a SQL string or {{'sql': ...}}, got {h!r}"
+            )
+        out.append(sql)
+    return out
+
+
+def _header_confs(sql_hints: Any, sql_header: Any) -> dict[str, str]:
+    """Merge ``sql_hints`` (dict) and ``sql_header`` (SET-statement
+    script) into one applicable-conf dict, the engine counterpart of
+    the reference's ``merge_sql_hints_and_header`` macro (each hint
+    becomes ``set k=v;``, the header text follows, and the combined
+    preamble is what the warehouse sees). Non-SET content in the
+    header raises — fail loud, not silently-dropped."""
+    from dbt_maxcompute_spark.plans.settings import (
+        parse_set_preamble,
+        split_hints,
+    )
+
+    parts: list[str] = []
+    if sql_hints:
+        if not isinstance(sql_hints, dict):
+            raise ValueError("sql_hints must be a dict of hint key -> value")
+        parts.extend(f"set {k}={v};" for k, v in sql_hints.items())
+    if sql_header:
+        if not isinstance(sql_header, str):
+            raise ValueError("sql_header must be a SQL string")
+        parts.append(sql_header)
+    if not parts:
+        return {}
+    parsed = parse_set_preamble("\n".join(parts))
+    if parsed.errors:
+        raise ValueError(f"sql_header hint errors: {parsed.errors}")
+    if parsed.remaining_query.strip():
+        raise ValueError(
+            "sql_header must contain only 'set k=v;' statements; found "
+            f"{parsed.remaining_query.strip()[:80]!r}"
+        )
+    apply, _record = split_hints(parsed.settings)
+    return apply
+
+
 def run_model(
     catalog: EngineCatalog,
     config: dict[str, Any],
@@ -69,7 +142,28 @@ def run_model(
     mat = cfg.pop("materialized", "view")
     if mat not in MATERIALIZATIONS:
         raise ValueError(f"unknown materialization {mat!r} (have {MATERIALIZATIONS})")
+    pre_hooks = _hook_list(cfg.pop("pre_hook", None), "pre_hook")
+    post_hooks = _hook_list(cfg.pop("post_hook", None), "post_hook")
+    header = _header_confs(cfg.pop("sql_hints", None), cfg.pop("sql_header", None))
 
+    from dbt_maxcompute_spark.plans.settings import scoped_confs
+
+    for hook in pre_hooks:
+        catalog.execute_script(hook)
+    with scoped_confs(catalog.spark, header):
+        result = _dispatch(catalog, name, mat, cfg, model)
+    for hook in post_hooks:
+        catalog.execute_script(hook)
+    return result
+
+
+def _dispatch(
+    catalog: EngineCatalog,
+    name: str,
+    mat: str,
+    cfg: dict[str, Any],
+    model: DataFrame | str | None,
+) -> Any:
     _swap_relation_type(catalog, name, mat)
 
     if mat == "table":

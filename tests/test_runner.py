@@ -209,6 +209,142 @@ def test_run_model_ephemeral_returns_dataframe(spark, cat):
 
 
 # ---------------------------------------------------------------------------
+# pre_hook / post_hook + sql_header / sql_hints (round 9; reference
+# macros/materializations/hooks.sql:1-10, relations/table/create.sql:122-133,
+# tests/functional/adapter/test_hooks.py, maxcompute/test_sql_header.py)
+# ---------------------------------------------------------------------------
+
+
+def test_run_model_hooks_order_around_materialization(spark, cat):
+    """pre_hook sees the PRE-run table state, post_hook the post-run
+    state — proving hooks bracket the materialization (the reference's
+    on_model_hook start/end pattern)."""
+    cat.create_table(
+        "on_model_hook",
+        spark.createDataFrame([], "test_state string, n bigint"),
+    )
+    base = _mk(spark, [(1, "a"), (2, "b")], ["id", "v"])
+    run_model(cat, {"name": "m", "materialized": "incremental", "strategy": "append"}, base)
+    run_model(
+        cat,
+        {
+            "name": "m",
+            "materialized": "incremental",
+            "strategy": "append",
+            "pre_hook": "INSERT INTO on_model_hook SELECT 'start', count(*) FROM m",
+            "post_hook": {"sql": "INSERT INTO on_model_hook SELECT 'end', count(*) FROM m"},
+        },
+        _mk(spark, [(3, "c")], ["id", "v"]),
+    )
+    audit = {r.test_state: r.n for r in cat.read("on_model_hook").collect()}
+    assert audit == {"start": 2, "end": 3}
+
+
+def test_run_model_hook_lists_run_in_order(spark, cat):
+    cat.create_table("audit", spark.createDataFrame([], "seq bigint"))
+    run_model(
+        cat,
+        {
+            "name": "t2",
+            "materialized": "table",
+            "post_hook": [
+                "INSERT INTO audit SELECT count(*) + 1 FROM audit",
+                "INSERT INTO audit SELECT count(*) + 1 FROM audit",
+            ],
+        },
+        _mk(spark, [(1,)], ["id"]),
+    )
+    assert sorted(r.seq for r in cat.read("audit").collect()) == [1, 2]
+
+
+def test_run_model_failing_pre_hook_aborts(spark, cat):
+    with pytest.raises(Exception):
+        run_model(
+            cat,
+            {
+                "name": "never",
+                "materialized": "table",
+                "pre_hook": "INSERT INTO does_not_exist VALUES (1)",
+            },
+            _mk(spark, [(1,)], ["id"]),
+        )
+    assert not cat.exists("never")
+
+
+def test_run_model_bad_hook_shape_raises(spark, cat):
+    with pytest.raises(ValueError, match="pre_hook"):
+        run_model(
+            cat,
+            {"name": "x", "materialized": "table", "pre_hook": {"nosql": 1}},
+            _mk(spark, [(1,)], ["id"]),
+        )
+
+
+def test_run_model_sql_header_scopes_confs_to_materialization(spark, cat):
+    """Header SET statements apply as session confs DURING the model's
+    write (observable through current_timezone() in the model SQL) and
+    restore afterwards."""
+    cat.create_table("one", _mk(spark, [(1,)], ["id"]))
+    before = spark.conf.get("spark.sql.session.timeZone")
+    assert before != "Asia/Tokyo"
+    run_model(
+        cat,
+        {
+            "name": "hdr",
+            "materialized": "table",
+            "sql_header": "set spark.sql.session.timeZone=Asia/Tokyo;",
+        },
+        "select id, current_timezone() as tz from one",
+    )
+    assert spark.conf.get("spark.sql.session.timeZone") == before  # restored
+    assert cat.read("hdr").collect()[0].tz == "Asia/Tokyo"
+
+
+def test_run_model_sql_hints_merge_with_header(spark, cat):
+    """sql_hints entries become 'set k=v;' ahead of the header text
+    (merge_sql_hints_and_header); inert odps.* hints are accepted, and
+    the reference test's own 'set a=b;' shape works on every
+    header-bearing materialization."""
+    cat.create_table("one2", _mk(spark, [(1,)], ["id"]))
+    run_model(
+        cat,
+        {
+            "name": "hinted",
+            "materialized": "table",
+            "sql_hints": {"odps.sql.allow.fullscan": "true"},
+            "sql_header": "set spark.sql.session.timeZone=Asia/Kolkata;",
+        },
+        "select id, current_timezone() as tz from one2",
+    )
+    assert cat.read("hinted").collect()[0].tz == "Asia/Kolkata"
+    for mat, model in [
+        ("table", "select * from one2"),
+        ("view", "select * from one2"),
+        ("incremental", "select * from one2"),
+        ("materialized_view", "select id, count(*) as n from one2 group by id"),
+    ]:
+        run_model(
+            cat,
+            {"name": f"sh_{mat}", "materialized": mat, "sql_header": "set a=b;"},
+            model,
+        )
+        assert cat.exists(f"sh_{mat}")
+
+
+def test_run_model_sql_header_rejects_non_set_content(spark, cat):
+    with pytest.raises(ValueError, match="sql_header"):
+        run_model(
+            cat,
+            {
+                "name": "x",
+                "materialized": "table",
+                "sql_header": "create temp function f() as 1;",
+            },
+            _mk(spark, [(1,)], ["id"]),
+        )
+
+
+# ---------------------------------------------------------------------------
 # relation-type swap (reference relation.py:42-50 replaceable_relations,
 # tests/functional/adapter/test_relations.py)
 # ---------------------------------------------------------------------------
