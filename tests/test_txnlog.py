@@ -478,6 +478,42 @@ def test_delete_insert_dv_upsert(spark, t):
     assert got2[10] == 1000 and len(got2) == 51
 
 
+def test_delete_insert_dv_guard_adds_no_job(spark, t):
+    """Round-9 (verdict item 4): the duplicate-key guard rides the
+    committed job as an in-plan window-count + raise_error — an upsert
+    WITH the guard runs exactly as many job-running executions as one
+    explicitly opted out of it (no separate groupBy-count pass)."""
+    from tests.test_sqldml import _job_executions_after, _last_exec_id
+
+    t.create(_r(spark, 0, 50).coalesce(2))
+    floor = _last_exec_id(spark)
+    t.delete_insert_dv(
+        spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint"), ["id"]
+    )
+    n_guarded = len(_job_executions_after(spark, floor))
+    floor = _last_exec_id(spark)
+    t.delete_insert_dv(
+        spark.createDataFrame([(3, 30), (4, 40)], "id bigint, v bigint"),
+        ["id"],
+        allow_duplicate_keys=True,
+    )
+    n_unguarded = len(_job_executions_after(spark, floor))
+    assert n_guarded == n_unguarded, (n_guarded, n_unguarded)
+    # a failed duplicate batch commits nothing and the table stays usable
+    import pytest as _pytest
+
+    v_before = t.latest_version()
+    dup = spark.createDataFrame([(7, 1), (7, 2)], "id bigint, v bigint")
+    with _pytest.raises(ValueError, match="duplicate key"):
+        t.delete_insert_dv(dup, ["id"])
+    assert t.latest_version() == v_before
+    t.delete_insert_dv(
+        spark.createDataFrame([(7, 70)], "id bigint, v bigint"), ["id"]
+    )
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[7] == 70 and got[1] == 10 and len(got) == 50
+
+
 def test_concurrent_writers_all_land_versions_dense(spark, t):
     """True concurrency (round-4 verdict item 7): N barrier-started
     writer threads x M appends each, every append retried through the
