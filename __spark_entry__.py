@@ -64,6 +64,8 @@ _SUITES = [
 _PRIORITY = [
     # new or behavior-changed in round 9 — must be driver-checked
     "model_hooks_script",
+    "ann_ivf_rebalance",
+    "mv_rewrite_view",
     "sql_cdf_tvf",
     # the 16 r5-stale rows (round-8 verdict item 2)
     "tpch_q3_shipping_priority",

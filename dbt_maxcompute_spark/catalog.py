@@ -177,6 +177,7 @@ class EngineCatalog:
         self.default_schema = default_schema
         self._views_fp: dict[str, tuple] = {}
         self._views_candidates: list[tuple[str, str]] = []
+        self._view_defs: dict[str, str] = {}
         self._dirty: set[str] = set()  # tables mutated since last walk
         os.makedirs(os.path.join(warehouse_dir, default_schema), exist_ok=True)
 
@@ -611,10 +612,16 @@ class EngineCatalog:
             return self._views_candidates
         rewrite_candidates: list[tuple[str, str]] = []
         views: list[tuple[str, str, str]] = []
+        view_defs: dict[str, str] = {}
         for schema, t, full in tables:
             m = self.meta(full)
             if m.table_type == "view":
                 views.append((schema, t, full))
+                if m.view_sql:
+                    # name -> defining SQL, for MV rewrite-through-view
+                    if schema == self.default_schema:
+                        view_defs[t.lower()] = m.view_sql
+                    view_defs[f"{schema}_{t}".lower()] = m.view_sql
                 continue  # registered after tables (they resolve via SQL)
             if not fresh or self._views_fp.get(full) != fps[full]:
                 # transactional tables bind to their SNAPSHOT; plain
@@ -659,6 +666,7 @@ class EngineCatalog:
             pending = nxt
         self._views_fp = fps
         self._views_candidates = rewrite_candidates
+        self._view_defs = view_defs
         self._dirty.clear()
         EngineCatalog._active_registrar = self
         return rewrite_candidates
@@ -678,7 +686,9 @@ class EngineCatalog:
         if mv_rewrite and rewrite_candidates:
             from dbt_maxcompute_spark.plans.mv_rewrite import try_rewrite
 
-            rewritten = try_rewrite(query, rewrite_candidates)
+            rewritten = try_rewrite(
+                query, rewrite_candidates, views=getattr(self, "_view_defs", None)
+            )
             if rewritten is not None:
                 try:
                     return self.spark.sql(rewritten)

@@ -587,6 +587,169 @@ def _normalize_rollup_relation(r: _Rollup) -> _Rollup:
     )
 
 
+# ---------------------------------------------------------------------------
+# view expansion (round 9): a rollup over a catalog VIEW rewrites when
+# the view body is a simple projection/filter over a base relation —
+# the expanded rollup then normalizes like any directly-written query.
+# Reference: the engine-side rewrite the adapter's disable_rewrite flag
+# implies (relation_configs/_materialized_view.py:24) resolves views
+# server-side; this is the scoped engine counterpart.
+# ---------------------------------------------------------------------------
+
+_VIEW_FROM_RX = re.compile(r"^([a-z_]\w*)(?:\s+(?:as\s+)?([a-z_]\w*))?$")
+
+_VIEW_BODY_RX = re.compile(
+    r"^select\s+(?P<select>.+?)\s+from\s+(?P<table>.+?)"
+    r"(?:\s+where\s+(?P<where>.+?))?$",
+    re.DOTALL,
+)
+
+_VIEW_BLOCKERS_RX = re.compile(
+    r"\b(group\s+by|having|order\s+by|limit|distinct|union|intersect|except|"
+    r"join\s+lateral|over)\b"
+)
+
+
+def _parse_view_body(sql: str):
+    """(colmap | None-for-star, from_text, where_conjuncts) for a view
+    body in the expandable grammar — a plain projection (bare/qualified
+    columns, optional aliases, or a lone ``*``) with an optional WHERE
+    over any FROM text. Returns None (fail closed) for anything else:
+    rollup views, DISTINCT, set ops, window functions, subqueries."""
+    norm = _norm(sql)
+    if _VIEW_BLOCKERS_RX.search(re.sub(r"'[^']*'", "", norm)):
+        return None
+    m = _VIEW_BODY_RX.match(norm)
+    if m is None or "(" in m["table"]:
+        return None
+    items = _split_top(m["select"])
+    if items == ["*"]:
+        colmap = None
+    else:
+        colmap = {}
+        for raw in items:
+            im = re.match(r"^(?P<col>[\w.]+)(?:\s+as\s+(?P<alias>\w+))?$", raw)
+            if im is None:
+                return None
+            out_name = im["alias"] or im["col"].split(".")[-1]
+            if out_name in colmap:
+                return None  # duplicate output name: ambiguous
+            colmap[out_name] = im["col"]
+    where = _conjuncts(m["where"]) if m["where"] else []
+    return colmap, m["table"], where
+
+
+def _subst_view_refs(
+    text: str | None, qualifiers: set[str], colmap: dict | None
+) -> str | None:
+    """Rewrite view-column references to their underlying columns at
+    token level: a ``v.col`` / ``alias.col`` qualifier strips (the view
+    is gone after expansion), then a bare name that is a view output
+    maps to its underlying (possibly qualified) column. Literals pass
+    through untouched."""
+    if text is None:
+        return None
+    toks = _CANON_TOKEN_RX.findall(text)
+    out: list[str] = []
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if t.startswith("'"):
+            out.append(t)
+            i += 1
+            continue
+        if (
+            t in qualifiers
+            and i + 2 < n
+            and toks[i + 1] == "."
+            and _IDENT_RX.match(toks[i + 2])
+            and (not out or out[-1] != ".")
+        ):
+            t = toks[i + 2]
+            i += 3
+        else:
+            i += 1
+        if (
+            colmap is not None
+            and _IDENT_RX.match(t or "")
+            and t in colmap
+            and (not out or out[-1] != ".")
+            and (i >= n or toks[i] != ".")
+        ):
+            out.extend(_CANON_TOKEN_RX.findall(colmap[t]))
+        else:
+            out.append(t)
+    return " ".join(out)
+
+
+def _expand_view_rollup(r: _Rollup, views: dict) -> "_Rollup | None":
+    """Expand a rollup whose FROM is a single catalog view into the
+    same rollup over the view's underlying relation. Returns the
+    original rollup when the FROM is not a view; None (no rewrite —
+    fail closed) when the view exists but is not expandable or the
+    expansion bottoms out in another view (depth > 1)."""
+    m = _VIEW_FROM_RX.match(_norm(r.table))
+    if m is None:
+        return r
+    vsql = views.get(m.group(1))
+    if vsql is None:
+        return r
+    body = _parse_view_body(vsql)
+    if body is None:
+        return None
+    colmap, from_text, view_where = body
+    parsed = _parse_join_tree(_norm(from_text))
+    if parsed is None:
+        return None
+    if any(name in views for name, _ in parsed[0]):
+        return None  # view-over-view: fail closed
+    quals = {m.group(1)} | ({m.group(2)} if m.group(2) else set())
+
+    def sub(text):
+        return _subst_view_refs(text, quals, colmap)
+
+    def sub_col(text):
+        s = sub(text)
+        return s.replace(" . ", ".") if s else s
+
+    items = []
+    for it in r.items:
+        if it.kind == "key":
+            new_col = sub_col(it.col)
+            if new_col is None:
+                return None
+            # preserve the USER'S output name: their alias, else the
+            # name the un-expanded query would have produced
+            items.append(
+                _Item(
+                    kind="key",
+                    alias=it.alias or it.col.split(".")[-1],
+                    col=new_col,
+                )
+            )
+        else:
+            items.append(
+                _Item(
+                    kind="agg", alias=it.alias, func=it.func,
+                    arg=_canon_expr(sub(it.arg)), cast_type=it.cast_type,
+                )
+            )
+    user_where = _conjuncts(sub(r.where)) if r.where else []
+    # parenthesize OR-bearing conjuncts so AND-joining cannot rebind
+    all_conj = [
+        c if len(_disjuncts(c)) == 1 else f"( {c} )"
+        for c in view_where + user_where
+    ]
+    return _Rollup(
+        table=from_text,
+        items=items,
+        group_keys=[sub_col(g) for g in r.group_keys],
+        where=" and ".join(all_conj) if all_conj else None,
+        order=sub(r.order),
+        having=sub(r.having),
+    )
+
+
 def _subst_keys(text: str, key_out: dict) -> str:
     """Replace (possibly qualified) grouping-key references with the
     MV's output column names in emitted SQL fragments. Substitution is
@@ -823,11 +986,21 @@ def _rewrite_rollup(user: _Rollup, mv: _Rollup, mv_table: str) -> str | None:
     return sql
 
 
-def try_rewrite(user_sql: str, mvs: list[tuple[str, str]]) -> str | None:
+def try_rewrite(
+    user_sql: str,
+    mvs: list[tuple[str, str]],
+    views: dict[str, str] | None = None,
+) -> str | None:
     """Attempt to answer ``user_sql`` from one of ``mvs``
     (list of (registered_table_name, defining_sql)). Returns the
     rewritten SQL, or None (caller falls back to the original).
-    First match wins; exact-text beats container."""
+    First match wins; exact-text beats container.
+
+    ``views`` (round 9) maps catalog view names to their defining SQL:
+    a rollup whose FROM is a view expands through the view's projection
+    / filter before relation normalization, so querying a view over the
+    MV's base relation still answers from the MV. Unexpandable views
+    and view-over-view chains fail closed."""
     user_norm = _norm(user_sql)
     for mv_table, defining_sql in mvs:
         if user_norm == _norm(defining_sql):
@@ -835,6 +1008,10 @@ def try_rewrite(user_sql: str, mvs: list[tuple[str, str]]) -> str | None:
     user = parse_rollup(user_sql)
     if user is None:
         return None
+    if views:
+        user = _expand_view_rollup(user, views)
+        if user is None:
+            return None
     user = _normalize_rollup_relation(user)
     for mv_table, defining_sql in mvs:
         mv = parse_rollup(defining_sql)

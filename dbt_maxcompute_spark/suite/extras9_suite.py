@@ -130,10 +130,180 @@ SELECT state, n, total, TRUE AS conf_restored FROM (
 """
 
 
+def q_ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9 (verdict item 5): coarse-quantizer drift repair. The
+    # index is skewed by churn (3x the corpus inserted as copies of
+    # one vector via maintenance — centroids held fixed, one cell goes
+    # hot), the ROW-COUNT skew trigger fires from the index's own
+    # parquet footers (no Spark job), and the rebalance re-trains +
+    # re-assigns as an exactly-once staged swap. Driver-checked
+    # invariants: the trigger fired on the skewed index; the
+    # rebalanced index is IDENTICAL to a fresh build of the final
+    # corpus (same deterministic centroid pick -> same cells, same
+    # search results); the same-threshold second call is a no-op that
+    # rewrites no cell directory (the touched-vs-rebuilt cost pin);
+    # search over the rebalanced artifact returns full top-k.
+    import os
+    import tempfile
+
+    from dbt_maxcompute_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    idx = tempfile.mkdtemp(prefix="rebal_") + "/index"
+    similarity.build_ivf_index(base, "vec_id", "embedding", idx, num_centroids=8)
+
+    v = base.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    n = base.count()
+    dup = spark.range(1_000_000, 1_000_000 + 3 * n).select(
+        F.col("id").alias("vec_id"),
+        F.lit([float(x) for x in v]).cast("array<float>").alias("embedding"),
+    )
+    similarity.maintain_ivf_index(
+        spark, idx, dup.withColumn("_change_type", F.lit("insert"))
+    )
+
+    res1 = similarity.maybe_rebalance_ivf_index(spark, idx, skew_threshold=3.0)
+
+    def listing(path: str) -> dict:
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("centroid_id="):
+                p = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = listing(idx)
+    res2 = similarity.maybe_rebalance_ivf_index(spark, idx, skew_threshold=3.0)
+    noop_untouched = (not res2["rebalanced"]) and listing(idx) == before
+
+    fresh = tempfile.mkdtemp(prefix="rebalf_") + "/index"
+    similarity.build_ivf_index(
+        spark.read.parquet(idx).drop("centroid_id"),
+        "vec_id", "embedding", fresh, num_centroids=8,
+    )
+    queries = base.filter(F.col("vec_id").isin(1, 2, 3))
+    got = similarity.ivf_indexed_topk(spark, idx, queries, k=5, nprobe=3)
+    want = similarity.ivf_indexed_topk(spark, fresh, queries, k=5, nprobe=3)
+    n_mismatch = (
+        got.withColumn("__s", F.lit(1))
+        .unionByName(want.withColumn("__s", F.lit(-1)))
+        .groupBy("query_id", "neighbor_id", "rank", "cosine")
+        .agg(F.sum("__s").alias("__net"))
+        .filter(F.col("__net") != 0)
+        .count()
+    )
+    corpus_n = spark.read.parquet(idx).count()
+    return (
+        got.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .select(
+            "query_id",
+            "n_results",
+            F.lit(bool(res1["rebalanced"])).alias("rebalance_fired"),
+            F.lit(bool(noop_untouched)).alias("noop_untouched"),
+            F.lit(n_mismatch == 0).alias("matches_fresh"),
+            F.lit(corpus_n).cast("bigint").alias("corpus_n"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_IVF_REBALANCE = """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+       TRUE AS rebalance_fired, TRUE AS noop_untouched, TRUE AS matches_fresh,
+       (SELECT CAST(4 * count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 <> 4)
+         AS corpus_n
+FROM embeddings WHERE vec_id IN (1, 2, 3) ORDER BY vec_id
+"""
+
+
+def q_mv_rewrite_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9 (verdict item 6): MV auto-rewrite THROUGH a catalog view.
+    # A user rollup whose FROM is a view (aliased projection + filter
+    # over the MV's base relation) expands through the view definition
+    # before relation normalization and answers from the
+    # rollup-cardinality MV (plan-pinned: MV scanned, fact table
+    # absent). A view the grammar cannot expand (a rollup body) FALLS
+    # BACK to the base table (negative plan-pin) — fail-closed, never
+    # a wrong answer. Values hash-checked against DuckDB computing
+    # from the base table.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+    from dbt_maxcompute_spark.materializations.materialized_view import (
+        create_materialized_view,
+    )
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="mvv9_wh_"))
+    cat.create_table("orders", load_table(spark, sf_dir, "orders"))
+    create_materialized_view(
+        cat,
+        "mv_status",
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                  CAST(sum(CAST(o_totalprice AS decimal(28,6))) AS double) AS total
+           FROM orders WHERE o_custkey > 0
+           GROUP BY o_orderstatus, o_orderpriority""",
+    )
+    cat.create_view(
+        "ord_v",
+        "SELECT o_orderstatus AS status, o_orderpriority, o_totalprice "
+        "FROM orders WHERE o_custkey > 0",
+    )
+
+    def plan_of(df: DataFrame) -> str:
+        return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    served = cat.sql(
+        """SELECT status, count(*) AS n,
+                  CAST(sum(CAST(o_totalprice AS decimal(28,6))) AS double) AS total
+           FROM ord_v GROUP BY status"""
+    )
+    p1 = plan_of(served)
+    used_mv = ("mv_status" in p1) and ("default/orders" not in p1)
+
+    cat.create_view(
+        "ord_rollup",
+        "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
+    )
+    p2 = plan_of(
+        cat.sql(
+            "SELECT o_orderstatus, sum(cnt) AS s FROM ord_rollup "
+            "GROUP BY o_orderstatus"
+        )
+    )
+    rollup_view_fell_back = ("mv_status" not in p2) and ("default/orders" in p2)
+
+    return (
+        served.withColumn("used_mv", F.lit(bool(used_mv)))
+        .withColumn("rollup_view_fell_back", F.lit(bool(rollup_view_fell_back)))
+        .orderBy("status")
+    )
+
+
+ORACLE_MV_REWRITE_VIEW = """
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       TRUE AS used_mv, TRUE AS rollup_view_fell_back
+FROM orders WHERE o_custkey > 0
+GROUP BY o_orderstatus ORDER BY status
+"""
+
+
 QUERIES = {
     "model_hooks_script": q_model_hooks_script,
+    "ann_ivf_rebalance": q_ann_ivf_rebalance,
+    "mv_rewrite_view": q_mv_rewrite_view,
 }
 
 ORACLES = {
     "model_hooks_script": ORACLE_MODEL_HOOKS_SCRIPT,
+    "ann_ivf_rebalance": ORACLE_ANN_IVF_REBALANCE,
+    "mv_rewrite_view": ORACLE_MV_REWRITE_VIEW,
 }

@@ -324,6 +324,102 @@ def test_heal_drops_stale_aside_when_swap_completed(tmp_path):
     assert os.listdir(live) == ["part-new.parquet"]
 
 
+# -- round-9: stats-triggered coarse-quantizer rebalance ---------------------
+
+def _inflate_one_cell(spark, base, idx_path, mult=3):
+    """Insert mult*|base| copies of one vector via maintenance — the
+    churn pattern that skews cell sizes while centroids stay fixed."""
+    v = base.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    n = base.count()
+    dup = spark.range(1_000_000, 1_000_000 + mult * n).select(
+        F.col("id").alias("vec_id"),
+        F.lit([float(x) for x in v]).cast("array<float>").alias("embedding"),
+    )
+    similarity.maintain_ivf_index(
+        spark, idx_path, dup.withColumn("_change_type", F.lit("insert"))
+    )
+
+
+def test_rebalance_triggers_and_matches_fresh_build(spark, sf_dir, tmp_path):
+    """A skewed index (one hot cell from churn) trips the row-count
+    skew trigger; the rebalanced index is IDENTICAL to a fresh build of
+    the final corpus (deterministic id-hash centroid pick); a second
+    call is a no-op that touches no cell directory."""
+    import json
+    import os
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(
+        base, "vec_id", "embedding", idx, num_centroids=8, cursor=7
+    )
+    _inflate_one_cell(spark, base, idx)
+    res = similarity.maybe_rebalance_ivf_index(spark, idx, skew_threshold=3.0)
+    assert res["rebalanced"] and res["skew"] > 3.0
+    # cursor carried over: the CDF sync cadence survives the rebalance
+    with open(os.path.join(idx, "_ivf_meta.json")) as fh:
+        assert json.load(fh)["cursor"] == 7
+    # identical to a fresh build of the same corpus
+    fresh = str(tmp_path / "fresh")
+    similarity.build_ivf_index(
+        spark.read.parquet(idx).drop("centroid_id"),
+        "vec_id", "embedding", fresh, num_centroids=8,
+    )
+    with open(os.path.join(idx, "_ivf_meta.json")) as fh:
+        m1 = json.load(fh)
+    with open(os.path.join(fresh, "_ivf_meta.json")) as fh:
+        m2 = json.load(fh)
+    assert m1["ids"] == m2["ids"] and m1["unit_mat"] == m2["unit_mat"]
+    q = base.filter(F.col("vec_id").isin(1, 2, 3))
+    a = sorted(map(tuple, similarity.ivf_indexed_topk(spark, idx, q, k=5, nprobe=3).collect()))
+    b = sorted(map(tuple, similarity.ivf_indexed_topk(spark, fresh, q, k=5, nprobe=3).collect()))
+    assert a == b and len(a) == 15
+    # balanced now: same threshold no-ops and rewrites nothing
+    before = _cell_listing(idx)
+    res2 = similarity.maybe_rebalance_ivf_index(spark, idx, skew_threshold=3.0)
+    assert not res2["rebalanced"] and res2["skew"] < 3.0
+    assert _cell_listing(idx) == before
+
+
+def test_rebalance_noop_below_threshold_touches_nothing(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", idx, num_centroids=8)
+    before = _cell_listing(idx)
+    res = similarity.maybe_rebalance_ivf_index(spark, idx, skew_threshold=1e9)
+    assert res == {"rebalanced": False, "skew": res["skew"]}
+    assert _cell_listing(idx) == before
+
+
+def test_rebalance_swap_crash_heals(spark, sf_dir, tmp_path):
+    """Crash windows of the whole-index swap: (a) old index renamed
+    aside, new not yet in place — heal restores the old; (b) swap
+    completed, stale aside left — heal drops it; leftover stage dirs
+    are garbage-collected."""
+    import os
+    import shutil
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", idx, num_centroids=4)
+    rows = spark.read.parquet(idx).count()
+    # (a) crash between the two renames
+    os.replace(idx, idx + ".rebal.old")
+    q = emb.filter(F.col("vec_id") == 1)
+    out = similarity.ivf_indexed_topk(spark, idx, q, k=3, nprobe=4)
+    assert out.count() == 3
+    assert not os.path.exists(idx + ".rebal.old")
+    assert spark.read.parquet(idx).count() == rows
+    # (b) stale aside next to a live index + a leftover stage
+    os.makedirs(idx + ".rebal.old")
+    shutil.copytree(idx, idx + ".rebal.tmp")
+    similarity.maybe_rebalance_ivf_index(spark, idx, skew_threshold=1e9)
+    assert not os.path.exists(idx + ".rebal.old")
+    assert not os.path.exists(idx + ".rebal.tmp")
+    assert spark.read.parquet(idx).count() == rows
+
+
 # ---------------------------------------------------------------------------
 # property: any DML sequence + any sync cadence == full re-assignment
 # ---------------------------------------------------------------------------

@@ -546,6 +546,45 @@ def test_range_implication_values_match_base(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
 
 
+def test_view_expansion_end_to_end_plan_and_values(spark, tmp_path, sf_dir):
+    """Round-9: a rollup over a catalog VIEW answers from the MV
+    (plan-pinned: MV files scanned, base table absent) with values
+    equal to direct execution; a view the grammar cannot expand falls
+    back to the base table."""
+    cat = EngineCatalog(spark, str(tmp_path / "wh_view"))
+    cat.create_table("lineitem", load_table(spark, sf_dir, "lineitem"))
+    create_materialized_view(
+        cat, "mvv",
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+           FROM lineitem WHERE l_linenumber >= 2
+           GROUP BY l_returnflag, l_linestatus""",
+    )
+    cat.create_view(
+        "li_recent",
+        "SELECT l_returnflag AS rf, l_linestatus, l_quantity "
+        "FROM lineitem WHERE l_linenumber >= 2",
+    )
+    user = """
+    SELECT rf, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS qty
+    FROM li_recent GROUP BY rf
+    """
+    got = cat.sql(user)
+    files = "\n".join(got.inputFiles())
+    assert "mvv" in files and "lineitem" not in files
+    want = cat.sql(user, mv_rewrite=False).collect()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+    # an unexpandable view (rollup body) falls back to the base table
+    cat.create_view(
+        "li_rollup",
+        "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    )
+    fb = cat.sql("SELECT l_returnflag, sum(cnt) AS s FROM li_rollup GROUP BY l_returnflag")
+    fb_files = "\n".join(fb.inputFiles())
+    assert "lineitem" in fb_files and "mvv" not in fb_files
+
+
 def test_having_agg_text_inside_string_literal_is_data():
     """Round-7 advisory fix: agg-looking text inside a quoted literal
     must pass through unrewritten (it previously became 'sum(c)' —
@@ -605,6 +644,110 @@ def test_subst_keys_leaves_string_literals_alone():
     assert out2 is not None
     assert "'l_returnflag x'" in out2
     assert out2.endswith("ORDER BY rf")
+
+
+# -- round-9: rewrite through catalog views -----------------------------------
+
+VIEW_MV = """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                    sum(l_quantity) AS q
+             FROM lineitem WHERE l_linenumber >= 2
+             GROUP BY l_returnflag, l_linestatus"""
+
+
+def test_view_expansion_projection_filter_rewrites():
+    """A rollup over a view (aliased projection + filter over the MV's
+    base relation) expands and answers from the MV; the view's WHERE
+    folds into containment, and the user's output names survive."""
+    views = {
+        "v": "SELECT l_returnflag AS rf, l_linestatus, l_quantity "
+             "FROM lineitem WHERE l_linenumber >= 2"
+    }
+    user = "SELECT rf, count(*) AS cnt, sum(l_quantity) AS sq FROM v GROUP BY rf"
+    out = try_rewrite(user, [("m", VIEW_MV)], views=views)
+    assert out is not None and "FROM m" in out
+    assert "AS rf" in out            # user-visible name preserved
+    assert "sum(n) AS cnt" in out and "sum(q) AS sq" in out
+
+
+def test_view_expansion_qualified_refs_and_residual_where():
+    views = {
+        "v": "SELECT l_returnflag AS rf, l_linestatus, l_quantity "
+             "FROM lineitem WHERE l_linenumber >= 2"
+    }
+    user = ("SELECT x.rf, count(*) AS cnt FROM v AS x "
+            "WHERE x.rf = 'R' GROUP BY x.rf")
+    out = try_rewrite(user, [("m", VIEW_MV)], views=views)
+    assert out is not None and "FROM m" in out
+    assert "l_returnflag = 'R'" in out
+
+
+def test_view_expansion_star_view():
+    views = {"vstar": "SELECT * FROM lineitem WHERE l_linenumber >= 2"}
+    user = "SELECT l_returnflag, count(*) AS cnt FROM vstar GROUP BY l_returnflag"
+    out = try_rewrite(user, [("m", VIEW_MV)], views=views)
+    assert out is not None and "sum(n) AS cnt" in out
+
+
+def test_view_expansion_tightened_filter_residual_on_keys():
+    """The user may tighten the view's filter with grouping-key
+    predicates; non-key residuals still block."""
+    views = {"vstar": "SELECT * FROM lineitem WHERE l_linenumber >= 2"}
+    ok = try_rewrite(
+        "SELECT l_returnflag, count(*) AS cnt FROM vstar "
+        "WHERE l_linestatus = 'O' GROUP BY l_returnflag",
+        [("m", VIEW_MV)], views=views,
+    )
+    assert ok is not None and "l_linestatus = 'O'" in ok
+    blocked = try_rewrite(
+        "SELECT l_returnflag, count(*) AS cnt FROM vstar "
+        "WHERE l_quantity > 5 GROUP BY l_returnflag",
+        [("m", VIEW_MV)], views=views,
+    )
+    assert blocked is None
+
+
+def test_view_expansion_fails_closed():
+    """Unexpandable views (rollup body, expressions, DISTINCT) and
+    view-over-view chains do NOT rewrite; a FROM that is not a view is
+    untouched."""
+    cases = {
+        "vgroup": "SELECT l_returnflag, count(*) AS n FROM lineitem "
+                  "GROUP BY l_returnflag",
+        "vexpr": "SELECT l_quantity + 1 AS qq, l_returnflag FROM lineitem",
+        "vdist": "SELECT DISTINCT l_returnflag FROM lineitem",
+    }
+    for name, vsql in cases.items():
+        out = try_rewrite(
+            f"SELECT l_returnflag, count(*) AS cnt FROM {name} GROUP BY l_returnflag",
+            [("m", VIEW_MV)], views={name: vsql},
+        )
+        assert out is None, name
+    # view over view: fail closed
+    views = {
+        "v1": "SELECT * FROM lineitem WHERE l_linenumber >= 2",
+        "v2": "SELECT * FROM v1",
+    }
+    assert try_rewrite(
+        "SELECT l_returnflag, count(*) AS cnt FROM v2 GROUP BY l_returnflag",
+        [("m", VIEW_MV)], views=views,
+    ) is None
+    # non-view FROM: behavior identical to views=None
+    direct = ("SELECT l_returnflag, count(*) AS cnt FROM lineitem "
+              "WHERE l_linenumber >= 2 GROUP BY l_returnflag")
+    assert try_rewrite(direct, [("m", VIEW_MV)], views=views) == try_rewrite(
+        direct, [("m", VIEW_MV)]
+    )
+
+
+def test_view_expansion_literal_safety():
+    """View-output names inside string literals never substitute."""
+    views = {
+        "v": "SELECT l_returnflag AS rf, l_quantity FROM lineitem "
+             "WHERE l_linenumber >= 2"
+    }
+    user = ("SELECT rf, count(*) AS cnt FROM v WHERE rf <> 'rf x' GROUP BY rf")
+    out = try_rewrite(user, [("m", VIEW_MV)], views=views)
+    assert out is not None and "'rf x'" in out
 
 
 # -- round-7 breadth: expression canon, OR containment, string ranges --------
