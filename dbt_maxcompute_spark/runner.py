@@ -215,6 +215,40 @@ def _dispatch(
     return _as_df(catalog, model)
 
 
+def show_model(
+    catalog: EngineCatalog,
+    model: str,
+    limit: int | None = 5,
+    sql_header: str | None = None,
+    sql_hints: dict[str, str] | None = None,
+) -> list:
+    """``dbt show`` — the interactive row-preview surface (reference
+    `tests/functional/adapter/test_dbt_show.py`: BaseShowSqlHeader,
+    BaseShowLimit, BaseShowDoesNotHandleDoubleLimit). dbt-core wraps
+    the compiled model as ``select * from (<sql>) as model_limit_subq
+    limit <n>``; this reproduces that wrapper over the engine catalog,
+    with the model's ``sql_header``/``sql_hints`` applied as scoped
+    confs around the (eager) preview read.
+
+    ``limit=None`` or ``-1`` previews without a LIMIT (dbt's
+    ``--limit -1``). DELIBERATE divergence from the reference: a model
+    whose text already ends in LIMIT nests fine here (Spark composes
+    limits) where MaxCompute errors with ODPS-0130161 — the error was
+    an engine limitation, not a contract; the reference test pins the
+    error message only because the engine cannot do better.
+    """
+    if not isinstance(model, str):
+        raise ValueError("show_model requires a SQL-string model")
+    from dbt_maxcompute_spark.plans.settings import scoped_confs
+
+    sql = model.strip().rstrip(";")
+    if limit is not None and limit >= 0:
+        sql = f"select * from ({sql}) as model_limit_subq limit {int(limit)}"
+    header = _header_confs(sql_hints, sql_header)
+    with scoped_confs(catalog.spark, header):
+        return catalog.sql(sql).collect()
+
+
 def _reject_extra(cfg: dict[str, Any]) -> None:
     if cfg:
         raise ValueError(f"unsupported config keys: {sorted(cfg)}")

@@ -331,6 +331,39 @@ def test_run_model_sql_hints_merge_with_header(spark, cat):
         assert cat.exists(f"sh_{mat}")
 
 
+# -- dbt show (reference tests/functional/adapter/test_dbt_show.py) ----------
+
+
+def test_show_model_limit_and_unlimited(spark, cat):
+    from dbt_maxcompute_spark.runner import show_model
+
+    cat.create_table("sm", _mk(spark, [(i, f"r{i}") for i in range(10)], ["id", "v"]))
+    assert len(show_model(cat, "select * from sm", limit=3)) == 3
+    assert len(show_model(cat, "select * from sm")) == 5  # dbt default
+    assert len(show_model(cat, "select * from sm", limit=-1)) == 10
+    assert len(show_model(cat, "select * from sm", limit=None)) == 10
+
+
+def test_show_model_sql_header_and_double_limit(spark, cat):
+    """Header confs scope the preview; a model that already ends in
+    LIMIT nests cleanly (deliberate divergence from the reference's
+    ODPS-0130161 engine error — documented in the docstring)."""
+    from dbt_maxcompute_spark.runner import show_model
+
+    cat.create_table("sm2", _mk(spark, [(1, "a"), (2, "b")], ["id", "v"]))
+    rows = show_model(
+        cat,
+        "select id, current_timezone() as tz from sm2",
+        limit=1,
+        sql_header="set spark.sql.session.timeZone=Asia/Tokyo;",
+        sql_hints={"odps.sql.allow.fullscan": "true"},
+    )
+    assert rows[0].tz == "Asia/Tokyo"
+    # inner LIMIT + show's own LIMIT compose
+    rows = show_model(cat, "select * from sm2 order by id limit 2", limit=1)
+    assert len(rows) == 1
+
+
 def test_run_model_sql_header_rejects_non_set_content(spark, cat):
     with pytest.raises(ValueError, match="sql_header"):
         run_model(
