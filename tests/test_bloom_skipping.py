@@ -198,6 +198,55 @@ def test_files_matching_keys_df_keeps_statless_files(spark, tmp_path):
     assert kept == [victim]
 
 
+import tempfile as _tempfile  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PRUNE_FIXTURE = {}
+
+
+def _prune_fixture(spark):
+    """One shared table for the property (hypothesis re-enters the test
+    many times; rebuilding 8 files per example would dominate)."""
+    if "t" not in _PRUNE_FIXTURE:
+        import pathlib
+
+        d = pathlib.Path(_tempfile.mkdtemp(prefix="prune_prop_"))
+        _PRUNE_FIXTURE["t"] = _mk(spark, d, bloom_cols=("v",))
+        _PRUNE_FIXTURE["snap"] = _PRUNE_FIXTURE["t"].snapshot()
+    return _PRUNE_FIXTURE["t"], _PRUNE_FIXTURE["snap"]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.one_of(
+            st.integers(-100, 3500),       # id-range hits and misses
+            st.integers(900_000, 1_100_003),  # scattered-v domain
+            st.none(),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    col=st.sampled_from(["id", "v"]),
+)
+def test_prune_df_equals_driver_for_any_key_set(spark, keys, col):
+    """PROPERTY (round 9): for ANY key multiset (hits, misses,
+    negatives, nulls, duplicates) the executor-side prune returns
+    exactly the driver-side file set — same ranges, same blooms, same
+    null handling."""
+    t, snap = _prune_fixture(spark)
+    kdf = spark.createDataFrame([(k,) for k in keys], f"{col} long")
+    got = sorted(t.files_matching_keys_df(snap, col, kdf, col))
+    want = sorted(t.files_matching_keys(snap, col, [k for k in keys]))
+    assert got == want, (col, keys, got, want)
+
+
 def test_merge_dv_prune_never_collects_key_rows(spark, tmp_path, monkeypatch):
     """Pin for verdict item 3: on the DV MERGE route the driver-side
     key-materializing prune is NEVER invoked — pruning goes through
