@@ -1902,27 +1902,31 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
     # localCheckpoint that then backs the key-prune scan AND the join
     # itself — no per-probe recompute of the subquery.
     dv_route = False
+    n_src_bound = None  # known source-row upper bound, when free to know
     if _merge_target_big(t):
         n_src = _merge_source_rows_from_stats(catalog, m)
         if n_src is not None:
             # logged stats (an upper bound: DV-deleted rows still
             # count) — zero Spark jobs spent on routing
             dv_route = n_src <= MERGE_DV_MAX_SOURCE
+            n_src_bound = n_src
         elif not m.source_is_query and catalog.exists(m.source_sql):
             # a plain engine table without stats: the probe is a cheap
             # bounded scan of stored parquet, not a subquery recompute
-            dv_route = (
-                src.limit(MERGE_DV_MAX_SOURCE + 1).count()
-                <= MERGE_DV_MAX_SOURCE
-            )
+            n_probe = src.limit(MERGE_DV_MAX_SOURCE + 1).count()
+            dv_route = n_probe <= MERGE_DV_MAX_SOURCE
+            if dv_route:
+                n_src_bound = n_probe
         else:
             # query or temp-view source: ONE bounded materialization;
             # within bound the checkpoint IS the merge source (the
             # limit dropped nothing), so the subtree never re-runs
             limited = src.limit(MERGE_DV_MAX_SOURCE + 1).localCheckpoint()
-            if limited.count() <= MERGE_DV_MAX_SOURCE:
+            n_probe = limited.count()
+            if n_probe <= MERGE_DV_MAX_SOURCE:
                 dv_route = True
                 src = limited
+                n_src_bound = n_probe
 
     for attempt in range(_TXN_MAX_ATTEMPTS):
         v = t.latest_version()
@@ -1933,18 +1937,31 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
             # (stats range + bloom proof — SOUND, so a source row
             # matching a pruned file is impossible and NOT-MATCHED
             # classification stays exact). Round-9 (verdict item 3):
-            # the probe is EXECUTOR-SIDE — the source keys stay
-            # distributed through a mapInPandas pass against the
-            # logged per-file stats/blooms, and the driver collects
-            # only the surviving file NAMES (metadata-sized); no key
-            # row ever materializes on the driver, and no arbitrary
-            # key-count cutoff disables the prune.
+            # pruning is ADAPTIVE on the (free-to-know) source bound —
+            # a tiny batch (≤ MERGE_PRUNE_DRIVER_MAX_KEYS rows, known
+            # from logged stats or the routing probe's own count)
+            # collects its keys driver-side and probes in-process (no
+            # extra Spark job at all; strictly metadata-sized); any
+            # bigger or unknown-size source probes EXECUTOR-SIDE: the
+            # keys stay distributed through a mapInPandas pass against
+            # the logged per-file stats/blooms and the driver collects
+            # only the surviving file NAMES. Either way no key-count
+            # cutoff ever silently disables the prune.
             files = None
             pair = _merge_equi_key(m)
             if pair is not None and pair[1] in src.columns:
-                files = t.files_matching_keys_df(
-                    snap, pair[0], src.select(pair[1]), pair[1]
-                )
+                if (
+                    n_src_bound is not None
+                    and n_src_bound <= MERGE_PRUNE_DRIVER_MAX_KEYS
+                ):
+                    key_rows = src.select(pair[1]).distinct().collect()
+                    files = t.files_matching_keys(
+                        snap, pair[0], [r[0] for r in key_rows]
+                    )
+                else:
+                    files = t.files_matching_keys_df(
+                        snap, pair[0], src.select(pair[1]), pair[1]
+                    )
             tgt = t._visible_with_pos(snap, files)
             out_cols = [c for c in tgt.columns if c not in ("__f", "__p")]
         else:
@@ -2090,6 +2107,11 @@ def _exec_merge(catalog: "EngineCatalog", m: MergeStmt) -> int:
 
 MERGE_DV_MIN_ROWS = 100_000
 MERGE_DV_MAX_SOURCE = 1_000_000
+# batches at or under this known row bound prune with a driver-side key
+# collect (cheaper than a mapInPandas pass: zero extra Spark jobs,
+# still metadata-sized); bigger or unknown-size sources prune
+# executor-side via files_matching_keys_df
+MERGE_PRUNE_DRIVER_MAX_KEYS = 10_000
 
 _EQ_PAIR_RX = re.compile(
     r"^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*=\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$"

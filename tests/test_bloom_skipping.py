@@ -247,29 +247,35 @@ def test_prune_df_equals_driver_for_any_key_set(spark, keys, col):
     assert got == want, (col, keys, got, want)
 
 
-def test_merge_dv_prune_never_collects_key_rows(spark, tmp_path, monkeypatch):
-    """Pin for verdict item 3: on the DV MERGE route the driver-side
-    key-materializing prune is NEVER invoked — pruning goes through
-    the executor-side files_matching_keys_df, whose result actually
-    prunes (strict subset of the snapshot's files)."""
+def _mk_merge_target(spark, tmp_path, name="big2"):
     from dbt_maxcompute_spark.catalog import EngineCatalog
-    from dbt_maxcompute_spark.plans import sqldml
-    from dbt_maxcompute_spark.txnlog import TxnTable
 
     cat = EngineCatalog(spark, str(tmp_path / "wh"))
     cat.create_table(
-        "big2",
+        name,
         spark.range(300).select(F.col("id"), (F.col("id") * 10).alias("v")),
         transactional=True, primary_keys=["id"],
     )
     for lo in (300, 600, 900):
         cat.execute(
-            f"INSERT INTO big2 SELECT id, id * 10 AS v FROM RANGE({lo}, {lo + 300})"
+            f"INSERT INTO {name} SELECT id, id * 10 AS v FROM RANGE({lo}, {lo + 300})"
         )
+    return cat
+
+
+def test_merge_dv_prune_never_collects_key_rows(spark, tmp_path, monkeypatch):
+    """Pin for verdict item 3: above the driver-collect bound the DV
+    MERGE route never materializes key rows on the driver — pruning
+    goes through the executor-side files_matching_keys_df, whose
+    result actually prunes (strict subset of the snapshot's files)."""
+    from dbt_maxcompute_spark.plans import sqldml
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    cat = _mk_merge_target(spark, tmp_path)
 
     def boom(self, snap, col, values):
         raise AssertionError(
-            "driver-side files_matching_keys called on the MERGE path"
+            "driver-side files_matching_keys called above the collect bound"
         )
 
     pruned_sets = []
@@ -283,6 +289,7 @@ def test_merge_dv_prune_never_collects_key_rows(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(TxnTable, "files_matching_keys", boom)
     monkeypatch.setattr(TxnTable, "files_matching_keys_df", spy)
     monkeypatch.setattr(sqldml, "MERGE_DV_MIN_ROWS", 0)
+    monkeypatch.setattr(sqldml, "MERGE_PRUNE_DRIVER_MAX_KEYS", -1)
     spark.createDataFrame([(50, 1), (5000, 3)], "id long, v long") \
         .createOrReplaceTempView("mbatch2")
     out = cat.execute(
@@ -294,6 +301,42 @@ def test_merge_dv_prune_never_collects_key_rows(spark, tmp_path, monkeypatch):
     assert pruned_sets and all(k < n for k, n in pruned_sets), pruned_sets
     got = {r.id: r.v for r in cat.read("big2").filter("id in (50, 5000, 51)").collect()}
     assert got == {50: 1, 5000: 3, 51: 510}
+
+
+def test_merge_dv_prune_tiny_batch_stays_driver_side(spark, tmp_path, monkeypatch):
+    """A batch whose row bound is known (from the routing probe or
+    stats) and tiny prunes via the in-process driver probe — strictly
+    cheaper (no extra Spark job) and still metadata-bounded; the
+    executor path is never spawned for it."""
+    from dbt_maxcompute_spark.plans import sqldml
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    cat = _mk_merge_target(spark, tmp_path)
+
+    def boom_df(self, snap, col, keys, key_col):
+        raise AssertionError(
+            "executor-side prune spawned for a tiny known-size batch"
+        )
+
+    called = []
+    real = TxnTable.files_matching_keys
+
+    def spy(self, snap, col, values):
+        out = real(self, snap, col, values)
+        called.append((len(out), len(snap.files)))
+        return out
+
+    monkeypatch.setattr(TxnTable, "files_matching_keys_df", boom_df)
+    monkeypatch.setattr(TxnTable, "files_matching_keys", spy)
+    monkeypatch.setattr(sqldml, "MERGE_DV_MIN_ROWS", 0)
+    spark.createDataFrame([(60, 7)], "id long, v long") \
+        .createOrReplaceTempView("mbatch3")
+    out = cat.execute(
+        "MERGE INTO big2 USING (SELECT * FROM mbatch3) AS s ON big2.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    ).collect()[0]
+    assert out.affected_rows == 1
+    assert called and all(k < n for k, n in called), called
 
 
 def test_merge_dv_dynamic_file_pruning_is_sound(spark, tmp_path):
