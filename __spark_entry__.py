@@ -66,6 +66,7 @@ _PRIORITY = [
     "model_hooks_script",
     "ann_ivf_rebalance",
     "mv_rewrite_view",
+    "text_boilerplate_removal",
     "sql_cdf_tvf",
     # the 16 r5-stale rows (round-8 verdict item 2)
     "tpch_q3_shipping_priority",

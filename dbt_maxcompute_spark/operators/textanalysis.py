@@ -182,3 +182,80 @@ def redact_pii(text: Column) -> Column:
     for kind in ("email", "ipv4", "phone"):
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+def remove_boilerplate_lines(
+    docs,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+):
+    """C4/RefinedWeb-style LINE-level boilerplate removal: a line
+    (trimmed) that occurs in ``min_docs`` or more DISTINCT documents is
+    boilerplate (headers, footers, nav chrome, cookie banners) and is
+    dropped from EVERY document; surviving lines reassemble in their
+    original order. No counterpart in the reference (training-data
+    extension per BASELINE.json) — this is the step between raw scrape
+    and dedup in every large text pipeline.
+
+    Scale shape (pure Catalyst, no Python):
+    - one ``posexplode`` pass over the corpus (line, position);
+    - line frequency is ONE hash-agg on the trimmed line text with an
+      exact ``count(DISTINCT id)`` (two-stage partial agg under AQE) —
+      the shuffle carries distinct (line, id) pairs, not documents;
+    - removal is a join against the (usually tiny) boilerplate line
+      set — left as a plain join for AQE to broadcast when it fits;
+    - reassembly is one groupBy(id) with ``array_sort`` over collected
+      (pos, line) structs — order restored without a window sort.
+
+    Returns the input frame with ``text_col`` replaced by the cleaned
+    text (documents whose every line was boilerplate keep an empty
+    string) and an added ``n_removed_lines`` column.
+    """
+    import re as _re
+
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("__pos", "__line"),
+    )
+    key = F.trim(F.col("__line"))
+    boiler = (
+        lines.where(F.length(key) > 0)
+        .groupBy(key.alias("__k"))
+        .agg(F.count_distinct(F.col(id_col)).alias("__d"))
+        .where(F.col("__d") >= min_docs)
+        .select("__k")
+    )
+    kept = lines.join(
+        boiler, on=F.trim(lines["__line"]) == boiler["__k"], how="left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("__cleaned"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    # size() of a NULL array is -1: a NULL document has zero lines
+    n_lines = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(F.split(F.col(text_col), _re.escape(sep), -1)))
+    return (
+        docs.join(rebuilt, on=id_col, how="left")
+        .withColumn(
+            "n_removed_lines",
+            (n_lines - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("bigint"),
+        )
+        .withColumn(text_col, F.coalesce(F.col("__cleaned"), F.lit("")))
+        .drop("__cleaned", "__n_kept")
+    )

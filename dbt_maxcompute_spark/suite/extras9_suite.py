@@ -296,14 +296,95 @@ GROUP BY o_orderstatus ORDER BY status
 """
 
 
+def q_text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9 pipeline operator: C4/RefinedWeb-style LINE-level
+    # boilerplate removal — a trimmed line occurring in >= min_docs
+    # DISTINCT documents (headers, footers, nav chrome) drops from
+    # every document; survivors reassemble in original order. The
+    # fixture builds multi-line docs deterministically (per-source
+    # header + body + global footer), so sources with >= 3 docs lose
+    # their header, rarer sources keep theirs, the footer always
+    # drops, and repeated bodies get caught by the same threshold —
+    # the oracle replays the identical algorithm in SQL.
+    from dbt_maxcompute_spark.operators.textanalysis import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    multi = docs.withColumn("body", F.col("text")).withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("header for "), F.col("source")),
+            F.col("text"),
+            F.lit("global footer"),
+        ),
+    )
+    cleaned = remove_boilerplate_lines(multi, "doc_id", "text", min_docs=3)
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("chars"),
+            F.sum(
+                F.when(F.col("text") == F.col("body"), 1).otherwise(0)
+            ).cast("bigint").alias("n_body_exact"),
+            F.sum("n_removed_lines").cast("bigint").alias("removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TEXT_BOILERPLATE_REMOVAL = """
+WITH src AS (
+  SELECT doc_id, lang, text AS body,
+         'header for ' || source || chr(10) || text || chr(10) ||
+         'global footer' AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+  FROM src
+),
+freq AS (
+  SELECT trim(line) AS k FROM lines WHERE length(trim(line)) > 0
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos FROM lines l
+  WHERE trim(l.line) NOT IN (SELECT k FROM freq)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT s.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(COALESCE(r.cleaned, ''))) AS BIGINT) AS chars,
+       CAST(sum(CASE WHEN COALESCE(r.cleaned, '') = s.body THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_body_exact,
+       CAST(sum(len(string_split(s.t, chr(10))) - COALESCE(r.n_kept, 0))
+            AS BIGINT) AS removed
+FROM src s LEFT JOIN rebuilt r USING (doc_id)
+GROUP BY s.lang ORDER BY s.lang
+"""
+
+
 QUERIES = {
     "model_hooks_script": q_model_hooks_script,
     "ann_ivf_rebalance": q_ann_ivf_rebalance,
     "mv_rewrite_view": q_mv_rewrite_view,
+    "text_boilerplate_removal": q_text_boilerplate_removal,
 }
 
 ORACLES = {
     "model_hooks_script": ORACLE_MODEL_HOOKS_SCRIPT,
     "ann_ivf_rebalance": ORACLE_ANN_IVF_REBALANCE,
     "mv_rewrite_view": ORACLE_MV_REWRITE_VIEW,
+    "text_boilerplate_removal": ORACLE_TEXT_BOILERPLATE_REMOVAL,
 }

@@ -1,0 +1,88 @@
+"""Line-level boilerplate removal: frequency threshold, trim-matched
+keys, order preservation, all-boilerplate docs, custom separators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.operators.textanalysis import remove_boilerplate_lines
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_threshold_boundary_and_order(spark):
+    rows = [
+        (1, "HEADER\nalpha one\nFOOTER"),
+        (2, "HEADER\nbeta two\nFOOTER"),
+        (3, "HEADER\ngamma three\nFOOTER"),
+        (4, "pair line\ndelta four"),
+        (5, "pair line\nepsilon five"),
+    ]
+    out = remove_boilerplate_lines(_docs(spark, rows), "doc_id", "text", min_docs=3)
+    got = {r.doc_id: (r.text, r.n_removed_lines) for r in out.collect()}
+    # HEADER/FOOTER live in 3 docs -> removed; "pair line" in only 2 -> kept
+    assert got[1] == ("alpha one", 2)
+    assert got[2] == ("beta two", 2)
+    assert got[3] == ("gamma three", 2)
+    assert got[4] == ("pair line\ndelta four", 0)
+    assert got[5] == ("pair line\nepsilon five", 0)
+
+
+def test_trim_matching_and_duplicate_lines_within_doc(spark):
+    rows = [
+        (1, "  SAME  \nbody a\nSAME"),   # SAME twice in ONE doc: 1 distinct doc
+        (2, "SAME\nbody b"),
+        (3, "body c"),
+    ]
+    out = remove_boilerplate_lines(_docs(spark, rows), "doc_id", "text", min_docs=2)
+    got = {r.doc_id: r.text for r in out.collect()}
+    # trimmed "SAME" occurs in docs {1, 2} -> removed everywhere,
+    # including both copies inside doc 1
+    assert got[1] == "body a"
+    assert got[2] == "body b"
+    assert got[3] == "body c"
+
+
+def test_all_boilerplate_doc_becomes_empty(spark):
+    rows = [(1, "X"), (2, "X"), (3, "X\nunique bit")]
+    out = remove_boilerplate_lines(_docs(spark, rows), "doc_id", "text", min_docs=2)
+    got = {r.doc_id: (r.text, r.n_removed_lines) for r in out.collect()}
+    assert got[1] == ("", 1) and got[2] == ("", 1)
+    assert got[3] == ("unique bit", 1)
+    assert out.count() == 3  # emptied docs are kept, not dropped
+
+
+def test_custom_separator_is_escaped(spark):
+    rows = [(1, "boiler. body a"), (2, "boiler. body b")]
+    out = remove_boilerplate_lines(
+        _docs(spark, rows), "doc_id", "text", min_docs=2, sep=". "
+    )
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert got == {1: "body a", 2: "body b"}
+
+
+def test_extra_columns_survive(spark):
+    rows = [(1, "H\na", "en"), (2, "H\nb", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = remove_boilerplate_lines(df, "doc_id", "text", min_docs=2)
+    got = {r.doc_id: (r.text, r.lang) for r in out.collect()}
+    assert got == {1: ("a", "en"), 2: ("b", "de")}
+
+
+def test_null_text_doc_survives_as_empty(spark):
+    rows = [(1, "H\na"), (2, "H\nb"), (3, None)]
+    out = remove_boilerplate_lines(_docs(spark, rows), "doc_id", "text", min_docs=2)
+    got = {r.doc_id: (r.text, r.n_removed_lines) for r in out.collect()}
+    assert got[3] == ("", 0)
+    assert got[1] == ("a", 1) and got[2] == ("b", 1)
+
+
+def test_empty_lines_never_count_as_boilerplate(spark):
+    rows = [(1, "a\n\nb"), (2, "c\n\nd")]
+    out = remove_boilerplate_lines(_docs(spark, rows), "doc_id", "text", min_docs=2)
+    got = {r.doc_id: r.text for r in out.collect()}
+    # the empty middle line is shared by both docs but is NOT treated
+    # as boilerplate (blank separators are structure, not content)
+    assert got == {1: "a\n\nb", 2: "c\n\nd"}
