@@ -79,6 +79,16 @@ _WHERES = [
     "g3 <> 's0 weird'",  # literal containing a column-ish word
 ]
 
+# HAVING pool: aggregate re-expressions, select-alias references, and a
+# literal containing agg-looking text (the round-7 advisory class)
+_HAVINGS = [
+    None,
+    "count(*) > 5",
+    "min(x) >= 0",
+    "max(y) < 13",
+    "count(*) > 2 and min(x) >= 0",
+]
+
 
 @settings(
     max_examples=40,
@@ -92,12 +102,13 @@ _WHERES = [
     aggs=st.lists(st.sampled_from(range(len(_AGGS))), min_size=1, max_size=3,
                   unique=True),
     where=st.sampled_from(_WHERES),
+    having=st.sampled_from(_HAVINGS),
     alias_keys=st.booleans(),
     through_view=st.booleans(),
     order_by=st.booleans(),
 )
 def test_mv_rewrite_equals_direct_execution(
-    spark, keys, aggs, where, alias_keys, through_view, order_by
+    spark, keys, aggs, where, having, alias_keys, through_view, order_by
 ):
     cat = _cat(spark)
     if through_view:
@@ -127,6 +138,8 @@ def test_mv_rewrite_equals_direct_execution(
             # keep literals intact: our replaces above only touch g1->k1
         sql += f" WHERE {w}"
     sql += f" GROUP BY {', '.join(colname[k] for k in keys)}"
+    if having:
+        sql += f" HAVING {having}"
     if order_by:
         sql += f" ORDER BY {colname[keys[0]]}"
 
