@@ -67,6 +67,7 @@ _PRIORITY = [
     "ann_ivf_rebalance",
     "mv_rewrite_view",
     "text_boilerplate_removal",
+    "text_boilerplate_incremental",
     "sql_cdf_tvf",
     # the 16 r5-stale rows (round-8 verdict item 2)
     "tpch_q3_shipping_priority",

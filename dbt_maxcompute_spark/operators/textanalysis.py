@@ -259,3 +259,103 @@ def remove_boilerplate_lines(
         .withColumn(text_col, F.coalesce(F.col("__cleaned"), F.lit("")))
         .drop("__cleaned", "__n_kept")
     )
+
+
+def clean_boilerplate_incremental(
+    spark,
+    store,
+    batch,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+):
+    """INCREMENTAL line-level boilerplate removal — the continuous-
+    ingest shape of :func:`remove_boilerplate_lines`: a persistent
+    line-frequency STORE (a transaction-log table of
+    ``(line, n_docs)``) accumulates how many distinct documents each
+    trimmed line has appeared in ACROSS ALL BATCHES SO FAR, and each
+    arriving batch is cleaned against the cumulative counts (its own
+    contribution included). A nav header that only becomes frequent in
+    batch 7 starts dropping from batch 7 on — history is never
+    re-scanned, exactly like the repo's incremental dedup stores.
+
+    Scale shape:
+    - the batch pays one posexplode + one (line, id)-distinct hash-agg
+      (batch-sized);
+    - the store update is ONE keyed DV upsert (``delete_insert_dv``):
+      matched lines bump their count via a join against the store's
+      CURRENT values, new lines insert — cost is O(|batch lines| +
+      matched rows), never O(|store|);
+    - the boilerplate set is read back filtered (``n_docs >=
+      min_docs``) — answer-sized, AQE broadcasts the removal join when
+      it fits;
+    - reassembly is the same array_sort groupBy as the batch operator.
+
+    ``store`` is a :class:`~dbt_maxcompute_spark.txnlog.TxnTable`
+    handle; an empty/uninitialized table is created on first use.
+    Returns the cleaned batch frame (same contract as
+    :func:`remove_boilerplate_lines`).
+    """
+    import re as _re
+
+    lines = batch.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("__pos", "__line"),
+    )
+    key = F.trim(F.col("__line"))
+    batch_counts = (
+        lines.where(F.length(key) > 0)
+        .groupBy(key.alias("line"))
+        .agg(F.count_distinct(F.col(id_col)).alias("n_new"))
+    )
+    if store.exists():
+        current = store.read().select("line", "n_docs")
+        merged = (
+            batch_counts.join(current, on="line", how="left")
+            .select(
+                "line",
+                (
+                    F.coalesce(F.col("n_docs"), F.lit(0)) + F.col("n_new")
+                ).cast("bigint").alias("n_docs"),
+            )
+        )
+        store.delete_insert_dv(merged, ["line"])
+    else:
+        store.create(
+            batch_counts.select(
+                "line", F.col("n_new").cast("bigint").alias("n_docs")
+            )
+        )
+    boiler = store.read().where(F.col("n_docs") >= min_docs).select(
+        F.col("line").alias("__k")
+    )
+    kept = lines.join(
+        boiler, on=F.trim(lines["__line"]) == boiler["__k"], how="left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("__cleaned"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    n_lines = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(F.split(F.col(text_col), _re.escape(sep), -1)))
+    return (
+        batch.join(rebuilt, on=id_col, how="left")
+        .withColumn(
+            "n_removed_lines",
+            (n_lines - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("bigint"),
+        )
+        .withColumn(text_col, F.coalesce(F.col("__cleaned"), F.lit("")))
+        .drop("__cleaned", "__n_kept")
+    )

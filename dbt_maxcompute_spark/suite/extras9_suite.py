@@ -375,11 +375,100 @@ GROUP BY s.lang ORDER BY s.lang
 """
 
 
+def q_text_boilerplate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9 pipeline operator, continuous-ingest shape: documents
+    # arrive in three batches (doc_id % 3); a PERSISTENT line-frequency
+    # store (transaction-log table, keyed DV upserts) accumulates
+    # cumulative distinct-doc counts, and each batch cleans against
+    # the counts as of its own arrival — boilerplate that only becomes
+    # frequent in a later batch starts dropping from that batch on,
+    # with history never reprocessed. The oracle replays the cumulative
+    # thresholds per batch horizon in SQL.
+    import tempfile
+
+    from dbt_maxcompute_spark.operators.textanalysis import (
+        clean_boilerplate_incremental,
+    )
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    multi = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("header for "), F.col("source")),
+            F.col("text"),
+            F.lit("global footer"),
+        ),
+    )
+    store = TxnTable(spark, tempfile.mkdtemp(prefix="boiler_inc_") + "/freq")
+    rows = []
+    for k in range(3):
+        bk = multi.filter(F.col("doc_id") % 3 == k)
+        out = clean_boilerplate_incremental(
+            spark, store, bk, "doc_id", "text", min_docs=3
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("chars"),
+            F.sum("n_removed_lines").cast("bigint").alias("removed"),
+        ).collect()[0]
+        rows.append((k, agg["n_docs"], agg["chars"], agg["removed"]))
+    return spark.createDataFrame(
+        rows, "batch_id int, n_docs bigint, chars bigint, removed bigint"
+    ).orderBy("batch_id")
+
+
+ORACLE_TEXT_BOILERPLATE_INCREMENTAL = """
+WITH src AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS b,
+         'header for ' || source || chr(10) || text || chr(10) ||
+         'global footer' AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, b,
+         unnest(string_split(t, chr(10))) AS line,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+  FROM src
+),
+freq AS (
+  SELECT trim(l.line) AS k_line, h.k AS k, count(DISTINCT l.doc_id) AS c
+  FROM lines l, (SELECT unnest(range(0, 3)) AS k) h
+  WHERE l.b <= h.k AND length(trim(l.line)) > 0
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT l.doc_id, l.b, l.line, l.pos
+  FROM lines l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM freq f
+    WHERE f.k = l.b AND f.k_line = trim(l.line) AND f.c >= 3
+  )
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT s.b AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(COALESCE(r.cleaned, ''))) AS BIGINT) AS chars,
+       CAST(sum(len(string_split(s.t, chr(10))) - COALESCE(r.n_kept, 0))
+            AS BIGINT) AS removed
+FROM src s LEFT JOIN rebuilt r USING (doc_id)
+GROUP BY s.b ORDER BY batch_id
+"""
+
+
 QUERIES = {
     "model_hooks_script": q_model_hooks_script,
     "ann_ivf_rebalance": q_ann_ivf_rebalance,
     "mv_rewrite_view": q_mv_rewrite_view,
     "text_boilerplate_removal": q_text_boilerplate_removal,
+    "text_boilerplate_incremental": q_text_boilerplate_incremental,
 }
 
 ORACLES = {
@@ -387,4 +476,5 @@ ORACLES = {
     "ann_ivf_rebalance": ORACLE_ANN_IVF_REBALANCE,
     "mv_rewrite_view": ORACLE_MV_REWRITE_VIEW,
     "text_boilerplate_removal": ORACLE_TEXT_BOILERPLATE_REMOVAL,
+    "text_boilerplate_incremental": ORACLE_TEXT_BOILERPLATE_INCREMENTAL,
 }

@@ -86,3 +86,77 @@ def test_empty_lines_never_count_as_boilerplate(spark):
     # the empty middle line is shared by both docs but is NOT treated
     # as boilerplate (blank separators are structure, not content)
     assert got == {1: "a\n\nb", 2: "c\n\nd"}
+
+
+# -- incremental (store-backed) boilerplate removal ---------------------------
+
+def test_incremental_store_accumulates_across_batches(spark, tmp_path):
+    """A line that only becomes frequent in a later batch starts
+    dropping FROM that batch on; earlier batches are never reprocessed;
+    the store carries cumulative distinct-doc counts."""
+    from dbt_maxcompute_spark.operators.textanalysis import (
+        clean_boilerplate_incremental,
+    )
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    store = TxnTable(spark, str(tmp_path / "freq_store"))
+    b1 = _docs(spark, [(1, "NAV\nalpha"), (2, "beta only")])
+    out1 = clean_boilerplate_incremental(
+        spark, store, b1, "doc_id", "text", min_docs=3
+    )
+    got1 = {r.doc_id: r.text for r in out1.collect()}
+    assert got1 == {1: "NAV\nalpha", 2: "beta only"}  # NAV seen once: kept
+
+    b2 = _docs(spark, [(3, "NAV\ngamma"), (4, "NAV\ndelta")])
+    out2 = clean_boilerplate_incremental(
+        spark, store, b2, "doc_id", "text", min_docs=3
+    )
+    got2 = {r.doc_id: r.text for r in out2.collect()}
+    # cumulative NAV count hits 3 IN this batch: dropped from batch 2
+    assert got2 == {3: "gamma", 4: "delta"}
+
+    counts = {r.line: r.n_docs for r in store.read().collect()}
+    assert counts["NAV"] == 3
+    assert counts["alpha"] == 1 and counts["gamma"] == 1
+
+    b3 = _docs(spark, [(5, "NAV\nepsilon")])
+    out3 = clean_boilerplate_incremental(
+        spark, store, b3, "doc_id", "text", min_docs=3
+    )
+    assert out3.collect()[0].text == "epsilon"  # stays boilerplate
+    assert {r.line: r.n_docs for r in store.read().collect()}["NAV"] == 4
+
+
+def test_incremental_within_batch_duplicates_count_once(spark, tmp_path):
+    """Distinct-doc semantics: two copies of a line INSIDE one doc bump
+    the store by one, matching the batch operator's count(DISTINCT id)."""
+    from dbt_maxcompute_spark.operators.textanalysis import (
+        clean_boilerplate_incremental,
+    )
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    store = TxnTable(spark, str(tmp_path / "freq_store2"))
+    b = _docs(spark, [(1, "X\nbody\nX")])
+    clean_boilerplate_incremental(spark, store, b, "doc_id", "text", min_docs=2)
+    assert {r.line: r.n_docs for r in store.read().collect()}["X"] == 1
+
+
+def test_incremental_matches_batch_operator_on_union(spark, tmp_path):
+    """Feeding ALL docs as one incremental batch equals the plain batch
+    operator (same threshold, same reassembly)."""
+    from dbt_maxcompute_spark.operators.textanalysis import (
+        clean_boilerplate_incremental,
+        remove_boilerplate_lines,
+    )
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    rows = [
+        (1, "HEAD\na\nFOOT"), (2, "HEAD\nb\nFOOT"), (3, "HEAD\nc"),
+        (4, "solo\nd"),
+    ]
+    store = TxnTable(spark, str(tmp_path / "freq_store3"))
+    inc = clean_boilerplate_incremental(
+        spark, store, _docs(spark, rows), "doc_id", "text", min_docs=2
+    )
+    plain = remove_boilerplate_lines(_docs(spark, rows), "doc_id", "text", min_docs=2)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, plain.collect()))
