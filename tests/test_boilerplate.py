@@ -160,3 +160,68 @@ def test_incremental_matches_batch_operator_on_union(spark, tmp_path):
     )
     plain = remove_boilerplate_lines(_docs(spark, rows), "doc_id", "text", min_docs=2)
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, plain.collect()))
+
+
+# -- property: store counts are exact for ANY batch split ---------------------
+
+import tempfile as _tempfile  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_LINE_POOL = ["nav", "foot", "ad", "x1", "x2", "x3", "x4", "x5"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_LINE_POOL), min_size=1, max_size=4),
+        min_size=1,
+        max_size=8,
+    ),
+    cut=st.integers(0, 8),
+    min_docs=st.integers(2, 3),
+)
+def test_incremental_store_counts_exact_for_any_split(spark, docs, cut, min_docs):
+    """PROPERTY: after feeding ANY document set in ANY two-batch split,
+    the store's per-line count equals an exact count(DISTINCT doc) over
+    the union — the cumulative-frequency contract the cleaning
+    threshold depends on. Cleaned outputs always preserve per-doc line
+    order and only ever REMOVE lines."""
+    from dbt_maxcompute_spark.operators.textanalysis import (
+        clean_boilerplate_incremental,
+    )
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    cut = min(cut, len(rows))
+    store = TxnTable(spark, _tempfile.mkdtemp(prefix="bp_prop_") + "/freq")
+    outs = []
+    for batch_rows in (rows[:cut], rows[cut:]):
+        if not batch_rows:
+            continue
+        outs.append(
+            clean_boilerplate_incremental(
+                spark, store, _docs(spark, batch_rows), "doc_id", "text",
+                min_docs=min_docs,
+            ).collect()
+        )
+    got = {r.line: r.n_docs for r in store.read().collect()}
+    want = {}
+    for _i, lines in enumerate(docs):
+        for ln in set(lines):
+            want[ln] = want.get(ln, 0) + 1
+    assert got == want, (docs, cut, got, want)
+    # outputs only remove lines, never reorder or invent
+    by_id = {i: lines for i, lines in enumerate(docs)}
+    for out in outs:
+        for r in out:
+            kept = r.text.split("\n") if r.text else []
+            orig = by_id[r.doc_id]
+            it = iter(orig)
+            assert all(any(k == o for o in it) for k in kept), (orig, kept)
+            assert r.n_removed_lines == len(orig) - len(kept)
