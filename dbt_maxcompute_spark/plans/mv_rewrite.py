@@ -639,6 +639,29 @@ def _parse_view_body(sql: str):
     return colmap, m["table"], where
 
 
+class _ViewRefError(Exception):
+    """A reference the view does not expose (round-10 advisory fix):
+    expansion must fail closed so invalid-against-the-view SQL still
+    surfaces Spark's analysis error instead of being silently answered
+    from the MV over the base table."""
+
+
+#: bare tokens that are legal in an expression without naming a column
+#: (keywords, literals, interval units). Over-failing is safe — the
+#: caller falls back to direct execution — so this list only needs the
+#: vocabulary the rollup grammar actually meets.
+_SQL_BARE_TOKENS = frozenset(
+    """
+    and or not in is null like rlike ilike between escape exists
+    case when then else end true false asc desc nulls first last
+    as cast try_cast distinct all any some div interval date timestamp
+    year years quarter quarters month months week weeks day days
+    hour hours minute minutes second seconds millisecond milliseconds
+    microsecond microseconds
+    """.split()
+)
+
+
 def _subst_view_refs(
     text: str | None, qualifiers: set[str], colmap: dict | None
 ) -> str | None:
@@ -646,7 +669,11 @@ def _subst_view_refs(
     token level: a ``v.col`` / ``alias.col`` qualifier strips (the view
     is gone after expansion), then a bare name that is a view output
     maps to its underlying (possibly qualified) column. Literals pass
-    through untouched."""
+    through untouched. With an explicit ``colmap`` (non-star view), any
+    identifier that is NOT a view output, keyword, function call, or
+    cast-target type raises ``_ViewRefError`` — the view hides base
+    columns, so a leaked base reference means the query is invalid
+    against the view and must not be answered from the MV."""
     if text is None:
         return None
     toks = _CANON_TOKEN_RX.findall(text)
@@ -678,6 +705,18 @@ def _subst_view_refs(
         ):
             out.extend(_CANON_TOKEN_RX.findall(colmap[t]))
         else:
+            if (
+                colmap is not None
+                and _IDENT_RX.match(t or "")
+                and t not in _SQL_BARE_TOKENS
+                and not (i < n and toks[i] == "(")  # function call
+                and not (out and out[-1] == ".")  # handled below as chain
+                and not (out and out[-1] in ("as", "cast"))  # cast type
+            ):
+                # bare identifier that is not a view output, or a
+                # dotted chain with a non-view qualifier: the view
+                # does not expose it
+                raise _ViewRefError(t)
             out.append(t)
     return " ".join(out)
 
@@ -712,42 +751,48 @@ def _expand_view_rollup(r: _Rollup, views: dict) -> "_Rollup | None":
         s = sub(text)
         return s.replace(" . ", ".") if s else s
 
-    items = []
-    for it in r.items:
-        if it.kind == "key":
-            new_col = sub_col(it.col)
-            if new_col is None:
-                return None
-            # preserve the USER'S output name: their alias, else the
-            # name the un-expanded query would have produced
-            items.append(
-                _Item(
-                    kind="key",
-                    alias=it.alias or it.col.split(".")[-1],
-                    col=new_col,
+    try:
+        items = []
+        for it in r.items:
+            if it.kind == "key":
+                new_col = sub_col(it.col)
+                if new_col is None:
+                    return None
+                # preserve the USER'S output name: their alias, else
+                # the name the un-expanded query would have produced
+                items.append(
+                    _Item(
+                        kind="key",
+                        alias=it.alias or it.col.split(".")[-1],
+                        col=new_col,
+                    )
                 )
-            )
-        else:
-            items.append(
-                _Item(
-                    kind="agg", alias=it.alias, func=it.func,
-                    arg=_canon_expr(sub(it.arg)), cast_type=it.cast_type,
+            else:
+                items.append(
+                    _Item(
+                        kind="agg", alias=it.alias, func=it.func,
+                        arg=_canon_expr(sub(it.arg)), cast_type=it.cast_type,
+                    )
                 )
-            )
-    user_where = _conjuncts(sub(r.where)) if r.where else []
-    # parenthesize OR-bearing conjuncts so AND-joining cannot rebind
-    all_conj = [
-        c if len(_disjuncts(c)) == 1 else f"( {c} )"
-        for c in view_where + user_where
-    ]
-    return _Rollup(
-        table=from_text,
-        items=items,
-        group_keys=[sub_col(g) for g in r.group_keys],
-        where=" and ".join(all_conj) if all_conj else None,
-        order=sub(r.order),
-        having=sub(r.having),
-    )
+        user_where = _conjuncts(sub(r.where)) if r.where else []
+        # parenthesize OR-bearing conjuncts so AND-joining cannot rebind
+        all_conj = [
+            c if len(_disjuncts(c)) == 1 else f"( {c} )"
+            for c in view_where + user_where
+        ]
+        return _Rollup(
+            table=from_text,
+            items=items,
+            group_keys=[sub_col(g) for g in r.group_keys],
+            where=" and ".join(all_conj) if all_conj else None,
+            order=sub(r.order),
+            having=sub(r.having),
+        )
+    except _ViewRefError:
+        # round-10 advisory fix: the query references something the
+        # view does not expose — invalid against the view, so no
+        # rewrite; Spark's analysis error surfaces on direct execution
+        return None
 
 
 def _subst_keys(text: str, key_out: dict) -> str:

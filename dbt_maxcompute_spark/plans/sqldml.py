@@ -168,11 +168,12 @@ def _rewrite_table_changes(catalog: "EngineCatalog", sql: str) -> str:
     ``TxnTable.change_feed(v0, v1)`` (rows + ``_change_type``), the
     Delta CDF TVF shape. Each bound is either an integer VERSION or a
     quoted TIMESTAMP literal (round-8: Delta's CDF surface accepts
-    both); timestamps resolve against the txn log's commit timestamps
-    with Delta's CDF boundary rules — the START bound is
-    from-INCLUSIVE (first commit at or after the instant; a commit at
-    exactly the given timestamp is in the feed), the END bound keeps
-    the AS-OF rule (newest commit at or before the instant). Naive
+    both); bounds follow Delta's CDF boundary rules — the START bound
+    is from-INCLUSIVE in BOTH forms (an integer start version's own
+    changes are in the feed; a timestamp start resolves to the first
+    commit at or after the instant, a commit at exactly the given
+    timestamp included), the END bound keeps the AS-OF rule (newest
+    commit at or before the instant / the version itself). Naive
     literals resolve in the session timezone (``_ts_epoch``).
     Scanned on the MASKED text so the function name
     inside a string literal never rewrites; unparseable argument
@@ -181,7 +182,12 @@ def _rewrite_table_changes(catalog: "EngineCatalog", sql: str) -> str:
     def _bound(text: str, is_start: bool = False) -> int | None:
         text = text.strip()
         try:
-            return int(text)
+            v = int(text)
+            # Delta's CDF start version is INCLUSIVE in the integer
+            # form too (round-10 advisory fix: table_changes('t', 1)
+            # includes version 1's changes, matching the timestamp
+            # form); change_feed is from-exclusive, so shift by one.
+            return v - 1 if is_start else v
         except ValueError:
             pass
         if len(text) >= 2 and text[0] in "'\"" and text[-1] == text[0]:
@@ -230,15 +236,46 @@ def _ts_epoch(catalog: "EngineCatalog", ts_text: str) -> float:
     dt = datetime.fromisoformat(ts_text)
     if dt.tzinfo is None:
         tz_name = catalog.spark.conf.get("spark.sql.session.timeZone", "UTC")
-        try:
-            from zoneinfo import ZoneInfo
-
-            dt = dt.replace(tzinfo=ZoneInfo(tz_name))
-        except Exception:
-            # offset-style zone ids ("GMT+08:00", "+08:00") or unknown
-            # names: fall back to UTC rather than failing the statement
-            dt = dt.replace(tzinfo=timezone.utc)
+        dt = dt.replace(tzinfo=_resolve_session_tz(tz_name))
     return dt.timestamp()
+
+
+def _resolve_session_tz(tz_name: str):
+    """tzinfo for a Spark session-timezone id. Spark accepts region ids
+    (``Asia/Shanghai``) AND offset-style ids (``+08:00``, ``-0530``,
+    ``GMT+08:00``, ``UTC+8``); round-10 advisory fix: parse the offset
+    forms into a fixed-offset tzinfo instead of silently falling back
+    to UTC (which resolved naive time-travel literals hours off and
+    silently picked the wrong version). A genuinely unknown id raises
+    — guessing picks wrong versions silently."""
+    from datetime import timedelta, timezone
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(tz_name)
+    except Exception:
+        pass
+    m = re.fullmatch(
+        r"(?:GMT|UTC|UT)?\s*([+-])\s*(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?",
+        tz_name.strip(),
+        re.IGNORECASE,
+    )
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = timedelta(
+            hours=int(m.group(2)),
+            minutes=int(m.group(3) or 0),
+            seconds=int(m.group(4) or 0),
+        )
+        return timezone(sign * delta)
+    if tz_name.strip().upper() in ("GMT", "UTC", "UT", "Z"):
+        return timezone.utc
+    raise ValueError(
+        f"cannot resolve session timezone {tz_name!r} for a naive "
+        "time-travel timestamp literal; use a region id, an offset "
+        "(e.g. '+08:00'), or an aware literal"
+    )
 
 
 def _us(epoch_s: float) -> int:

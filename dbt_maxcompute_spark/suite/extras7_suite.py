@@ -351,11 +351,14 @@ def q_sql_cdf_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_totalprice", F.col("o_totalprice") * 2)
     )
     t.delete_insert_dv(upd, ["o_orderkey"])
+    # start version 1 INCLUSIVE (round-10: the integer start matches
+    # the timestamp form's from-inclusive rule, like Delta) = every
+    # change after the initial load
     df = cat.execute(
         """
         SELECT _change_type AS change_type, count(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
-        FROM table_changes('cf', 0)
+        FROM table_changes('cf', 1)
         GROUP BY _change_type ORDER BY change_type
         """
     )

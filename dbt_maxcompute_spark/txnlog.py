@@ -1343,7 +1343,14 @@ class TxnTable:
                     yield pd.DataFrame({"__file": survivors})
 
         out = keys.mapInPandas(gen, "__file string")
-        names = [r["__file"] for r in out.distinct().collect()]
+        try:
+            names = [r["__file"] for r in out.distinct().collect()]
+        finally:
+            # round-10 advisory fix: the stats+bloom broadcast (up to
+            # the 128 MB cap) must not outlive the prune — repeated
+            # MERGEs would otherwise accumulate broadcast blocks on
+            # driver + executors for the session lifetime
+            bc.unpersist()
         return auto_keep + names
 
     def _visible_with_pos(

@@ -1028,15 +1028,25 @@ def test_table_changes_tvf_and_bloom_tblproperty(spark, cat):
     cat.execute("INSERT INTO cf VALUES (100, 1000, 'new')")
     rows = {
         (r.id, r._change_type)
-        for r in cat.execute("SELECT * FROM table_changes('cf', 0)").collect()
+        for r in cat.execute("SELECT * FROM table_changes('cf', 1)").collect()
     }
     assert rows == {(6, "delete"), (7, "delete"), (100, "insert")}
-    # bounded interval + aggregation over the feed
+    # bounded interval + aggregation over the feed (start INCLUSIVE:
+    # version 1's own deletes are in the 1..1 interval — Delta's rule)
     n = cat.execute(
-        "SELECT count(*) AS n FROM table_changes('cf', 0, 1) "
+        "SELECT count(*) AS n FROM table_changes('cf', 1, 1) "
         "WHERE _change_type = 'delete'"
     ).collect()[0].n
     assert n == 2
+    # round-10 advisory fix: the INTEGER start is inclusive like the
+    # timestamp form — table_changes('cf', 0) carries version 0's own
+    # changes, i.e. the initial load diffed against the empty table
+    # (net feed: ids 6,7 insert@v0 + delete@v1 cancel out)
+    rows0 = {
+        (r.id, r._change_type)
+        for r in cat.execute("SELECT * FROM table_changes('cf', 0)").collect()
+    }
+    assert rows0 == {(i, "insert") for i in range(6)} | {(100, "insert")}
     # a string literal containing the TVF name must NOT rewrite
     lit = cat.execute(
         "SELECT 'table_changes(''cf'', 0)' AS t0"
@@ -1093,12 +1103,14 @@ def test_table_changes_tvf_timestamp_bounds(spark, cat):
         ).collect()
     }
     assert rows == {(100, "insert")}
-    # mixed bounds: version start, timestamp end pinned at v1 (AS-OF)
+    # mixed bounds: INCLUSIVE version start at v1 (the integer form
+    # matches the timestamp form, round-10 fix), timestamp end pinned
+    # at v1 (AS-OF)
     t1 = lit((hist[1] + hist[2]) / 2.0)
     rows = {
         (r.id, r._change_type)
         for r in cat.execute(
-            f"SELECT * FROM table_changes('cft', 0, '{t1}')"
+            f"SELECT * FROM table_changes('cft', 1, '{t1}')"
         ).collect()
     }
     assert rows == {(6, "delete"), (7, "delete")}
