@@ -24,6 +24,7 @@ from dbt_maxcompute_spark.suite import (
     extras7_suite,
     extras8_suite,
     extras9_suite,
+    extras10_suite,
     extras_suite,
     functions_suite,
     pipeline_suite,
@@ -47,6 +48,7 @@ _SUITES = [
     extras7_suite,
     extras8_suite,
     extras9_suite,
+    extras10_suite,
     functions_suite,
     relational2,
     tpch2,

@@ -2051,57 +2051,136 @@ class TxnTable:
         target_files: int | None = None,
         zorder: bool = False,
         zorder_bits: int = 8,
+        full: bool | None = None,
+        target_rows: int | None = None,
     ) -> int:
-        """OPTIMIZE: compact + cluster the table in one commit (the
-        Delta OPTIMIZE ... ZORDER BY shape, single-dimension form).
+        """OPTIMIZE: compact small files (the default for bare
+        compaction) or rewrite + cluster the whole table (``full=True``
+        — the Delta OPTIMIZE ... ZORDER BY shape, single-dimension
+        form). ``full`` defaults to ``bool(cluster_by)``: clustering is
+        a LAYOUT-DEFINING op — cross-file disjointness is its whole
+        point, and clustering only the small files cannot deliver it
+        while untouched files still span the key range — whereas bare
+        OPTIMIZE is routine bin-packing maintenance and must not cost a
+        table rewrite. Pass ``full=False`` with ``cluster_by`` to
+        cluster only the touched rows (an incremental top-up after the
+        initial full clustering).
+
+        INCREMENTAL path (round-10, the Delta bin-packing rule):
+        candidate files are selected from the LOGGED footer stats —
+        zero Spark jobs, no footer reads, no file listing — as those
+        whose ``numRecords`` is under the per-file target
+        (``target_rows``, default total rows / ``target_files``;
+        stats-less files are always candidates since nothing proves
+        them well-sized). Only candidates are read (DV-aware, so THEIR
+        outstanding row-level deletes materialize) and re-packed into
+        ~``target_rows``-sized outputs; well-sized files are never
+        opened — their log entries (and bytes on disk) stay identical
+        in the new commit. A routine compaction of a 100 TB table
+        therefore costs O(small-file bytes), not a 100 TB rewrite.
+        Fewer than two candidates, or a packing that would not reduce
+        the candidate file count (the two-files-at-0.9×-target churn
+        case), is a metadata no-op: current version returned, zero
+        jobs, no commit. The deletion vector is kept: entries for
+        rewritten files are inert after the remove (the DV join
+        matches on live basenames only) and entries for untouched
+        files still apply; it clears only when every file was
+        rewritten.
+
+        ``full=True`` is the original whole-table form: every file
+        rewritten, deletes fully materialized, DV cleared — the layout
+        reset that re-clusters well-sized files too.
 
         Data skipping is only as good as the file layout: organically
         appended files all span the full key range, so min/max stats
-        prune nothing. ``cluster_by`` rewrites the table
+        prune nothing. ``cluster_by`` rewrites the touched rows
         range-partitioned + sorted by the given columns — after which
         per-file key ranges are DISJOINT and a selective predicate
-        prunes to O(1) files (the multi-column interleaved-Z-curve
-        variant is the known extension; range-clustering on the leading
-        column already yields the skipping win for the dominant
-        single-key predicate).
+        prunes to O(1) files. ``zorder=True`` with >=2 ``cluster_by``
+        columns clusters on the interleaved Z-curve key instead of
+        lexicographic order: per-file min/max boxes become hyper-cells,
+        so predicates on the SECOND and later clustered columns prune
+        files too.
 
         One log commit: readers on the old snapshot are untouched,
         history records the rewrite, time travel still reaches the
-        pre-optimize layout. ``target_files`` bounds the output file
-        count (default: the session's shuffle parallelism).
-
-        ``zorder=True`` with >=2 ``cluster_by`` columns clusters on the
-        interleaved Z-curve key instead of lexicographic order (the
-        full ``OPTIMIZE ... ZORDER BY`` shape): per-file min/max boxes
-        become hyper-cells, so predicates on the SECOND and later
-        clustered columns prune files too — lexicographic range
-        clustering only ever prunes on the leading column.
+        pre-optimize layout. ``target_files`` bounds the full-rewrite
+        output count (default: the session's shuffle parallelism).
         """
         snap = self.snapshot()
-        df = self.read()
         n = target_files or int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
+        if full is None:
+            full = bool(cluster_by)
+        if full:
+            candidates = list(snap.files)
+            df = self.read()
+            k = max(1, n)
+        else:
+            # candidate selection from logged stats only — no Spark
+            # jobs, no footer reads, no file listing
+            known = {
+                f: snap.stats[f].get("numRecords")
+                for f in snap.files
+                if snap.stats.get(f) is not None
+                and snap.stats[f].get("numRecords") is not None
+            }
+            total = sum(known.values())
+            if target_rows is None:
+                target_rows = max(1, -(-total // max(1, n))) if total else 1
+            candidates = [
+                f
+                for f in snap.files
+                if f not in known or known[f] < target_rows
+            ]
+            if len(candidates) < 2:
+                return snap.version  # nothing worth compacting: no-op
+            cand_rows = sum(known.get(f, target_rows) for f in candidates)
+            k = max(1, -(-cand_rows // target_rows))
+            if k >= len(candidates):
+                return snap.version  # packing would not shrink: no-op
+            df = self._read_files(snap, candidates)
         if cluster_by and zorder and len(cluster_by) > 1:
             z = self._zorder_key(df, cluster_by, zorder_bits)
             out = (
                 df.withColumn("__z", z)
-                .repartitionByRange(n, F_col("__z"))
+                .repartitionByRange(k, F_col("__z"))
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
         elif cluster_by:
-            out = df.repartitionByRange(n, *[F_col(c) for c in cluster_by])
+            out = df.repartitionByRange(k, *[F_col(c) for c in cluster_by])
             out = out.sortWithinPartitions(*cluster_by)
         else:
-            out = df.coalesce(max(1, n))
-        # reads were DV-aware, so the rewrite MATERIALIZES outstanding
-        # row-level deletes and the vector is cleared
+            out = df.coalesce(k)
+        # reads were DV-aware, so the rewrite MATERIALIZES the touched
+        # files' outstanding row-level deletes; the vector clears only
+        # when no untouched file could still carry entries
         adds = self._stage_files(out)
-        removes = [{"remove": f} for f in snap.files]
-        return self._commit(
-            snap.version + 1, adds + removes + [{"clear_dv": True}], df.schema.json()
-        )
+        removes = [{"remove": f} for f in candidates]
+        actions = adds + removes
+        if set(candidates) == set(snap.files):
+            actions = actions + [{"clear_dv": True}]
+        return self._commit(snap.version + 1, actions, df.schema.json())
+
+    def _read_files(self, snap: Snapshot, files: list[str]) -> DataFrame:
+        """DV-aware read of a SUBSET of a snapshot's files under the
+        committed schema — the compaction input path: only the named
+        files are opened; DV entries naming other files simply never
+        match the anti-join."""
+        from pyspark.sql.types import StructType
+
+        if not files:
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in files]
+        if snap.schema_json:
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            df = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            df = self.spark.read.parquet(*paths)
+        return self._apply_dv(df, snap)
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: commit a NEW version whose visible

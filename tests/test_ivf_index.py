@@ -421,6 +421,137 @@ def test_rebalance_swap_crash_heals(spark, sf_dir, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# round-10: PQ codes + codebook persisted in the index artifact
+# ---------------------------------------------------------------------------
+
+
+def test_pq_indexed_matches_per_call_ivfpq(spark, sf_dir, tmp_path):
+    """A pq_m build persists the codebook in the sidecar and the m-int
+    codes per row; ivfpq_indexed_topk trains NOTHING at query time yet
+    returns exactly what the per-call ivfpq_topk computes with the same
+    parameters (codebook training is deterministic by id-hash, so the
+    persisted and per-call codebooks coincide)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    idx = str(tmp_path / "ivfpq")
+    meta = similarity.build_ivf_index(
+        emb, "vec_id", "embedding", idx, num_centroids=8, pq_m=8, pq_ks=32
+    )
+    assert meta["pq"]["m"] == 8 and len(meta["pq"]["codebook"]) == 8
+    got = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_indexed_topk(
+                spark, idx, queries, k=5, nprobe=4, cand_mult=8
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_topk(
+                emb, queries, "vec_id", "embedding",
+                k=5, num_centroids=8, nprobe=4, m=8, ks=32, cand_mult=8,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 3 * 5
+
+
+def test_pq_index_scoring_scan_skips_vector_column(spark, sf_dir, tmp_path):
+    """The ADC scoring scan must read (id, codes, centroid) ONLY — the
+    dim-float vector column stays out of its ReadSchema (parquet column
+    pruning), and the probed-cell partition filter still applies. The
+    re-rank scan reads vectors for the candidate short list alone."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 2)
+    idx = str(tmp_path / "ivfpq")
+    similarity.build_ivf_index(
+        emb, "vec_id", "embedding", idx, num_centroids=8, pq_m=8, pq_ks=32
+    )
+    out = similarity.ivfpq_indexed_topk(spark, idx, queries, k=5, nprobe=2)
+    plan = plan_of(spark, out)
+    scans = [
+        blk for blk in plan.split("(") if "ReadSchema" in blk and "__pq_codes" in blk
+    ]
+    assert scans, plan
+    assert all("embedding" not in blk.split("ReadSchema:", 1)[1].splitlines()[0]
+               for blk in scans), plan
+    assert "PartitionFilters" in plan
+
+
+def test_pq_index_maintenance_encodes_with_fixed_codebook(
+    spark, sf_dir, tmp_path
+):
+    """Touched-cell maintenance on a pq index: the sidecar codebook
+    stays FIXED (same posture as the fixed centroids — only rebalance
+    retrains), batch rows get codes from it, every stored row keeps a
+    codes column, and every stored code equals a re-encode of its own
+    vector under the sidecar codebook (old rows and maintained rows
+    are indistinguishable)."""
+    import json
+    import os
+
+    from dbt_maxcompute_spark.operators import quantize
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    idx = str(tmp_path / "ivfpq")
+    m0 = similarity.build_ivf_index(
+        base, "vec_id", "embedding", idx, num_centroids=8, pq_m=8, pq_ks=32
+    )
+    similarity.maintain_ivf_index(spark, idx, _changes(emb))
+    with open(os.path.join(idx, "_ivf_meta.json")) as fh:
+        m1 = json.load(fh)
+    assert m1["pq"]["codebook"] == m0["pq"]["codebook"]  # fixed, no retrain
+
+    stored = spark.read.parquet(idx)
+    assert stored.filter(F.col("__pq_codes").isNull()).count() == 0
+    # content matches the final corpus (ids + vectors), codes included
+    want_ids = {r.vec_id for r in _final_corpus(emb).collect()}
+    assert {r.vec_id for r in stored.collect()} == want_ids
+    recoded = quantize.pq_encode(
+        stored.select("vec_id", "embedding", F.col("__pq_codes").alias("__stored")),
+        "embedding",
+        m1["pq"]["codebook"],
+    )
+    assert recoded.filter(F.col("__stored") != F.col("__codes")).count() == 0
+
+
+def test_pq_index_rebalance_retrains_codebook(spark, sf_dir, tmp_path):
+    """The drift rebalance retrains centroids AND codebook (both are
+    quantizers over the same drifted corpus); the rebalanced pq index
+    matches a fresh pq build of the final corpus."""
+    import json
+    import os
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    idx = str(tmp_path / "ivfpq")
+    similarity.build_ivf_index(
+        base, "vec_id", "embedding", idx, num_centroids=8, pq_m=8, pq_ks=32
+    )
+    _inflate_one_cell(spark, base, idx)
+    res = similarity.maybe_rebalance_ivf_index(spark, idx, skew_threshold=3.0)
+    assert res["rebalanced"]
+    fresh = str(tmp_path / "fresh")
+    similarity.build_ivf_index(
+        spark.read.parquet(idx).drop("centroid_id", "__pq_codes"),
+        "vec_id", "embedding", fresh, num_centroids=8, pq_m=8, pq_ks=32,
+    )
+    with open(os.path.join(idx, "_ivf_meta.json")) as fh:
+        m1 = json.load(fh)
+    with open(os.path.join(fresh, "_ivf_meta.json")) as fh:
+        m2 = json.load(fh)
+    assert m1["pq"]["codebook"] == m2["pq"]["codebook"]
+    assert m1["ids"] == m2["ids"]
+    q = base.filter(F.col("vec_id").isin(1, 2, 3))
+    a = sorted(map(tuple, similarity.ivfpq_indexed_topk(spark, idx, q, k=5, nprobe=3).collect()))
+    b = sorted(map(tuple, similarity.ivfpq_indexed_topk(spark, fresh, q, k=5, nprobe=3).collect()))
+    assert a == b and len(a) == 15
+
+
+# ---------------------------------------------------------------------------
 # property: any DML sequence + any sync cadence == full re-assignment
 # ---------------------------------------------------------------------------
 
