@@ -58,69 +58,67 @@ _SUITES = [
 ]
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
-# FIRST 50 ``queries()`` entries only. Round 9 rotation: the NEW round-9
-# queries and the rows whose SEMANTICS changed this round (CDF timestamp
-# start bound) lead, then the 16 r5-stale rows the round-8 verdict queued
-# (freshness floor r5 -> r6), then the stalest r6 block in name order —
-# computed from the union of CORRECTNESS_r01..r08 greens.
+# FIRST 50 ``queries()`` entries only. Round 10 rotation: the NEW round-10
+# queries and the rows whose BEHAVIOR changed this round (incremental
+# OPTIMIZE inside sql_maintenance_script; CDF integer start bound in
+# sql_cdf_tvf) lead, then the 22 r6-stale rows the round-9 verdict queued
+# (freshness floor r6 -> r7) — computed from the union of
+# CORRECTNESS_r01..r09 greens.
 _PRIORITY = [
-    # new or behavior-changed in round 9 — must be driver-checked
-    "model_hooks_script",
-    "ann_ivf_rebalance",
-    "mv_rewrite_view",
-    "text_boilerplate_removal",
-    "text_boilerplate_incremental",
+    # new in round 10 — must be driver-checked
+    "txn_optimize_incremental",
+    "ann_ivfpq_indexed_topk",
+    "model_empty_build",
+    "sql_type_literals",
+    # behavior changed in round 10
+    "sql_maintenance_script",
     "sql_cdf_tvf",
-    # the 16 r5-stale rows (round-8 verdict item 2)
-    "tpch_q3_shipping_priority",
-    "tpch_q4_late_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_small_part_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
-    "txn_change_feed",
-    "txn_incremental_merge",
-    # stalest hard-green rows (last checked r6), name order
-    "ann_brute_force_cosine",
-    "ann_ivf_topk",
-    "bucketed_colocated_join",
-    "catalog_ddl_audit",
-    "contracts_not_null",
-    "curation_filter_funnel",
-    "decimal_fidelity",
-    "dedup_cluster_components",
-    "dedup_exact_documents",
-    "dedup_incremental_batch",
-    "dedup_keep_canonical",
-    "dedup_lsh_recall_pinned",
-    "dedup_minhash_lsh",
-    "dedup_semantic_clusters",
-    "dedup_simhash_pairs",
-    "dedup_token_jaccard_pairs",
-    "doc_length_histogram",
-    "emb_cosine_dup_pairs",
-    "emb_cosine_exact_pairs",
-    "emb_kmeans_profile",
-    "emb_quantize_int8",
-    "events_asof_last_purchase",
-    "events_range_click_error",
-    "events_sessionize",
-    "events_sliding_windows",
-    "events_tumbling_hourly",
-    "fn_array_ops",
-    "group_split_leakage_safe",
-    "incr_insert_overwrite_events",
-    "incr_microbatch_events",
-    "jsonl_roundtrip",
+    "txn_deletion_vectors",
+    # the 22 r6-stale rows (round-9 verdict item 1)
     "mv_cdf_maintenance",
+    "stream_seq_upsert",
+    "stream_exactly_once_dedup",
+    "sql_txn_lifecycle_script",
+    "sql_mixed_partition_insert",
+    "mv_rewrite_avg_having",
+    "scd2_snapshot_orders",
+    "sql_insert_partition_script",
+    "mv_returnflag_rollup",
+    "incr_insert_overwrite_events",
+    "stream_tumbling_hourly",
+    "incr_microbatch_events",
+    "mv_incremental_refresh",
+    "sketch_distinct_users",
+    "seed_roundtrip",
+    "sketch_value_quantiles",
+    "ops_contract_probe",
+    "train_next_event_examples",
+    "jsonl_roundtrip",
+    "pack_sequences",
+    "raw_script_passthrough",
+    "train_shuffle_order",
+    # next-stalest hard-green rows (last checked r7), name order
+    "agg_daily_orders",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "anti_join_customers_without_orders",
+    "bloom_prefilter_join",
+    "cube_orders",
+    "date_spine",
+    "dedup_incremental_lsh",
+    "dedup_shared_chunks",
+    "distinct_counts",
+    "exists_suppliers",
+    "explode_order_lines",
+    "flagship_customers",
+    "fn_any_value",
+    "fn_datetime_ops",
+    "fn_listagg_lineitems",
+    "fn_string_ops",
+    "mixture_sample_langs",
+    "mv_join_cdf_maintenance",
+    "mv_minmax_maintenance",
+    "ops_compact_probe",
 ]
 
 

@@ -432,21 +432,37 @@ def ivf_cell_sizes(index_path: str) -> dict[str, int]:
     index's own size profile, no Spark job, no data pages read. Row
     counts, not bytes: a hot cell full of near-duplicate vectors
     compresses to almost nothing, so byte sizes under-detect exactly
-    the skew that hurts probe cost (probes pay per ROW scored)."""
+    the skew that hurts probe cost (probes pay per ROW scored).
+    Footers are read through a thread pool (round-10): the walk is
+    O(#index files) latency-bound metadata I/O — against an object
+    store each footer read is a network round trip, so sequential
+    would pay #files x RTT."""
     import os as _os
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as _pq
 
-    out: dict[str, int] = {}
+    files: list[tuple[str, str]] = []
     for d in _os.listdir(index_path):
         if not d.startswith("centroid_id="):
             continue
         p = _os.path.join(index_path, d)
-        out[d] = sum(
-            _pq.ParquetFile(_os.path.join(p, f)).metadata.num_rows
+        files.extend(
+            (d, _os.path.join(p, f))
             for f in _os.listdir(p)
             if f.endswith(".parquet")
         )
+    out: dict[str, int] = {
+        d: 0
+        for d in {cell for cell, _ in files}
+    }
+    if not files:
+        return out
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+        for cell, n in pool.map(
+            lambda cf: (cf[0], _pq.ParquetFile(cf[1]).metadata.num_rows), files
+        ):
+            out[cell] += n
     return out
 
 

@@ -269,6 +269,8 @@ def clean_boilerplate_incremental(
     text_col: str,
     min_docs: int = 2,
     sep: str = "\n",
+    batch_id: int | None = None,
+    app_id: str = "boilerplate",
 ):
     """INCREMENTAL line-level boilerplate removal — the continuous-
     ingest shape of :func:`remove_boilerplate_lines`: a persistent
@@ -296,6 +298,18 @@ def clean_boilerplate_incremental(
     handle; an empty/uninitialized table is created on first use.
     Returns the cleaned batch frame (same contract as
     :func:`remove_boilerplate_lines`).
+
+    ``batch_id`` (round-10 advisory fix) makes REPLAYS idempotent: the
+    store upsert commits with the txn ledger marker
+    ``(app_id, batch_id)`` — the same exactly-once device as the
+    engine's streaming ``foreachBatch`` sinks — so a batch re-run after
+    a downstream failure sees its own id already recorded and SKIPS the
+    count update (no double-counted documents, no premature
+    boilerplate classification) while still returning the cleaned
+    frame. Callers that never replay may omit it (the pre-fix
+    behavior); a document SPLIT ACROSS batches still counts once per
+    batch — the contract is distinct documents per batch, monotonic
+    batch ids per app_id.
     """
     import re as _re
 
@@ -311,23 +325,33 @@ def clean_boilerplate_incremental(
         .groupBy(key.alias("line"))
         .agg(F.count_distinct(F.col(id_col)).alias("n_new"))
     )
+    txn = (
+        {"app_id": str(app_id), "batch_id": int(batch_id)}
+        if batch_id is not None
+        else None
+    )
     if store.exists():
-        current = store.read().select("line", "n_docs")
-        merged = (
-            batch_counts.join(current, on="line", how="left")
-            .select(
-                "line",
-                (
-                    F.coalesce(F.col("n_docs"), F.lit(0)) + F.col("n_new")
-                ).cast("bigint").alias("n_docs"),
+        last = store.last_batch(str(app_id)) if batch_id is not None else None
+        if last is not None and int(batch_id) <= last:
+            pass  # replayed batch: counts already applied exactly once
+        else:
+            current = store.read().select("line", "n_docs")
+            merged = (
+                batch_counts.join(current, on="line", how="left")
+                .select(
+                    "line",
+                    (
+                        F.coalesce(F.col("n_docs"), F.lit(0)) + F.col("n_new")
+                    ).cast("bigint").alias("n_docs"),
+                )
             )
-        )
-        store.delete_insert_dv(merged, ["line"])
+            store.delete_insert_dv(merged, ["line"], txn=txn)
     else:
         store.create(
             batch_counts.select(
                 "line", F.col("n_new").cast("bigint").alias("n_docs")
-            )
+            ),
+            txn=txn,
         )
     boiler = store.read().where(F.col("n_docs") >= min_docs).select(
         F.col("line").alias("__k")

@@ -133,10 +133,22 @@ def run_model(
     catalog: EngineCatalog,
     config: dict[str, Any],
     model: DataFrame | str | None = None,
+    empty: bool = False,
 ) -> Any:
     """Materialize one model. Returns the materialization's result
     (action string, DataFrame for ephemeral/raw, TableMeta for
-    table/view)."""
+    table/view).
+
+    ``empty=True`` is dbt's ``--empty`` build (round-10; reference
+    ``tests/functional/adapter/test_empty.py`` BaseTestEmpty /
+    BaseTestEmptyInlineSourceRef): the schema-only dry run a CI user
+    runs to validate the DAG + contracts without paying for data.
+    dbt-core wraps every ref/source in ``limit 0``; the engine
+    equivalent wraps the compiled model itself — Catalyst's
+    PropagateEmptyRelation folds ``LIMIT 0`` to an empty relation, so
+    no source data is scanned and the write is schema-only. Hooks and
+    the header preamble still run (they are part of the build
+    contract); views are unaffected (a view stores SQL, not data)."""
     cfg = dict(config)
     name = cfg.pop("name")
     mat = cfg.pop("materialized", "view")
@@ -151,7 +163,7 @@ def run_model(
     for hook in pre_hooks:
         catalog.execute_script(hook)
     with scoped_confs(catalog.spark, header):
-        result = _dispatch(catalog, name, mat, cfg, model)
+        result = _dispatch(catalog, name, mat, cfg, model, empty=empty)
     for hook in post_hooks:
         catalog.execute_script(hook)
     return result
@@ -163,13 +175,20 @@ def _dispatch(
     mat: str,
     cfg: dict[str, Any],
     model: DataFrame | str | None,
+    empty: bool = False,
 ) -> Any:
     _swap_relation_type(catalog, name, mat)
+
+    def _model_df() -> DataFrame:
+        df = _as_df(catalog, model)
+        # --empty: limit 0 over the compiled model — schema, contracts
+        # and the write path all run; data never does
+        return df.limit(0) if empty else df
 
     if mat == "table":
         opts = {k: cfg.pop(k) for k in list(cfg) if k in _TABLE_OPTS}
         _reject_extra(cfg)
-        return catalog.create_table(name, _as_df(catalog, model), mode="overwrite", **opts)
+        return catalog.create_table(name, _model_df(), mode="overwrite", **opts)
 
     if mat == "view":
         if not isinstance(model, str):
@@ -179,10 +198,10 @@ def _dispatch(
         return catalog.create_view(name, model, comment=comment)
 
     if mat == "incremental":
-        return run_incremental(catalog, name, _as_df(catalog, model), **cfg)
+        return run_incremental(catalog, name, _model_df(), **cfg)
 
     if mat == "snapshot":
-        return run_snapshot(catalog, name, _as_df(catalog, model), **cfg)
+        return run_snapshot(catalog, name, _model_df(), **cfg)
 
     if mat == "materialized_view":
         if not isinstance(model, str):
@@ -212,7 +231,7 @@ def _dispatch(
     # relation.py:25-26 — CTE inlining is dbt-core's job; ours is the
     # lazy DataFrame itself)
     _reject_extra(cfg)
-    return _as_df(catalog, model)
+    return _model_df()
 
 
 def show_model(
@@ -247,6 +266,52 @@ def show_model(
     header = _header_confs(sql_hints, sql_header)
     with scoped_confs(catalog.spark, header):
         return catalog.sql(sql).collect()
+
+
+def run_test(
+    catalog: EngineCatalog,
+    name: str,
+    model: DataFrame | str,
+    store_failures: bool = False,
+    audit_schema: str = "dbt_test__audit",
+    limit: int | None = None,
+) -> dict[str, Any]:
+    """``dbt test`` — run a test query and report its FAILING rows
+    (round-10; reference ``tests/functional/adapter/
+    test_store_test_failures.py`` BaseStoreTestFailures). A dbt test
+    is a SELECT whose rows are violations: zero rows = pass.
+
+    ``store_failures=True`` additionally CTAS-es the failing rows into
+    an audit table ``<audit_schema>.<name>`` (dbt's
+    ``<schema>_dbt_test__audit`` shape), REPLACED on every run so the
+    audit always reflects the latest invocation; the audit relation
+    name is returned so callers can inspect it. The failure count is
+    read from the stored table's meta when storing (no second pass
+    over the test query) and from one count job otherwise. ``limit``
+    caps stored rows (dbt's ``--store-failures --limit``); the
+    reported count is the capped count, matching dbt.
+
+    Returns ``{"name", "status" ("pass"/"fail"), "failures",
+    "relation" (audit table name or None)}``."""
+    df = _as_df(catalog, model)
+    if limit is not None:
+        df = df.limit(int(limit))
+    relation = None
+    if store_failures:
+        catalog.create_schema(audit_schema)
+        relation = f"{audit_schema}.{name}"
+        catalog.create_table(relation, df, mode="overwrite")
+        # count from the STORED relation: one metadata-cheap parquet
+        # count, and the reported number always matches the audit rows
+        failures = int(catalog.read(relation).count())
+    else:
+        failures = int(df.count())
+    return {
+        "name": name,
+        "status": "pass" if failures == 0 else "fail",
+        "failures": failures,
+        "relation": relation,
+    }
 
 
 def _reject_extra(cfg: dict[str, Any]) -> None:

@@ -126,10 +126,189 @@ ORDER BY l_returnflag
 """
 
 
+def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-10 (verdict item 3): IVF-PQ search against the PERSISTED
+    # artifact — codebook + codes live in the index (FAISS IVFADC
+    # layout), nothing trains at query time, the ADC scan reads codes
+    # from probed cells only. Same parameters as the per-call
+    # ann_ivfpq_topk row (whose measured recall is >=6/10 at every
+    # fixture SF — codebook training is deterministic, so the persisted
+    # index scores identically), same bounded-recall driver contract.
+    import tempfile
+
+    from dbt_maxcompute_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    k = 10
+    idx = tempfile.mkdtemp(prefix="ivfpq_idx_") + "/ivfpq"
+    similarity.build_ivf_index(
+        emb, "vec_id", "embedding", idx, num_centroids=16, pq_m=8, pq_ks=32
+    )
+    pq = similarity.ivfpq_indexed_topk(
+        spark, idx, queries, k=k, nprobe=10, cand_mult=32
+    )
+    brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
+    hits = (
+        pq.join(
+            brute.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        pq.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce("__hits", F.lit(0)) >= F.lit(int(0.5 * k))).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_IVFPQ_INDEXED = """
+SELECT vec_id AS query_id,
+       CAST(10 AS BIGINT) AS n_results,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+"""
+
+
+def q_model_empty_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt's --empty dry run + store_test_failures audit tables
+    # (reference test_empty.py BaseTestEmpty +
+    # test_store_test_failures.py BaseStoreTestFailures): the empty
+    # build materializes the model's SCHEMA with zero rows and scans no
+    # source files; the failing-rows test CTAS-es its violations into a
+    # replaced-every-run audit table whose content is oracle-checked
+    # against the same predicate over the source.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+    from dbt_maxcompute_spark.runner import run_model, run_test
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="empty_wh_"))
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    cat.create_table("ord_src", src)
+
+    run_model(
+        cat,
+        {"name": "emp", "materialized": "table"},
+        "SELECT o_orderkey, o_custkey, o_totalprice * 2 AS dbl FROM ord_src",
+        empty=True,
+    )
+    emp = cat.read("emp")
+    schema_ok = emp.columns == ["o_orderkey", "o_custkey", "dbl"]
+    empty_scanned_nothing = not emp.inputFiles() or emp.count() == 0
+
+    res = run_test(
+        cat,
+        "price_cap",
+        "SELECT * FROM ord_src WHERE o_totalprice > 150000",
+        store_failures=True,
+    )
+    audit = cat.read(res["relation"])
+    dsum = F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
+    audit_row = audit.agg(
+        F.lit("audit_failures").alias("state"),
+        F.count(F.lit(1)).alias("n"),
+        dsum.alias("total"),
+    )
+    empty_row = spark.sql(
+        "SELECT 'empty_rows' AS state, CAST({n} AS BIGINT) AS n, "
+        "CAST(0.0 AS DOUBLE) AS total".format(n=emp.count())
+    )
+    status_ok = res["status"] == "fail" and res["failures"] == audit.count()
+    return (
+        audit_row.unionByName(empty_row)
+        .withColumn("schema_ok", F.lit(bool(schema_ok)))
+        .withColumn("no_scan", F.lit(bool(empty_scanned_nothing)))
+        .withColumn("status_ok", F.lit(bool(status_ok)))
+        .orderBy("state")
+    )
+
+
+ORACLE_MODEL_EMPTY_BUILD = """
+SELECT state, n, total, TRUE AS schema_ok, TRUE AS no_scan, TRUE AS status_ok
+FROM (
+  SELECT 'audit_failures' AS state, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+  FROM orders WHERE o_orderkey % 4 = 0 AND o_totalprice > 150000
+  UNION ALL
+  SELECT 'empty_rows', 0, 0.0
+) ORDER BY state
+"""
+
+
+def q_sql_type_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Type-literal parity through the SQL entry (reference
+    # test_unit_testings.py:15-27 — the adapter's unit-test fixtures
+    # lean on `1BD` decimal literals and TIMESTAMP'...' round-trips):
+    # BD-postfix decimals, microsecond TIMESTAMP literals and DATE
+    # literals flow through CREATE/INSERT/UPDATE on a transactional
+    # table and survive the parquet round-trip exactly. Decimal
+    # arithmetic stays in DECIMAL until the edge cast (0.1BD + 0.2BD
+    # is exactly 0.30, not 0.30000000000000004).
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="lits_wh_"))
+    df, _hints, errors = cat.execute_script(
+        """
+        CREATE TABLE lits (
+            id bigint, amt decimal(12,2), ts timestamp, d date,
+            primary key(id)
+        ) TBLPROPERTIES("transactional"="true");
+        INSERT INTO lits VALUES
+          (1, 1BD, TIMESTAMP'2024-03-15 12:30:45.123456', DATE'2024-03-15'),
+          (2, 2.5BD, TIMESTAMP'2024-03-15 00:00:00', DATE'2024-01-01'),
+          (3, CAST(0.1BD + 0.2BD AS DECIMAL(12,2)),
+              TIMESTAMP'1999-12-31 23:59:59', DATE'1999-12-31');
+        UPDATE lits SET amt = amt + 1BD WHERE d >= DATE'2024-01-01';
+        SELECT id, CAST(amt AS DOUBLE) AS amt, ts, d,
+               CAST(ts = TIMESTAMP'2024-03-15 12:30:45.123456' AS BOOLEAN)
+                   AS us_roundtrip
+        FROM lits
+        """
+    )
+    if errors or df is None:
+        raise RuntimeError(f"type-literal script failed: {errors}")
+    return df.orderBy("id")
+
+
+ORACLE_SQL_TYPE_LITERALS = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(2.00 AS DOUBLE),
+   TIMESTAMP'2024-03-15 12:30:45.123456', DATE'2024-03-15', TRUE),
+  (CAST(2 AS BIGINT), CAST(3.50 AS DOUBLE),
+   TIMESTAMP'2024-03-15 00:00:00', DATE'2024-01-01', FALSE),
+  (CAST(3 AS BIGINT), CAST(0.30 AS DOUBLE),
+   TIMESTAMP'1999-12-31 23:59:59', DATE'1999-12-31', FALSE)
+) AS t(id, amt, ts, d, us_roundtrip)
+ORDER BY id
+"""
+
+
 QUERIES = {
     "txn_optimize_incremental": q_txn_optimize_incremental,
+    "ann_ivfpq_indexed_topk": q_ann_ivfpq_indexed,
+    "model_empty_build": q_model_empty_build,
+    "sql_type_literals": q_sql_type_literals,
 }
 
 ORACLES = {
     "txn_optimize_incremental": ORACLE_TXN_OPTIMIZE_INCREMENTAL,
+    "ann_ivfpq_indexed_topk": ORACLE_ANN_IVFPQ_INDEXED,
+    "model_empty_build": ORACLE_MODEL_EMPTY_BUILD,
+    "sql_type_literals": ORACLE_SQL_TYPE_LITERALS,
 }

@@ -117,10 +117,17 @@ def _footer_stats(full_path: str) -> dict:
             name = col.path_in_schema
             if "." in name:  # nested: skip
                 continue
-            st = col.statistics
+            # pyarrow raises ArrowNotImplementedError on .statistics /
+            # .min / .max for types it cannot extract stats from (e.g.
+            # DECIMAL) — those columns simply never prune, same as a
+            # missing min/max; null_count still works when it does
             mn = mx = None
-            if st is not None and st.has_min_max:
-                mn, mx = _norm(st.min), _norm(st.max)
+            try:
+                st = col.statistics
+                if st is not None and st.has_min_max:
+                    mn, mx = _norm(st.min), _norm(st.max)
+            except Exception:
+                st = None
             if mn is None or mx is None:
                 bad.add(name)
             else:

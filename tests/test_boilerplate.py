@@ -225,3 +225,50 @@ def test_incremental_store_counts_exact_for_any_split(spark, docs, cut, min_docs
             it = iter(orig)
             assert all(any(k == o for o in it) for k in kept), (orig, kept)
             assert r.n_removed_lines == len(orig) - len(kept)
+
+
+def test_incremental_replayed_batch_applies_counts_once(spark, tmp_path):
+    """Round-10 advisory fix: a batch re-run after a downstream failure
+    (same batch_id) must NOT double-count its documents in the
+    frequency store — the txn-ledger cursor skips the upsert on replay,
+    while the cleaned frame is still returned. A NEW batch id applies
+    normally afterwards."""
+    from dbt_maxcompute_spark.operators.textanalysis import (
+        clean_boilerplate_incremental,
+    )
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    store = TxnTable(spark, str(tmp_path / "freq"))
+    b1 = spark.createDataFrame(
+        [(1, "NAV\nalpha"), (2, "NAV\nbeta")], "doc_id bigint, text string"
+    )
+    out1 = clean_boilerplate_incremental(
+        spark, store, b1, "doc_id", "text", min_docs=3, batch_id=1
+    )
+    assert out1.count() == 2
+    counts = {r.line: r.n_docs for r in store.read().collect()}
+    assert counts["NAV"] == 2
+
+    # replay batch 1 (downstream failure, re-run): store unchanged
+    out_replay = clean_boilerplate_incremental(
+        spark, store, b1, "doc_id", "text", min_docs=3, batch_id=1
+    )
+    assert out_replay.count() == 2  # the cleaned frame still comes back
+    counts2 = {r.line: r.n_docs for r in store.read().collect()}
+    assert counts2["NAV"] == 2  # NOT 4 — no double count
+    assert store.last_batch("boilerplate") == 1
+
+    # batch 2 pushes NAV over the threshold exactly when it should
+    b2 = spark.createDataFrame([(3, "NAV\ngamma")], "doc_id bigint, text string")
+    out2 = clean_boilerplate_incremental(
+        spark, store, b2, "doc_id", "text", min_docs=3, batch_id=2
+    )
+    assert {r.line: r.n_docs for r in store.read().collect()}["NAV"] == 3
+    row = out2.collect()[0]
+    assert row.text == "gamma" and row.n_removed_lines == 1
+
+    # and a replay of batch 2 is again a no-op on the store
+    clean_boilerplate_incremental(
+        spark, store, b2, "doc_id", "text", min_docs=3, batch_id=2
+    )
+    assert {r.line: r.n_docs for r in store.read().collect()}["NAV"] == 3

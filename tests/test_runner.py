@@ -480,3 +480,121 @@ class TestQueryComment:
             comment_append=True,
         )
         assert df.collect()[0]["v"] == 42
+
+
+# ---------------------------------------------------------------------------
+# round-10: --empty builds + store_test_failures
+# (reference test_empty.py BaseTestEmpty, test_store_test_failures.py)
+# ---------------------------------------------------------------------------
+
+
+def test_run_model_empty_builds_schema_without_data(spark, cat):
+    """--empty: the materialized table carries the model's full schema
+    and ZERO rows; contracts still enforce; a later real build over the
+    same name replaces it (the dry-run then deploy flow)."""
+    cat.create_table(
+        "src", _mk(spark, [(1, "a", 2.5), (2, "b", 7.5)], "id bigint, s string, v double")
+    )
+    run_model(
+        cat,
+        {"name": "m", "materialized": "table"},
+        "SELECT id, s, v * 2 AS v2 FROM src",
+        empty=True,
+    )
+    got = cat.read("m")
+    assert got.columns == ["id", "s", "v2"]
+    assert got.count() == 0
+    # contract enforcement still runs on the empty build
+    with pytest.raises(Exception):
+        run_model(
+            cat,
+            {
+                "name": "m2",
+                "materialized": "table",
+                "contract": {
+                    "enforced": True,
+                    "columns": [{"name": "nosuch", "data_type": "bigint"}],
+                },
+            },
+            "SELECT id FROM src",
+            empty=True,
+        )
+    # the real build replaces the empty one
+    run_model(cat, {"name": "m", "materialized": "table"},
+              "SELECT id, s, v * 2 AS v2 FROM src")
+    assert cat.read("m").count() == 2
+
+
+def test_run_model_empty_incremental_first_and_later_run(spark, cat):
+    cat.create_table("src", _mk(spark, [(1, 10), (2, 20)], "id bigint, v bigint"))
+    run_model(
+        cat,
+        {"name": "inc", "materialized": "incremental", "strategy": "append"},
+        "SELECT * FROM src",
+        empty=True,
+    )
+    assert cat.read("inc").count() == 0
+    run_model(
+        cat,
+        {"name": "inc", "materialized": "incremental", "strategy": "append"},
+        "SELECT * FROM src",
+    )
+    assert cat.read("inc").count() == 2
+    # an --empty run against the EXISTING table appends nothing
+    run_model(
+        cat,
+        {"name": "inc", "materialized": "incremental", "strategy": "append"},
+        "SELECT * FROM src",
+        empty=True,
+    )
+    assert cat.read("inc").count() == 2
+
+
+def test_run_model_empty_scans_no_source_files(spark, cat):
+    """limit 0 must fold to an empty relation BEFORE the scan — the
+    build reads no source data files (the whole point of --empty on a
+    100 TB source)."""
+    cat.create_table("big", spark.range(1000).select("id"))
+    from tests.test_sqldml import _job_executions_after, _last_exec_id  # noqa: F401
+
+    df = cat.sql("SELECT id, id * 2 AS d FROM big").limit(0)
+    assert df.count() == 0
+    assert not df.inputFiles()  # PropagateEmptyRelation: no files scanned
+
+
+def test_run_test_store_failures(spark, cat):
+    from dbt_maxcompute_spark.runner import run_test
+
+    cat.create_table(
+        "acct",
+        _mk(spark, [(1, 50.0), (2, -10.0), (3, -1.5)], "id bigint, bal double"),
+        transactional=True,
+        primary_keys=["id"],
+    )
+    res = run_test(
+        cat, "positive_balance", "SELECT * FROM acct WHERE bal < 0",
+        store_failures=True,
+    )
+    assert res["status"] == "fail" and res["failures"] == 2
+    assert res["relation"] == "dbt_test__audit.positive_balance"
+    audit = cat.read(res["relation"])
+    assert sorted(r.id for r in audit.collect()) == [2, 3]
+    # re-run after fixing one row REPLACES the audit table
+    cat.execute("UPDATE acct SET bal = 5 WHERE id = 2")
+    res2 = run_test(
+        cat, "positive_balance", "SELECT * FROM acct WHERE bal < 0",
+        store_failures=True,
+    )
+    assert res2["failures"] == 1
+    assert sorted(r.id for r in cat.read(res2["relation"]).collect()) == [3]
+    # a passing test stores an EMPTY audit table (schema intact)
+    res3 = run_test(
+        cat, "has_rows", "SELECT * FROM acct WHERE bal > 1e9",
+        store_failures=True,
+    )
+    assert res3["status"] == "pass" and res3["failures"] == 0
+    assert cat.read(res3["relation"]).columns == ["id", "bal"]
+    # without store_failures: count only, no audit relation
+    res4 = run_test(cat, "plain", "SELECT * FROM acct WHERE bal < 0")
+    assert res4 == {"name": "plain", "status": "fail", "failures": 1,
+                    "relation": None}

@@ -1178,3 +1178,30 @@ def test_sql_restore_statement(spark, tmp_path):
     cat.create_table("plain_rt", spark.range(3).selectExpr("id"))
     with pytest.raises(ValueError, match="transactional"):
         cat.execute("RESTORE TABLE plain_rt TO VERSION AS OF 0")
+
+
+def test_footer_stats_tolerate_decimal_columns(spark, tmp_path):
+    """pyarrow cannot extract min/max statistics for DECIMAL parquet
+    columns (ArrowNotImplementedError on Statistics.min) — a txn table
+    with a decimal column must still stage, commit, and skip on its
+    OTHER columns rather than crash the stats job (round-10: surfaced
+    by the type-literal parity row)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    df = spark.sql(
+        "SELECT id, CAST(id AS DECIMAL(12,2)) AS amt FROM range(100)"
+    ).coalesce(1)
+    t.create(df)
+    t.append(
+        spark.sql(
+            "SELECT id, CAST(id AS DECIMAL(12,2)) AS amt "
+            "FROM range(100, 200)"
+        ).coalesce(1)
+    )
+    snap = t.snapshot()
+    for f in snap.files:
+        st = snap.stats[f]
+        assert st["numRecords"] == 100
+        assert "amt" not in st["min"]  # decimal: no min/max, never prunes
+        assert "id" in st["min"]  # other columns still skip
+    assert len(t.files_scanned([("id", ">=", 150)])) == 1
+    assert t.read(where=[("amt", ">=", 0)]).count() == 200  # conservative scan
