@@ -357,6 +357,7 @@ _INSERT_RE = re.compile(
 _MERGE_RE = re.compile(r"^\s*MERGE\s+INTO\s+", re.IGNORECASE)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<tbl>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?P<full>FULL))?"
     r"(?:\s+ZORDER\s+BY\s+\(?(?P<cols>[\w.,\s]+?)\)?)?\s*$",
     re.IGNORECASE,
 )
@@ -882,7 +883,7 @@ def classify(stmt: str):
             if m.group("cols")
             else None
         )
-        return ("optimize", m.group("tbl"), cols)
+        return ("optimize", m.group("tbl"), cols, bool(m.group("full")))
     m = _VACUUM_RE.match(masked)
     if m:
         hours = float(m.group("hours")) if m.group("hours") else None
@@ -1220,11 +1221,20 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         n = _exec_merge(catalog, parsed[1])
         return _summary(catalog, "MERGE", parsed[1].target, n)
     if op == "optimize":
-        # Delta's OPTIMIZE [ZORDER BY (...)] surface: compaction +
-        # (optionally multi-dimension Z-curve) clustering in one commit
-        _, tbl, cols = parsed
+        # Delta's OPTIMIZE [FULL] [ZORDER BY (...)] surface: bare
+        # OPTIMIZE is the round-10 incremental bin-pack (stats-routed
+        # small-file compaction, metadata no-op when nothing is
+        # under-sized); FULL forces the whole-table rewrite; ZORDER
+        # clusters (whole-table by default — clustering is
+        # layout-defining) with the multi-dimension Z-curve beyond one
+        # column
+        _, tbl, cols, full = parsed
         t = _require_txn(catalog, tbl, "OPTIMIZE")
-        v = t.optimize(cluster_by=cols, zorder=bool(cols and len(cols) > 1))
+        v = t.optimize(
+            cluster_by=cols,
+            zorder=bool(cols and len(cols) > 1),
+            full=True if full else None,
+        )
         return _summary(catalog, "OPTIMIZE", tbl, v)
     if op == "vacuum":
         _, tbl, hours = parsed

@@ -200,10 +200,14 @@ def test_sql_optimize_requires_transactional(spark, cat):
 # -- pure parsing for the maintenance + insert surface (no Spark) -----------
 
 def test_classify_maintenance_statements():
-    op, tbl, cols = sqldml.classify("OPTIMIZE core.t ZORDER BY (a, b)")
-    assert (op, tbl, cols) == ("optimize", "core.t", ["a", "b"])
-    op, tbl, cols = sqldml.classify("optimize t")
-    assert (op, tbl, cols) == ("optimize", "t", None)
+    op, tbl, cols, full = sqldml.classify("OPTIMIZE core.t ZORDER BY (a, b)")
+    assert (op, tbl, cols, full) == ("optimize", "core.t", ["a", "b"], False)
+    op, tbl, cols, full = sqldml.classify("optimize t")
+    assert (op, tbl, cols, full) == ("optimize", "t", None, False)
+    op, tbl, cols, full = sqldml.classify("OPTIMIZE t FULL")
+    assert (op, tbl, cols, full) == ("optimize", "t", None, True)
+    op, tbl, cols, full = sqldml.classify("optimize t full zorder by (a)")
+    assert (op, tbl, cols, full) == ("optimize", "t", ["a"], True)
     op, tbl, hours = sqldml.classify("VACUUM t RETAIN 168 HOURS")
     assert (op, tbl, hours) == ("vacuum", "t", 168.0)
     op, tbl, hours = sqldml.classify("VACUUM t")
@@ -1422,3 +1426,22 @@ def test_copy_into_rows_loaded_counts_without_stats(spark, cat, tmp_path, monkey
     files, rows = t.copy_into([str(src / "a.parquet")])
     assert (files, rows) == (1, 7)
     assert cat.read("t").count() == 10
+
+
+def test_sql_optimize_bare_is_incremental_full_rewrites(spark, cat):
+    """Round-10: SQL `OPTIMIZE t` is the stats-routed incremental
+    bin-pack (a no-op on a freshly-created well-packed table);
+    `OPTIMIZE t FULL` forces the whole-table rewrite."""
+    _mk(cat, spark, n=30)
+    t = cat.txn("t")
+    v0 = t.latest_version()
+    files0 = set(t.snapshot().files)
+    out = cat.execute("OPTIMIZE t").collect()[0]
+    assert out.operation == "OPTIMIZE"
+    assert t.latest_version() == v0  # nothing under-sized: metadata no-op
+    assert set(t.snapshot().files) == files0
+    out = cat.execute("OPTIMIZE t FULL").collect()[0]
+    assert out.operation == "OPTIMIZE"
+    assert t.latest_version() == v0 + 1
+    assert set(t.snapshot().files).isdisjoint(files0)
+    assert cat.read("t").count() == 30
