@@ -205,7 +205,9 @@ def _op_sequences(draw):
     ops = [("create", draw(_ROWS))]
     for _ in range(draw(st.integers(1, 5))):
         kind = draw(
-            st.sampled_from(["append", "overwrite", "delete", "delete_dv", "upsert_dv"])
+            st.sampled_from(
+                ["append", "overwrite", "delete", "delete_dv", "upsert_dv", "optimize"]
+            )
         )
         if kind in ("delete", "delete_dv"):
             ops.append((kind, draw(st.integers(0, 120))))
@@ -213,6 +215,11 @@ def _op_sequences(draw):
             rows = draw(_ROWS)
             dedup = list({r[0]: r for r in rows}.values())  # unique keys required
             ops.append((kind, dedup))
+        elif kind == "optimize":
+            # round-10: incremental bin-pack anywhere in the sequence —
+            # content-preserving at every version, may be a metadata
+            # no-op (no commit)
+            ops.append((kind, draw(st.integers(1, 6))))
         else:
             ops.append((kind, draw(_ROWS)))
     return ops
@@ -252,6 +259,13 @@ def test_log_replay_equals_model_at_every_version(
         elif kind == "delete_dv":  # deletion-vector delete, same semantics
             t.delete_where_dv(f"id < {arg}")
             model.append([r for r in model[-1] if not (r[0] < arg)])
+        elif kind == "optimize":  # incremental compaction: content fixed
+            v_before = t.latest_version()
+            v_after = t.optimize(target_rows=arg)
+            if v_after > v_before:
+                model.append(list(model[-1]))
+            else:
+                assert v_after == v_before  # metadata no-op, no commit
         else:  # upsert_dv: DV out matched keys + append source
             t.delete_insert_dv(df_of(arg), ["id"])
             keys = {r[0] for r in arg}
