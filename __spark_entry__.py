@@ -70,6 +70,7 @@ _PRIORITY = [
     "ann_ivfpq_indexed_topk",
     "model_empty_build",
     "sql_type_literals",
+    "model_unit_test",
     # behavior changed in round 10
     "sql_maintenance_script",
     "sql_cdf_tvf",

@@ -275,6 +275,9 @@ def run_test(
     store_failures: bool = False,
     audit_schema: str = "dbt_test__audit",
     limit: int | None = None,
+    severity: str = "error",
+    warn_if: str = ">0",
+    error_if: str = ">0",
 ) -> dict[str, Any]:
     """``dbt test`` — run a test query and report its FAILING rows
     (round-10; reference ``tests/functional/adapter/
@@ -291,8 +294,17 @@ def run_test(
     caps stored rows (dbt's ``--store-failures --limit``); the
     reported count is the capped count, matching dbt.
 
-    Returns ``{"name", "status" ("pass"/"fail"), "failures",
+    ``severity``/``warn_if``/``error_if`` are dbt's test-config
+    thresholds: with ``severity="error"`` (default) the test FAILS when
+    ``error_if`` holds against the failure count and WARNS when only
+    ``warn_if`` does; ``severity="warn"`` never fails — it warns when
+    ``warn_if`` holds. Expressions are dbt's comparison strings
+    (``">0"``, ``">= 10"``, ``"!=0"``).
+
+    Returns ``{"name", "status" ("pass"/"warn"/"fail"), "failures",
     "relation" (audit table name or None)}``."""
+    if severity not in ("error", "warn"):
+        raise ValueError(f"severity must be 'error' or 'warn', got {severity!r}")
     df = _as_df(catalog, model)
     if limit is not None:
         df = df.limit(int(limit))
@@ -306,11 +318,170 @@ def run_test(
         failures = int(catalog.read(relation).count())
     else:
         failures = int(df.count())
+    if severity == "error" and _eval_threshold(error_if, failures):
+        status = "fail"
+    elif _eval_threshold(warn_if, failures):
+        status = "warn"
+    else:
+        status = "pass"
     return {
         "name": name,
-        "status": "pass" if failures == 0 else "fail",
+        "status": status,
         "failures": failures,
         "relation": relation,
+    }
+
+
+def _eval_threshold(expr: str, n: int) -> bool:
+    """Evaluate a dbt test threshold (``error_if``/``warn_if``) like
+    ``">0"``, ``">= 10"``, ``"!=0"`` against a failure count."""
+    import re
+
+    m = re.fullmatch(r"\s*(>=|<=|!=|>|<|=)\s*(\d+)\s*", expr)
+    if not m:
+        raise ValueError(f"unsupported threshold expression {expr!r}")
+    op, k = m.group(1), int(m.group(2))
+    return {
+        ">": n > k, ">=": n >= k, "<": n < k,
+        "<=": n <= k, "=": n == k, "!=": n != k,
+    }[op]
+
+
+def run_unit_test(
+    catalog: EngineCatalog,
+    name: str,
+    model: str,
+    given: dict[str, Any],
+    expect: Any,
+) -> dict[str, Any]:
+    """dbt UNIT TEST (round-10; reference
+    ``tests/functional/adapter/test_unit_testings.py`` — dbt-core's
+    BaseUnitTestCase): run a SQL model against FIXTURE inputs instead
+    of the real refs and compare the result to expected rows.
+
+    ``given`` maps each referenced relation name (bare names — dbt refs
+    are model names) to fixture rows: a DataFrame, or a list of dicts
+    in dbt's ``format: dict`` shape. Dict fixtures may specify a SUBSET
+    of the relation's columns — when the relation exists in the
+    catalog, missing columns backfill NULL and values cast to the
+    relation's types (dbt's fixture coercion); an empty list is an
+    empty fixture with the relation's schema. Fixtures shadow the refs
+    via a WITH prologue: CTE names take precedence over
+    temp-view/catalog resolution in Spark's analyzer, so the model SQL
+    runs UNCHANGED — no rewriting of its references, no catalog
+    mutation, and relations not in ``given`` still resolve normally.
+
+    ``expect`` is a list of dicts or a DataFrame; comparison is
+    order-insensitive on the full multiset with expected values cast to
+    the actual output types by column name.
+
+    Returns ``{"name", "status" ("pass"/"fail"), "actual_rows",
+    "expected_rows", "mismatches"}`` — mismatches lists up to 5
+    (row, direction) examples on failure."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    spark = catalog.spark
+    if not isinstance(model, str):
+        raise ValueError("run_unit_test requires a SQL-string model")
+
+    def _fixture_df(ref: str, rows: Any) -> DataFrame:
+        if isinstance(rows, DataFrame):
+            return rows
+        target = catalog.read(ref).schema if catalog.exists(ref) else None
+        if target is None:
+            if not rows:
+                raise ValueError(
+                    f"fixture for unknown relation {ref!r} needs at least one "
+                    "row (or pass a DataFrame) — there is no schema to borrow"
+                )
+            return spark.createDataFrame([dict(r) for r in rows])
+        if not rows:
+            return spark.createDataFrame([], target)
+        keys = {k for r in rows for k in r}
+        unknown = keys - {f.name for f in target}
+        if unknown:
+            raise ValueError(
+                f"fixture for {ref!r} names columns {sorted(unknown)} that "
+                "the relation does not have"
+            )
+        # dbt's coercion: build from the given columns as strings,
+        # cast to the relation's types, NULL-backfill the rest
+        ordered = sorted(keys)
+        data = [
+            tuple(str(r.get(k)) if r.get(k) is not None else None for k in ordered)
+            for r in rows
+        ]
+        raw = spark.createDataFrame(
+            data, ", ".join(f"`{k}` string" for k in ordered)
+        )
+        cols = []
+        for f in target:
+            if f.name in keys:
+                cols.append(F.col(f"`{f.name}`").cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return raw.select(*cols)
+
+    ctes = []
+    for i, (ref, rows) in enumerate(given.items()):
+        if not re.fullmatch(r"[A-Za-z_]\w*", ref):
+            raise ValueError(
+                f"given fixture {ref!r}: unit-test refs are bare model "
+                "names (a CTE cannot shadow a qualified name)"
+            )
+        view = f"__ut_{i}_{ref}"
+        _fixture_df(ref, rows).createOrReplaceTempView(view)
+        ctes.append(f"{ref} AS (SELECT * FROM {view})")
+
+    m = model.strip().rstrip(";")
+    if ctes:
+        prologue = ", ".join(ctes)
+        if re.match(r"(?is)^\s*WITH\b", m):
+            body = re.sub(r"(?is)^\s*WITH\b", "", m, count=1)
+            sql = f"WITH {prologue}, {body}"
+        else:
+            sql = f"WITH {prologue} {m}"
+    else:
+        sql = m
+    actual = catalog.sql(sql, mv_rewrite=False)
+
+    if isinstance(expect, DataFrame):
+        expected = expect
+    else:
+        cols = actual.columns
+        data = [
+            tuple(str(r.get(c)) if r.get(c) is not None else None for c in cols)
+            for r in expect
+        ]
+        raw = spark.createDataFrame(
+            data, ", ".join(f"`{c}` string" for c in cols)
+        )
+        expected = raw.select(
+            *[
+                F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+                for f in actual.schema.fields
+            ]
+        )
+
+    a_rows = sorted(map(tuple, actual.collect()))
+    e_rows = sorted(map(tuple, expected.collect()))
+    mismatches: list[tuple] = []
+    if a_rows != e_rows:
+        from collections import Counter
+
+        ca, ce = Counter(a_rows), Counter(e_rows)
+        for row in (ca - ce):
+            mismatches.append((row, "actual_only"))
+        for row in (ce - ca):
+            mismatches.append((row, "expected_only"))
+    return {
+        "name": name,
+        "status": "pass" if not mismatches else "fail",
+        "actual_rows": len(a_rows),
+        "expected_rows": len(e_rows),
+        "mismatches": mismatches[:5],
     }
 
 

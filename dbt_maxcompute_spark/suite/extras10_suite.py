@@ -299,11 +299,78 @@ ORDER BY id
 """
 
 
+def q_model_unit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dbt UNIT TESTS (reference test_unit_testings.py BaseUnitTestCase):
+    # the model SQL runs UNCHANGED against fixture inputs — fixtures
+    # shadow the refs via a WITH prologue (CTE names outrank catalog
+    # resolution in Spark's analyzer), so no reference rewriting and no
+    # catalog mutation. The row runs one passing unit test whose
+    # fixture is an orders slice and whose expectation is the same agg
+    # computed independently, plus one DELIBERATELY failing test
+    # (expectation perturbed) to prove mismatches are detected; the
+    # returned agg is oracle-checked against the slice.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+    from dbt_maxcompute_spark.runner import run_unit_test
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="ut_wh_"))
+    fixture = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    # decoy catalog table with the SAME name but different content —
+    # the fixture must win
+    cat.create_table(
+        "uorders",
+        spark.createDataFrame(
+            [(0, "Z", 0.0)], "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        ),
+    )
+    model = (
+        "SELECT o_orderstatus AS status, count(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total "
+        "FROM uorders GROUP BY o_orderstatus"
+    )
+    dsum = F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
+    expected = fixture.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"), dsum.alias("total")
+    )
+    ok = run_unit_test(
+        cat, "agg_matches", model, given={"uorders": fixture}, expect=expected
+    )
+    perturbed = expected.withColumn("n", F.col("n") + 1)
+    bad = run_unit_test(
+        cat, "agg_perturbed", model, given={"uorders": fixture}, expect=perturbed
+    )
+    return (
+        expected.withColumn("ut_pass", F.lit(ok["status"] == "pass"))
+        .withColumn("ut_detects_mismatch", F.lit(bad["status"] == "fail"))
+        .withColumn(
+            "decoy_shadowed",
+            F.lit(ok["actual_rows"] == expected.count()),
+        )
+        .orderBy("status")
+    )
+
+
+ORACLE_MODEL_UNIT_TEST = """
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       TRUE AS ut_pass, TRUE AS ut_detects_mismatch, TRUE AS decoy_shadowed
+FROM orders WHERE o_orderkey % 17 = 0
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
+
 QUERIES = {
     "txn_optimize_incremental": q_txn_optimize_incremental,
     "ann_ivfpq_indexed_topk": q_ann_ivfpq_indexed,
     "model_empty_build": q_model_empty_build,
     "sql_type_literals": q_sql_type_literals,
+    "model_unit_test": q_model_unit_test,
 }
 
 ORACLES = {
@@ -311,4 +378,5 @@ ORACLES = {
     "ann_ivfpq_indexed_topk": ORACLE_ANN_IVFPQ_INDEXED,
     "model_empty_build": ORACLE_MODEL_EMPTY_BUILD,
     "sql_type_literals": ORACLE_SQL_TYPE_LITERALS,
+    "model_unit_test": ORACLE_MODEL_UNIT_TEST,
 }

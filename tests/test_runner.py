@@ -598,3 +598,104 @@ def test_run_test_store_failures(spark, cat):
     res4 = run_test(cat, "plain", "SELECT * FROM acct WHERE bal < 0")
     assert res4 == {"name": "plain", "status": "fail", "failures": 1,
                     "relation": None}
+
+
+# ---------------------------------------------------------------------------
+# round-10: dbt unit tests (fixture-shadowed refs) + severity thresholds
+# (reference test_unit_testings.py BaseUnitTestCase)
+# ---------------------------------------------------------------------------
+
+
+def test_run_unit_test_fixtures_shadow_catalog_refs(spark, cat):
+    """The model SQL runs UNCHANGED against fixture rows: CTE names take
+    precedence over the catalog temp views, so `orders_src` resolves to
+    the fixture even though a real catalog table with that name holds
+    different data; partial dict fixtures NULL-backfill and cast to the
+    relation's types."""
+    from dbt_maxcompute_spark.runner import run_unit_test
+
+    cat.create_table(
+        "orders_src",
+        _mk(spark, [(99, "X", 1e9)], "o_id bigint, status string, amt double"),
+    )
+    res = run_unit_test(
+        cat,
+        "agg_by_status",
+        "SELECT status, count(*) AS n, sum(amt) AS total "
+        "FROM orders_src GROUP BY status",
+        given={
+            "orders_src": [
+                {"o_id": 1, "status": "A", "amt": 10.5},
+                {"o_id": 2, "status": "A", "amt": 4.5},
+                {"o_id": 3, "status": "B"},  # amt backfills NULL
+            ]
+        },
+        expect=[
+            {"status": "A", "n": 2, "total": 15.0},
+            {"status": "B", "n": 1, "total": None},
+        ],
+    )
+    assert res["status"] == "pass", res
+    # the real catalog table is untouched and still resolves elsewhere
+    assert cat.read("orders_src").count() == 1
+
+
+def test_run_unit_test_detects_mismatch_and_merges_with_cte_models(spark, cat):
+    from dbt_maxcompute_spark.runner import run_unit_test
+
+    cat.create_table("src_t", _mk(spark, [(1, 5)], "id bigint, v bigint"))
+    # model already has a WITH clause: fixture CTEs splice in front
+    model = (
+        "WITH doubled AS (SELECT id, v * 2 AS v2 FROM src_t) "
+        "SELECT id, v2 FROM doubled"
+    )
+    ok = run_unit_test(
+        cat, "ut", model,
+        given={"src_t": [{"id": 7, "v": 3}]},
+        expect=[{"id": 7, "v2": 6}],
+    )
+    assert ok["status"] == "pass"
+    bad = run_unit_test(
+        cat, "ut", model,
+        given={"src_t": [{"id": 7, "v": 3}]},
+        expect=[{"id": 7, "v2": 99}],
+    )
+    assert bad["status"] == "fail" and bad["mismatches"]
+    dirs = {d for _, d in bad["mismatches"]}
+    assert dirs == {"actual_only", "expected_only"}
+
+
+def test_run_unit_test_empty_fixture_and_unknown_column(spark, cat):
+    from dbt_maxcompute_spark.runner import run_unit_test
+
+    cat.create_table("ev", _mk(spark, [(1, "c")], "id bigint, kind string"))
+    res = run_unit_test(
+        cat, "ut_empty", "SELECT count(*) AS n FROM ev",
+        given={"ev": []},
+        expect=[{"n": 0}],
+    )
+    assert res["status"] == "pass"
+    with pytest.raises(ValueError, match="does not have"):
+        run_unit_test(
+            cat, "ut_bad", "SELECT * FROM ev",
+            given={"ev": [{"nosuch": 1}]},
+            expect=[],
+        )
+
+
+def test_run_test_severity_thresholds(spark, cat):
+    from dbt_maxcompute_spark.runner import run_test
+
+    cat.create_table("m", _mk(spark, [(1,), (2,), (3,)], "id bigint"))
+    q = "SELECT * FROM m WHERE id > 1"  # 2 failing rows
+    # error_if not met, warn_if met -> warn
+    r = run_test(cat, "t1", q, error_if=">5", warn_if=">0")
+    assert r["status"] == "warn" and r["failures"] == 2
+    # severity=warn never fails
+    r = run_test(cat, "t2", q, severity="warn", warn_if=">0", error_if=">0")
+    assert r["status"] == "warn"
+    # neither threshold met -> pass despite failures
+    r = run_test(cat, "t3", q, error_if=">5", warn_if=">= 3")
+    assert r["status"] == "pass"
+    # default: fail
+    assert run_test(cat, "t4", q)["status"] == "fail"
