@@ -71,6 +71,7 @@ _PRIORITY = [
     "model_empty_build",
     "sql_type_literals",
     "model_unit_test",
+    "ann_ivfpq_residual_topk",
     # behavior changed in round 10
     "sql_maintenance_script",
     "sql_cdf_tvf",

@@ -154,10 +154,14 @@ def _dots(sv: Column, cb_lit: Column) -> Column:
 def pq_encode(
     df: DataFrame, vec_col: str, codebook: list[list[list[float]]],
     out_col: str = "__codes",
+    normalize: bool = True,
 ) -> DataFrame:
     """Add an ``array<int>`` PQ-code column: per subspace, the index of
     the nearest codeword (L2 over the unit-normalized subvector; ties
     to the lowest index via array_position's first-match).
+    ``normalize=False`` encodes the column AS-IS (cast to double) — the
+    residual-IVFADC path, where ``vec_col`` already holds
+    ``x̂ - ĉ_cell`` and re-normalizing would corrupt it.
 
     STAGED projections, deliberately: the unit vector, each subvector
     slice, and each distance array become named columns before the
@@ -169,7 +173,12 @@ def pq_encode(
     stored codes are m ints instead of dim floats."""
     m, d0 = len(codebook), len(codebook[0][0])
     cols = df.columns
-    u = df.withColumn("__pq_u", _unit_expr(F.col(vec_col)))
+    base = (
+        _unit_expr(F.col(vec_col))
+        if normalize
+        else F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    u = df.withColumn("__pq_u", base)
     sv = u.select(
         *cols, *[F.slice("__pq_u", s * d0 + 1, d0).alias(f"__pq_sv{s}") for s in range(m)]
     )

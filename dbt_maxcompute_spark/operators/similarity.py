@@ -330,6 +330,7 @@ def build_ivf_index(
     cursor: int | None = None,
     pq_m: int | None = None,
     pq_ks: int = 32,
+    pq_residual: bool = False,
 ) -> dict:
     """Materialize the IVF index: the assigned corpus is WRITTEN
     PARTITIONED BY centroid cell, and the centroid matrix (metadata:
@@ -353,30 +354,56 @@ def build_ivf_index(
     cells from the CODES column (parquet column pruning keeps the
     dim-float vectors out of the scoring scan entirely) and re-rank
     only the short list from raw vectors; maintenance encodes batch
-    rows with the FIXED codebook, exactly like the fixed centroids."""
+    rows with the FIXED codebook, exactly like the fixed centroids.
+
+    ``pq_residual=True`` (with ``pq_m``) stores codes of the RESIDUAL
+    ``x̂ - ĉ_cell`` instead of ``x̂`` — the full Jegou §V IVFADC
+    formulation: residuals concentrate near the origin, so the same
+    ks codewords quantize them with far less error than the spread-out
+    raw vectors, and searches reconstruct
+    ``cos(q,x) ≈ q̂·ĉ_cell + ADC(LUT(q̂), codes)`` — the per-cell
+    constant is the probe similarity the cell ranking already
+    computed, so the extra cost at query time is one addition."""
     import json as _json
     import os as _os
 
     centroids, assigned = ivf_assign(corpus, id_col, vec_col, num_centroids, seed)
+    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    ids = [r["centroid_id"] for r in cent]
+    unit_mat = [_unit([float(x) for x in r["centroid_vec"]]) for r in cent]
     pq_meta = None
     if pq_m:
         from dbt_maxcompute_spark.operators import quantize
 
-        cb = quantize.pq_codebook(
-            corpus, id_col, vec_col, m=pq_m, ks=pq_ks, seed=seed
-        )
-        assigned = quantize.pq_encode(assigned, vec_col, cb, out_col="__pq_codes")
-        pq_meta = {"m": pq_m, "ks": pq_ks, "codebook": cb}
+        if pq_residual:
+            cb = _residual_codebook(
+                assigned, id_col, vec_col, ids, unit_mat, pq_m, pq_ks, seed
+            )
+            assigned = assigned.withColumn(
+                "__pq_res", _residual_expr(vec_col, ids, unit_mat)
+            )
+            assigned = quantize.pq_encode(
+                assigned, "__pq_res", cb, out_col="__pq_codes", normalize=False
+            ).drop("__pq_res")
+        else:
+            cb = quantize.pq_codebook(
+                corpus, id_col, vec_col, m=pq_m, ks=pq_ks, seed=seed
+            )
+            assigned = quantize.pq_encode(
+                assigned, vec_col, cb, out_col="__pq_codes"
+            )
+        pq_meta = {
+            "m": pq_m, "ks": pq_ks, "codebook": cb, "residual": bool(pq_residual)
+        }
     (
         assigned.repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(index_path)
     )
-    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
     meta = {
-        "ids": [r["centroid_id"] for r in cent],
-        "unit_mat": [_unit([float(x) for x in r["centroid_vec"]]) for r in cent],
+        "ids": ids,
+        "unit_mat": unit_mat,
         "id_col": id_col,
         "vec_col": vec_col,
         "num_centroids": num_centroids,
@@ -391,6 +418,68 @@ def build_ivf_index(
     with open(_os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
         _json.dump(meta, fh)
     return meta
+
+
+def _residual_expr(vec_col: str, ids: list, unit_mat: list[list[float]]):
+    """``x̂ - ĉ_cell`` as a pure-Catalyst projection: the unit centroid
+    matrix travels as a plan literal (C x dim doubles, metadata), the
+    row's cell picks its centroid row by position in the id-ordered
+    matrix, and the subtraction is one zip_with. Requires a
+    ``centroid_id`` column (post-assignment)."""
+    from dbt_maxcompute_spark.operators.quantize import _unit_expr
+
+    cmat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in unit_mat]
+    )
+    # match on the STRING form of the id: a hive-partitioned index read
+    # surfaces centroid_id as string when partition-type inference is
+    # off, while the sidecar ids are native — canonicalizing both sides
+    # keeps the lookup type-agnostic (int/long/string ids alike)
+    pos = F.array_position(
+        F.array(*[F.lit(str(i)) for i in ids]),
+        F.col("centroid_id").cast("string"),
+    )
+    cvec = F.element_at(cmat, pos.cast("int"))
+    return F.zip_with(_unit_expr(F.col(vec_col)), cvec, lambda a, b: a - b)
+
+
+def _residual_codebook(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    ids: list,
+    unit_mat: list[list[float]],
+    m: int,
+    ks: int,
+    seed: int,
+) -> list[list[list[float]]]:
+    """Deterministic RESIDUAL codebook: the same ks-smallest-id-hash
+    sample device as :func:`quantize.pq_codebook`, but each sample
+    contributes its residual ``x̂ - ĉ_cell`` (computed driver-side from
+    the k-bounded sample — ks rows, never the corpus) and residuals are
+    NOT re-normalized (their magnitude is the information)."""
+    import math
+
+    rows = (
+        assigned.withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__r")
+        .limit(ks)
+        .select(vec_col, "centroid_id")
+        .collect()
+    )
+    pos_of = {cid: i for i, cid in enumerate(ids)}
+    res = []
+    for r in rows:
+        v = [float(x) for x in r[0]]
+        n = math.sqrt(sum(x * x for x in v))
+        u = [x / n for x in v] if n > 0 else v
+        c = unit_mat[pos_of[r["centroid_id"]]]
+        res.append([a - b for a, b in zip(u, c)])
+    dim = len(res[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d0 = dim // m
+    return [[v[sub * d0 : (sub + 1) * d0] for v in res] for sub in range(m)]
 
 
 def assign_with_meta(df: DataFrame, meta: dict) -> DataFrame:
@@ -522,6 +611,7 @@ def maybe_rebalance_ivf_index(
         cursor=meta.get("cursor"),
         pq_m=pq.get("m"),
         pq_ks=pq.get("ks", 32),
+        pq_residual=bool(pq.get("residual")),
     )
     old = index_path.rstrip("/") + ".rebal.old"
     _os.replace(index_path, old)
@@ -612,9 +702,20 @@ def maintain_ivf_index(spark, index_path: str, changes: DataFrame) -> dict:
         # (rebalance retrains both)
         from dbt_maxcompute_spark.operators import quantize
 
-        additions = quantize.pq_encode(
-            additions, meta["vec_col"], meta["pq"]["codebook"], out_col="__pq_codes"
-        )
+        if meta["pq"].get("residual"):
+            additions = additions.withColumn(
+                "__pq_res",
+                _residual_expr(meta["vec_col"], meta["ids"], meta["unit_mat"]),
+            )
+            additions = quantize.pq_encode(
+                additions, "__pq_res", meta["pq"]["codebook"],
+                out_col="__pq_codes", normalize=False,
+            ).drop("__pq_res")
+        else:
+            additions = quantize.pq_encode(
+                additions, meta["vec_col"], meta["pq"]["codebook"],
+                out_col="__pq_codes",
+            )
 
     old = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(touched))
     kept = old.join(F.broadcast(removals), [id_col, "centroid_id"], "left_anti")
@@ -805,6 +906,9 @@ def ivfpq_indexed_topk(
         "query_id",
         "__qv",
         "__lut",
+        # q̂·ĉ_cell — free from the cell ranking; the residual-ADC
+        # reconstruction adds it back per scored row
+        F.col("__p.s").alias("__csim"),
         F.element_at(id_arr, (-F.col("__p.nidx")).cast("int") + 1).alias("centroid_id"),
     )
     cells = [
@@ -812,15 +916,18 @@ def ivfpq_indexed_topk(
     ]
     idx = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(cells))
 
+    adc = quantize.pq_adc_score(F.col("__lut"), F.col("__pq_codes"))
+    if meta["pq"].get("residual"):
+        # cos(q,x) ≈ q̂·ĉ_cell + q̂·(x̂ - ĉ_cell), ADC-approximated on
+        # the second term (Jegou §V residual formulation)
+        adc = F.col("__csim") + adc
     scored = (
         idx.select(
             F.col(id_col).alias("neighbor_id"), "__pq_codes", "centroid_id"
         )
         .join(F.broadcast(probes), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "__approx", quantize.pq_adc_score(F.col("__lut"), F.col("__pq_codes"))
-        )
+        .withColumn("__approx", adc)
     )
     win = W.partitionBy("query_id").orderBy(
         F.col("__approx").desc(), F.col("neighbor_id")

@@ -179,6 +179,60 @@ FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
 """
 
 
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The FULL Jegou §V IVFADC formulation: codes quantize the residual
+    # x̂ - ĉ_cell (residuals concentrate near the origin, so the same
+    # ks codewords carry far less quantization error than spread-out
+    # raw vectors) and the search reconstructs
+    # cos(q,x) ≈ q̂·ĉ_cell + ADC(LUT(q̂), codes) — the per-cell constant
+    # is the probe similarity the cell ranking already computed. Same
+    # bounded-recall driver contract as every ANN row.
+    import tempfile
+
+    from dbt_maxcompute_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    k = 10
+    idx = tempfile.mkdtemp(prefix="ivfpq_res_") + "/idx"
+    similarity.build_ivf_index(
+        emb, "vec_id", "embedding", idx,
+        num_centroids=16, pq_m=8, pq_ks=32, pq_residual=True,
+    )
+    pq = similarity.ivfpq_indexed_topk(
+        spark, idx, queries, k=k, nprobe=10, cand_mult=32
+    )
+    brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
+    hits = (
+        pq.join(
+            brute.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        pq.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce("__hits", F.lit(0)) >= F.lit(int(0.5 * k))).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_IVFPQ_RESIDUAL = """
+SELECT vec_id AS query_id,
+       CAST(10 AS BIGINT) AS n_results,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+"""
+
+
 def q_model_empty_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dbt's --empty dry run + store_test_failures audit tables
     # (reference test_empty.py BaseTestEmpty +
@@ -371,6 +425,7 @@ QUERIES = {
     "model_empty_build": q_model_empty_build,
     "sql_type_literals": q_sql_type_literals,
     "model_unit_test": q_model_unit_test,
+    "ann_ivfpq_residual_topk": q_ann_ivfpq_residual,
 }
 
 ORACLES = {
@@ -379,4 +434,5 @@ ORACLES = {
     "model_empty_build": ORACLE_MODEL_EMPTY_BUILD,
     "sql_type_literals": ORACLE_SQL_TYPE_LITERALS,
     "model_unit_test": ORACLE_MODEL_UNIT_TEST,
+    "ann_ivfpq_residual_topk": ORACLE_ANN_IVFPQ_RESIDUAL,
 }

@@ -643,3 +643,110 @@ def test_ivf_sync_equals_reassignment_for_any_dml_sequence(spark, ops):
         for r in spark.read.parquet(idx).collect()
     }
     assert got == want
+
+
+def test_pq_residual_index_roundtrip_and_better_quantization(spark, sf_dir, tmp_path):
+    """Residual IVFADC (Jegou §V): codes quantize x̂ - ĉ_cell; stored
+    codes equal a re-encode of the residuals under the sidecar
+    codebook, search returns full top-k with the per-cell constant
+    added back, and the residual reconstruction error is no worse than
+    the raw-vector codes' on the same corpus (residuals concentrate
+    near the origin — the point of the formulation)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as FF
+
+    from dbt_maxcompute_spark.operators import quantize
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3)
+    idx = str(tmp_path / "res")
+    meta = similarity.build_ivf_index(
+        emb, "vec_id", "embedding", idx,
+        num_centroids=8, pq_m=8, pq_ks=32, pq_residual=True,
+    )
+    assert meta["pq"]["residual"] is True
+
+    # stored codes == re-encode of residuals (fixed codebook, no drift)
+    stored = spark.read.parquet(idx)
+    recoded = quantize.pq_encode(
+        stored.withColumn(
+            "__pq_res",
+            similarity._residual_expr("embedding", meta["ids"], meta["unit_mat"]),
+        ).select("vec_id", "__pq_res", FF.col("__pq_codes").alias("__stored")),
+        "__pq_res",
+        meta["pq"]["codebook"],
+        normalize=False,
+    )
+    assert recoded.filter(FF.col("__stored") != FF.col("__codes")).count() == 0
+
+    out = similarity.ivfpq_indexed_topk(spark, idx, queries, k=5, nprobe=4)
+    rows = out.collect()
+    assert len(rows) == 3 * 5
+    assert {r.rank for r in rows} == {1, 2, 3, 4, 5}
+
+    # search quality: residual codes' recall against exact top-k must
+    # not collapse below the raw-codes index's on the same
+    # corpus/queries (small slack absorbs tie reshuffles)
+    def _recall_hits(index_path):
+        res = similarity.ivfpq_indexed_topk(
+            spark, index_path, queries, k=5, nprobe=8, cand_mult=8
+        )
+        brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+        return res.join(
+            brute.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()  # hits out of 15
+
+    raw = str(tmp_path / "raw")
+    similarity.build_ivf_index(
+        emb, "vec_id", "embedding", raw, num_centroids=8, pq_m=8, pq_ks=32
+    )
+    assert _recall_hits(idx) >= _recall_hits(raw) - 2
+
+
+def test_pq_residual_maintenance_and_rebalance(spark, sf_dir, tmp_path):
+    """Maintenance encodes batch residuals against FIXED centroids +
+    FIXED codebook; rebalance retrains both and the rebalanced index
+    matches a fresh residual build of the final corpus."""
+    import json
+    import os
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    idx = str(tmp_path / "res")
+    m0 = similarity.build_ivf_index(
+        base, "vec_id", "embedding", idx,
+        num_centroids=8, pq_m=8, pq_ks=32, pq_residual=True,
+    )
+    similarity.maintain_ivf_index(spark, idx, _changes(emb))
+    with open(os.path.join(idx, "_ivf_meta.json")) as fh:
+        m1 = json.load(fh)
+    assert m1["pq"]["codebook"] == m0["pq"]["codebook"]
+    stored = spark.read.parquet(idx)
+    assert stored.filter(F.col("__pq_codes").isNull()).count() == 0
+    assert {r.vec_id for r in stored.collect()} == {
+        r.vec_id for r in _final_corpus(emb).collect()
+    }
+
+    _inflate_one_cell(spark, base, idx)
+    res = similarity.maybe_rebalance_ivf_index(spark, idx, skew_threshold=3.0)
+    assert res["rebalanced"]
+    with open(os.path.join(idx, "_ivf_meta.json")) as fh:
+        m2 = json.load(fh)
+    assert m2["pq"]["residual"] is True  # survives the retrain
+    fresh = str(tmp_path / "fresh")
+    similarity.build_ivf_index(
+        spark.read.parquet(idx).drop("centroid_id", "__pq_codes"),
+        "vec_id", "embedding", fresh,
+        num_centroids=8, pq_m=8, pq_ks=32, pq_residual=True,
+    )
+    with open(os.path.join(fresh, "_ivf_meta.json")) as fh:
+        m3 = json.load(fh)
+    assert m2["pq"]["codebook"] == m3["pq"]["codebook"]
+    q = base.filter(F.col("vec_id").isin(1, 2, 3))
+    a = sorted(map(tuple, similarity.ivfpq_indexed_topk(spark, idx, q, k=5, nprobe=3).collect()))
+    b = sorted(map(tuple, similarity.ivfpq_indexed_topk(spark, fresh, q, k=5, nprobe=3).collect()))
+    assert a == b and len(a) == 15
