@@ -986,6 +986,10 @@ def test_change_feed_equals_snapshot_diff_for_any_dml(
             t.delete_where(f"id < {arg}")
         elif kind == "delete_dv":
             t.delete_where_dv(f"id < {arg}")
+        elif kind == "optimize":
+            # round-10: a content-neutral compaction commit in the
+            # interval — the feed must net the rewrite to zero changes
+            t.optimize(target_rows=arg)
         else:
             t.delete_insert_dv(df_of(arg), ["id"])
         if n_ops == 2:
@@ -1180,12 +1184,15 @@ def test_sql_restore_statement(spark, tmp_path):
     out = cat.execute("RESTORE TABLE rt TO VERSION AS OF 0").collect()[0]
     assert out.operation == "RESTORE"
     assert cat.read("rt").count() == 30
-    # timestamp form: resolve to the post-delete snapshot
+    # timestamp form: resolve to the post-delete snapshot. Use EXACTLY
+    # version 1's commit instant (AS-OF is at-or-before, so it resolves
+    # v1) — any synthetic offset past it can overshoot the restore
+    # commit when the host is slow between commits (observed flake)
     from datetime import datetime, timezone
 
-    ts = datetime.fromtimestamp(
-        (hist[1] + hist[0]) / 2.0 + (hist[1] - hist[0]), timezone.utc
-    ).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+    ts = datetime.fromtimestamp(hist[1], timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f+00:00"
+    )
     cat.execute(f"RESTORE TABLE rt TO TIMESTAMP AS OF '{ts}'")
     assert cat.read("rt").count() == 10
     # non-transactional target raises
