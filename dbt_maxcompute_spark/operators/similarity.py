@@ -717,7 +717,16 @@ def maintain_ivf_index(spark, index_path: str, changes: DataFrame) -> dict:
                 out_col="__pq_codes",
             )
 
-    old = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(touched))
+    # an index whose every row was deleted has NO cell dirs left (the
+    # sidecar json is all that remains) — the parquet reader cannot
+    # infer a schema from zero files, so route the fully-emptied case
+    # to an empty frame with the batch's own (post-encode) schema
+    if any(d.startswith("centroid_id=") for d in _os.listdir(index_path)):
+        old = spark.read.parquet(index_path).filter(
+            F.col("centroid_id").isin(touched)
+        )
+    else:
+        old = spark.createDataFrame([], additions.schema)
     kept = old.join(F.broadcast(removals), [id_col, "centroid_id"], "left_anti")
     # IDEMPOTENT upsert semantics on a keyed corpus: an addition whose
     # id already survives in the touched cells is skipped — a replayed
@@ -799,6 +808,19 @@ def sync_ivf_index_from_table(spark, index_path: str, table) -> int:
     return res["n_changes"]
 
 
+def _empty_topk(queries: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row result in the standard ``*_topk`` output schema — the
+    fully-emptied-index search answer (every neighbor was deleted)."""
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).alias("rank"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    )
+
+
 def ivf_indexed_topk(
     spark,
     index_path: str,
@@ -823,6 +845,8 @@ def ivf_indexed_topk(
     with open(_os.path.join(index_path, "_ivf_meta.json")) as fh:
         meta = _json.load(fh)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if not any(d.startswith("centroid_id=") for d in _os.listdir(index_path)):
+        return _empty_topk(queries, id_col)  # fully-emptied index
     probes = _probe_frame(
         queries, id_col, vec_col, meta["ids"], meta["unit_mat"], nprobe
     )
@@ -883,6 +907,8 @@ def ivfpq_indexed_topk(
             "use ivf_indexed_topk, or rebuild with build_ivf_index(pq_m=...)"
         )
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if not any(d.startswith("centroid_id=") for d in _os.listdir(index_path)):
+        return _empty_topk(queries, id_col)  # fully-emptied index
     cb = meta["pq"]["codebook"]
     ids, unit_mat = meta["ids"], meta["unit_mat"]
 
