@@ -437,12 +437,23 @@ def run_unit_test(
 
     m = model.strip().rstrip(";")
     if ctes:
+        # the WITH detection must see past leading comments (models
+        # routinely open with a `-- description` header or a /* block
+        # */): splicing the prologue BEFORE a comment that precedes the
+        # model's own WITH would otherwise produce `WITH f AS (...)
+        # -- header\nWITH ...` — invalid SQL (round-11 advisory)
+        lead = re.match(r"(?s)^(?:\s|--[^\n]*\n|/\*.*?\*/)*", m).end()
+        head, body0 = m[:lead], m[lead:]
         prologue = ", ".join(ctes)
-        if re.match(r"(?is)^\s*WITH\b", m):
-            body = re.sub(r"(?is)^\s*WITH\b", "", m, count=1)
-            sql = f"WITH {prologue}, {body}"
+        mw = re.match(r"(?i)^WITH(\s+RECURSIVE\b)?", body0)
+        if mw:
+            # RECURSIVE must stay immediately after WITH; fixture CTEs
+            # are non-recursive, so hoisting the keyword is sound
+            kw = "WITH RECURSIVE" if mw.group(1) else "WITH"
+            rest = body0[mw.end():]
+            sql = f"{head}{kw} {prologue}, {rest}"
         else:
-            sql = f"WITH {prologue} {m}"
+            sql = f"{head}WITH {prologue} {body0}"
     else:
         sql = m
     actual = catalog.sql(sql, mv_rewrite=False)

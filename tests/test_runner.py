@@ -665,6 +665,42 @@ def test_run_unit_test_detects_mismatch_and_merges_with_cte_models(spark, cat):
     assert dirs == {"actual_only", "expected_only"}
 
 
+def test_run_unit_test_merges_past_leading_comments_and_recursive(spark, cat):
+    """Round-11 advisory: models routinely open with a `--` header (or
+    a /* block */) before their own WITH — the prologue splice must
+    land AFTER the comments and BEFORE the model's CTE list, and a
+    WITH RECURSIVE model keeps RECURSIVE immediately after WITH."""
+    from dbt_maxcompute_spark.runner import run_unit_test
+
+    cat.create_table("src_c", _mk(spark, [(1, 5)], "id bigint, v bigint"))
+    model = (
+        "-- model header comment\n"
+        "/* block\n   comment */\n"
+        "WITH doubled AS (SELECT id, v * 2 AS v2 FROM src_c)\n"
+        "SELECT id, v2 FROM doubled"
+    )
+    res = run_unit_test(
+        cat, "ut_comment", model,
+        given={"src_c": [{"id": 7, "v": 3}]},
+        expect=[{"id": 7, "v2": 6}],
+    )
+    assert res["status"] == "pass", res
+
+    rec = (
+        "-- count to the fixture's v\n"
+        "WITH RECURSIVE seq AS ("
+        "  SELECT 1 AS n UNION ALL "
+        "  SELECT n + 1 FROM seq WHERE n < (SELECT max(v) FROM src_c)"
+        ") SELECT count(*) AS n_rows FROM seq"
+    )
+    res = run_unit_test(
+        cat, "ut_recursive", rec,
+        given={"src_c": [{"id": 1, "v": 4}]},
+        expect=[{"n_rows": 4}],
+    )
+    assert res["status"] == "pass", res
+
+
 def test_run_unit_test_empty_fixture_and_unknown_column(spark, cat):
     from dbt_maxcompute_spark.runner import run_unit_test
 
