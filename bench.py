@@ -103,13 +103,15 @@ def main() -> None:
             pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # Emit the queries dict SLOWEST-FIRST (failures first): the driver
-    # stores only a truncated prefix of this line, so the ordering
-    # guarantees the queries that matter — failures and the expensive
-    # tail — are always inside the stored window (round-7 verdict,
-    # "What's wrong" #2).
+    # Emit the queries dict FASTEST-FIRST with failures LAST, and
+    # repeat the high-signal rows (failures + the slowest 10 + counts)
+    # in compact fields AFTER the full dict: the driver stores the
+    # TAIL of this line (round-10 verdict "What's wrong" #2 — the
+    # earlier slowest-first ordering put exactly the wrong rows in the
+    # stored window), so everything that matters — the expensive tail,
+    # every failure, and the summary counts — sits at the END.
     timings = dict(
-        sorted(timings.items(), key=lambda kv: (kv[1] >= 0, -kv[1], kv[0]))
+        sorted(timings.items(), key=lambda kv: (kv[1] < 0, kv[1], kv[0]))
     )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -118,8 +120,15 @@ def main() -> None:
                 "metric": "suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf else None,
+                "queries": timings,
+                "slowest_10": dict(
+                    sorted(
+                        ((n, t) for n, t in timings.items() if t >= 0),
+                        key=lambda kv: -kv[1],
+                    )[:10]
+                ),
+                "failed": sorted(n for n, t in timings.items() if t < 0),
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
             }
