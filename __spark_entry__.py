@@ -25,6 +25,7 @@ from dbt_maxcompute_spark.suite import (
     extras8_suite,
     extras9_suite,
     extras10_suite,
+    extras11_suite,
     extras_suite,
     functions_suite,
     pipeline_suite,
@@ -49,6 +50,7 @@ _SUITES = [
     extras8_suite,
     extras9_suite,
     extras10_suite,
+    extras11_suite,
     functions_suite,
     relational2,
     tpch2,
@@ -58,69 +60,69 @@ _SUITES = [
 ]
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
-# FIRST 50 ``queries()`` entries only. Round 10 rotation: the NEW round-10
-# queries and the rows whose BEHAVIOR changed this round (incremental
-# OPTIMIZE inside sql_maintenance_script; CDF integer start bound in
-# sql_cdf_tvf) lead, then the 22 r6-stale rows the round-9 verdict queued
-# (freshness floor r6 -> r7) — computed from the union of
-# CORRECTNESS_r01..r09 greens.
+# FIRST 50 ``queries()`` entries only. Round 11 rotation: the NEW round-11
+# queries lead, then every row whose CODE PATH changed this round (the
+# broadcast-frame centroid/codebook device touches all IVF/PQ rows; the
+# sizeBytes stat and the unit-test prologue merge touch the optimize and
+# unit-test rows), then the 28 r7-stale rows the round-10 verdict queued
+# (freshness floor r7 -> r8), then the next-stalest r8 rows — staleness
+# computed from the union of CORRECTNESS_r01..r10 greens.
 _PRIORITY = [
-    # new in round 10 — must be driver-checked
-    "txn_optimize_incremental",
+    # new in round 11 — must be driver-checked
+    "txn_optimize_bytes",
+    "model_unit_test_cte",
+    # code paths changed in round 11 (broadcast-frame quantizer matrices,
+    # cached bench index, sizeBytes stat, unit-test prologue merge)
     "ann_ivfpq_indexed_topk",
-    "model_empty_build",
-    "sql_type_literals",
-    "model_unit_test",
     "ann_ivfpq_residual_topk",
-    # behavior changed in round 10
-    "sql_maintenance_script",
-    "sql_cdf_tvf",
-    "txn_deletion_vectors",
-    # the 22 r6-stale rows (round-9 verdict item 1)
-    "mv_cdf_maintenance",
-    "stream_seq_upsert",
-    "stream_exactly_once_dedup",
-    "sql_txn_lifecycle_script",
-    "sql_mixed_partition_insert",
-    "mv_rewrite_avg_having",
-    "scd2_snapshot_orders",
-    "sql_insert_partition_script",
-    "mv_returnflag_rollup",
-    "incr_insert_overwrite_events",
-    "stream_tumbling_hourly",
-    "incr_microbatch_events",
-    "mv_incremental_refresh",
-    "sketch_distinct_users",
-    "seed_roundtrip",
-    "sketch_value_quantiles",
-    "ops_contract_probe",
-    "train_next_event_examples",
-    "jsonl_roundtrip",
-    "pack_sequences",
-    "raw_script_passthrough",
-    "train_shuffle_order",
-    # next-stalest hard-green rows (last checked r7), name order
-    "agg_daily_orders",
-    "ann_ivfpq_topk",
+    "ann_ivf_topk",
     "ann_pq_topk",
-    "anti_join_customers_without_orders",
-    "bloom_prefilter_join",
-    "cube_orders",
-    "date_spine",
-    "dedup_incremental_lsh",
-    "dedup_shared_chunks",
-    "distinct_counts",
-    "exists_suppliers",
-    "explode_order_lines",
-    "flagship_customers",
-    "fn_any_value",
-    "fn_datetime_ops",
-    "fn_listagg_lineitems",
-    "fn_string_ops",
-    "mixture_sample_langs",
-    "mv_join_cdf_maintenance",
+    "ann_ivfpq_topk",
+    "ann_ivf_indexed_topk",
+    "ann_ivf_index_maintenance",
+    "ann_ivf_cdf_sync",
+    "ann_ivf_rebalance",
+    "txn_optimize_incremental",
+    "model_unit_test",
+    "sql_maintenance_script",
+    # the 28 r7-stale rows (round-10 verdict item 2)
     "mv_minmax_maintenance",
     "ops_compact_probe",
+    "percentiles_exact",
+    "pivot_status_priority",
+    "pricing_summary",
+    "ranking_family",
+    "regexp_ops",
+    "revenue_by_nation",
+    "rollup_revenue",
+    "scalar_subquery_recent_orders",
+    "semi_join_parts_with_lineitems",
+    "setops_nationkeys",
+    "sketch_heavy_hitters",
+    "sketch_mergeable_distinct",
+    "skew_salted_rollup",
+    "stats_moments",
+    "stream_cdf_pipeline",
+    "stream_custom_state_totals",
+    "stream_interval_join",
+    "stream_late_data_drop",
+    "stream_session_windows",
+    "stream_txn_exactly_once",
+    "top10_expensive_orders",
+    "tpch_q2_min_cost_supplier",
+    "txn_bloom_skipping",
+    "txn_change_feed_keyed",
+    "txn_time_travel",
+    "webdataset_roundtrip",
+    # next-stalest hard-green rows (last checked r8), name order
+    "cartesian_regions",
+    "corpus_zipf_profile",
+    "decontam_ngram_overlap",
+    "events_funnel",
+    "events_json_props",
+    "exact_distinct_users",
+    "hash_split_counts",
+    "incr_append_partitioned",
 ]
 
 

@@ -1,0 +1,209 @@
+"""Round-11 suite: byte-aware OPTIMIZE bin-packing (Delta's actual
+packing unit, round-10 verdict "What's wrong" #3) and unit-test
+WITH-prologue robustness (models opening with comments / RECURSIVE,
+round-10 advisory sweep item).
+
+Oracle conventions as elsewhere: exact sums through DECIMAL(28,6)
+cast to DOUBLE at the edge, counts as BIGINT, explicit ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.sources.registry import load_table
+
+
+def q_txn_optimize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-11 (round-10 verdict item 4): OPTIMIZE with
+    # ``target_bytes`` routes candidacy on ON-DISK BYTES. The fixture
+    # is the skewed-row-width case row counts get wrong: a wide-row
+    # file (few documents, KB-scale texts) next to byte-tiny appends
+    # (many short rows). Byte-based candidacy keeps the byte-huge
+    # file byte-identical (name/size/mtime — metadata checks, no data
+    # reads) even though it is row-SMALL, and packs only the tiny
+    # files; content is oracle-checked against the union.
+    import os
+    import tempfile
+
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    t = TxnTable(spark, tempfile.mkdtemp(prefix="optbytes_") + "/t")
+    # wide-row file: every 4th document with its full text (byte-huge,
+    # row-small relative to the appends)
+    t.create(docs.filter(F.col("doc_id") % 4 == 0).coalesce(1))
+    # byte-tiny appends: the %4==1 slice with the text TRUNCATED to one
+    # char — many rows, almost no bytes, split into 5 files
+    for b in range(5):
+        t.append(
+            docs.filter(
+                (F.col("doc_id") % 4 == 1) & (F.col("doc_id") % 5 == b)
+            )
+            .withColumn("text", F.substring("text", 1, 1))
+            .coalesce(1)
+        )
+    snap0 = t.snapshot()
+    wide = max(snap0.files, key=lambda f: snap0.stats[f]["sizeBytes"])
+    meta0 = (
+        os.path.getsize(os.path.join(t.path, wide)),
+        os.path.getmtime(os.path.join(t.path, wide)),
+    )
+    # target between the sizes: every tiny file is a candidate AND the
+    # pack shrinks the file count (2x headroom over the largest tiny
+    # file), while the byte-huge wide file stays out (capped below it)
+    target = 2 * max(
+        snap0.stats[f]["sizeBytes"] for f in snap0.files if f != wide
+    ) + 1
+    target = min(target, snap0.stats[wide]["sizeBytes"])
+    v = t.optimize(target_bytes=target)
+
+    after = t.snapshot()
+    wide_untouched = (
+        wide in after.files
+        and after.stats.get(wide) == snap0.stats.get(wide)
+        and (
+            os.path.getsize(os.path.join(t.path, wide)),
+            os.path.getmtime(os.path.join(t.path, wide)),
+        )
+        == meta0
+    )
+    tiny_packed = len(after.files) < len(snap0.files)
+    single_commit = v == snap0.version + 1
+
+    return (
+        t.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_len"),
+        )
+        .withColumn("wide_file_untouched", F.lit(bool(wide_untouched)))
+        .withColumn("tiny_files_packed", F.lit(bool(tiny_packed)))
+        .withColumn("single_commit", F.lit(bool(single_commit)))
+        .orderBy("lang")
+    )
+
+
+ORACLE_TXN_OPTIMIZE_BYTES = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(length(text) AS DECIMAL(28,6))) AS DOUBLE) AS sum_len,
+       TRUE AS wide_file_untouched,
+       TRUE AS tiny_files_packed,
+       TRUE AS single_commit
+FROM (
+  SELECT lang, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT lang, substring(text, 1, 1) AS text FROM documents
+  WHERE doc_id % 4 = 1
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_model_unit_test_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-11 advisory fix: the unit-test fixture prologue must splice
+    # past a model's leading comments (a `--` header before its own
+    # WITH previously produced invalid SQL) and keep RECURSIVE
+    # immediately after WITH. Both shapes run against fixtures that
+    # shadow a real catalog table, and the row returns a real aggregate
+    # over orders alongside the pass/fail invariants.
+    import tempfile
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+    from dbt_maxcompute_spark.runner import run_unit_test
+
+    cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="utcte_wh_"))
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 23 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    # decoy catalog table: the fixture must shadow it
+    cat.create_table(
+        "uord", src.withColumn("o_totalprice", F.lit(0.0))
+    )
+
+    commented = (
+        "-- per-status totals\n"
+        "/* header block */\n"
+        "WITH t AS (SELECT o_orderstatus, o_totalprice FROM uord)\n"
+        "SELECT o_orderstatus AS status, count(*) AS n,\n"
+        "       sum(o_totalprice) AS total\n"
+        "FROM t GROUP BY o_orderstatus"
+    )
+    fixture = [
+        {"o_orderkey": 1, "o_orderstatus": "F", "o_totalprice": 10.0},
+        {"o_orderkey": 2, "o_orderstatus": "F", "o_totalprice": 5.0},
+        {"o_orderkey": 3, "o_orderstatus": "O", "o_totalprice": 2.5},
+    ]
+    ok_comment = run_unit_test(
+        cat,
+        "ut_commented",
+        commented,
+        given={"uord": fixture},
+        expect=[
+            {"status": "F", "n": 2, "total": 15.0},
+            {"status": "O", "n": 1, "total": 2.5},
+        ],
+    )
+
+    recursive = (
+        "-- row-per-unit expansion\n"
+        "WITH RECURSIVE seq AS ("
+        "  SELECT 1 AS n UNION ALL SELECT n + 1 FROM seq"
+        "  WHERE n < (SELECT count(*) FROM uord)"
+        ") SELECT count(*) AS n_rows FROM seq"
+    )
+    ok_recursive = run_unit_test(
+        cat,
+        "ut_recursive",
+        recursive,
+        given={"uord": fixture},
+        expect=[{"n_rows": 3}],
+    )
+
+    return (
+        src.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .withColumn(
+            "comment_merge_ok", F.lit(ok_comment["status"] == "pass")
+        )
+        .withColumn(
+            "recursive_merge_ok", F.lit(ok_recursive["status"] == "pass")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_MODEL_UNIT_TEST_CTE = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       TRUE AS comment_merge_ok, TRUE AS recursive_merge_ok
+FROM orders WHERE o_orderkey % 23 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "txn_optimize_bytes": q_txn_optimize_bytes,
+    "model_unit_test_cte": q_model_unit_test_cte,
+}
+
+ORACLES = {
+    "txn_optimize_bytes": ORACLE_TXN_OPTIMIZE_BYTES,
+    "model_unit_test_cte": ORACLE_MODEL_UNIT_TEST_CTE,
+}
