@@ -14,6 +14,50 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def test_cached_bench_index_hits_and_matches_fresh_build(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The bench rows' index cache (round-11): a second resolve with
+    the same (corpus fingerprint, params) is a pure cache hit — no new
+    build — and searches against the cached artifact equal a fresh
+    build_ivf_index of the same corpus (the build is deterministic)."""
+    import os
+    import tempfile as _tf
+
+    from dbt_maxcompute_spark.suite.extras10_suite import _cached_ivf_index
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))  # isolate the cache root
+    _tf.tempdir = None
+    try:
+        idx1 = _cached_ivf_index(
+            spark, sf_dir, num_centroids=8, pq_m=8, pq_ks=32
+        )
+        mtime = os.path.getmtime(os.path.join(idx1, "_ivf_meta.json"))
+        idx2 = _cached_ivf_index(
+            spark, sf_dir, num_centroids=8, pq_m=8, pq_ks=32
+        )
+        assert idx1 == idx2
+        assert os.path.getmtime(os.path.join(idx1, "_ivf_meta.json")) == mtime
+
+        fresh = str(tmp_path / "fresh")
+        similarity.build_ivf_index(
+            _emb(spark, sf_dir).select("vec_id", "embedding"),
+            "vec_id", "embedding", fresh, num_centroids=8, pq_m=8, pq_ks=32,
+        )
+        q = _emb(spark, sf_dir).filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, similarity.ivfpq_indexed_topk(spark, idx1, q, k=5, nprobe=4).collect()))
+        b = sorted(map(tuple, similarity.ivfpq_indexed_topk(spark, fresh, q, k=5, nprobe=4).collect()))
+        assert a == b and len(a) == 15
+
+        # different params = different artifact, not a collision
+        idx3 = _cached_ivf_index(
+            spark, sf_dir, num_centroids=8, pq_m=8, pq_ks=32, pq_residual=True
+        )
+        assert idx3 != idx1
+    finally:
+        _tf.tempdir = None
+
+
 def test_indexed_matches_inline(spark, sf_dir, tmp_path):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
