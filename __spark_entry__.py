@@ -71,6 +71,7 @@ _PRIORITY = [
     # new in round 11 — must be driver-checked
     "txn_optimize_bytes",
     "model_unit_test_cte",
+    "text_quality_classifier",
     # code paths changed in round 11 (broadcast-frame quantizer matrices,
     # cached bench index, sizeBytes stat, unit-test prologue merge)
     "ann_ivfpq_indexed_topk",
@@ -122,7 +123,6 @@ _PRIORITY = [
     "events_json_props",
     "exact_distinct_users",
     "hash_split_counts",
-    "incr_append_partitioned",
 ]
 
 

@@ -110,6 +110,62 @@ def stopword_ratio(text: Column) -> Column:
     return with_tokens(text, _stopword_ratio_t)
 
 
+def classifier_score(
+    df,
+    text_col: str,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    logit_col: str = "clf_logit",
+    score_col: str = "clf_score",
+):
+    """fastText-style LINEAR text classifier (Joulin et al. 2016,
+    "Bag of Tricks for Efficient Text Classification") — the learned
+    counterpart of :func:`quality_score`'s hand-set heuristic, and the
+    shape production quality/toxicity/language filters actually ship
+    as: logit = bias + mean over tokens of weight[token] (mean-pooled
+    bag of words; out-of-vocabulary tokens contribute 0), score =
+    sigmoid(logit).
+
+    Scale shape: the weight table is the model — production vocabs run
+    1e5-1e6 entries — so it rides as ONE broadcast single-row MAP
+    column, never a `create_map` plan literal (the same
+    literal-vs-broadcast cliff as the IVF centroid matrices,
+    round-11). Scoring is one Catalyst fold per row over the
+    :func:`with_tokens` binding: no shuffle, no Python, chains
+    straight into a partitioned filter/write. Adds ``logit_col``
+    (pure-arithmetic — with dyadic-rational weights the fold is
+    order-exact and oracle-checkable) and ``score_col`` (sigmoid;
+    transcendental, so cross-engine comparison belongs on the logit).
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [({str(k): float(v) for k, v in weights.items()},)],
+        "__clf_m map<string,double>",
+    )
+    out = df.crossJoin(F.broadcast(wdf))
+
+    def logit(toks: Column) -> Column:
+        hits = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.coalesce(F.element_at(F.col("__clf_m"), t), F.lit(0.0)),
+        )
+        n = F.size(toks)
+        return F.lit(float(bias)) + F.when(
+            n > 0, hits / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    z = with_tokens(F.col(text_col), logit)
+    return (
+        out.withColumn(logit_col, z)
+        .withColumn(
+            score_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(logit_col)))
+        )
+        .drop("__clf_m")
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic:
       0.35*alpha_ratio + 0.25*min(stopword_ratio*4, 1)

@@ -1,7 +1,9 @@
 """Round-11 suite: byte-aware OPTIMIZE bin-packing (Delta's actual
-packing unit, round-10 verdict "What's wrong" #3) and unit-test
+packing unit, round-10 verdict "What's wrong" #3), unit-test
 WITH-prologue robustness (models opening with comments / RECURSIVE,
-round-10 advisory sweep item).
+round-10 advisory sweep item), and the fastText-style linear quality
+classifier (broadcast weight-table scoring, the learned counterpart
+of the heuristic quality_score).
 
 Oracle conventions as elsewhere: exact sums through DECIMAL(28,6)
 cast to DOUBLE at the edge, counts as BIGINT, explicit ORDER BY.
@@ -198,12 +200,86 @@ ORDER BY o_orderstatus
 """
 
 
+# Dyadic-rational weights (multiples of 1/8): every token contribution
+# and every partial sum is exactly representable in binary doubles, so
+# the fold is ORDER-EXACT — Spark's left-to-right aggregate and
+# DuckDB's unordered SUM produce bit-identical logits, and the oracle
+# can hash them. The vocabulary shape mirrors a real quality filter:
+# common-word mass up, spam markers down.
+_CLF_WEIGHTS = {
+    "the": 0.5, "and": 0.5, "of": 0.375, "to": 0.25, "a": 0.25,
+    "in": 0.25, "is": 0.25, "that": 0.375, "it": 0.25, "for": 0.25,
+    "le": 0.375, "la": 0.375, "el": 0.375, "der": 0.375, "die": 0.375,
+    "und": 0.375, "que": 0.375, "de": 0.25, "un": 0.25, "und.": 0.125,
+    "click": -1.5, "free": -1.25, "buy": -2.0, "www": -1.75,
+    "http": -2.0, "subscribe": -1.5, "winner": -1.75, "$$$": -2.0,
+}
+_CLF_BIAS = -0.03125
+
+
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-11 extension: fastText-style LINEAR quality classifier
+    # (Joulin et al. 2016) — the learned counterpart of the heuristic
+    # quality_score, and the shape production quality/toxicity filters
+    # ship as. The weight table (the model) rides as ONE broadcast map
+    # column, never a create_map plan literal (production vocabs run
+    # 1e5-1e6 entries — the same literal-vs-broadcast cliff as the IVF
+    # centroid matrices); scoring is one Catalyst fold per row. The
+    # oracle re-derives the logit with an unnest + weights-VALUES join;
+    # dyadic weights make both engines' sums exact (see _CLF_WEIGHTS).
+    from dbt_maxcompute_spark.operators import textanalysis as ta
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    scored = ta.classifier_score(docs, "text", _CLF_WEIGHTS, bias=_CLF_BIAS)
+    return scored.select(
+        "doc_id",
+        "lang",
+        ta.token_count(F.col("text")).alias("n_tokens"),
+        F.round("clf_logit", 6).alias("clf_logit"),
+        (F.col("clf_logit") > 0).alias("kept"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_QUALITY_CLASSIFIER = """
+WITH w(t, wt) AS (VALUES
+  ('the', 0.5), ('and', 0.5), ('of', 0.375), ('to', 0.25), ('a', 0.25),
+  ('in', 0.25), ('is', 0.25), ('that', 0.375), ('it', 0.25), ('for', 0.25),
+  ('le', 0.375), ('la', 0.375), ('el', 0.375), ('der', 0.375), ('die', 0.375),
+  ('und', 0.375), ('que', 0.375), ('de', 0.25), ('un', 0.25), ('und.', 0.125),
+  ('click', -1.5), ('free', -1.25), ('buy', -2.0), ('www', -1.75),
+  ('http', -2.0), ('subscribe', -1.5), ('winner', -1.75), ('$$$', -2.0)
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents WHERE doc_id % 3 = 0
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         COALESCE(SUM(wt), 0.0) AS hits
+  FROM tok LEFT JOIN w USING (t)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, a.n_tokens,
+       ROUND(-0.03125 + a.hits / a.n_tokens, 6) AS clf_logit,
+       (-0.03125 + a.hits / a.n_tokens) > 0 AS kept
+FROM documents d JOIN agg a USING (doc_id)
+WHERE d.doc_id % 3 = 0
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "txn_optimize_bytes": q_txn_optimize_bytes,
     "model_unit_test_cte": q_model_unit_test_cte,
+    "text_quality_classifier": q_text_quality_classifier,
 }
 
 ORACLES = {
     "txn_optimize_bytes": ORACLE_TXN_OPTIMIZE_BYTES,
     "model_unit_test_cte": ORACLE_MODEL_UNIT_TEST_CTE,
+    "text_quality_classifier": ORACLE_TEXT_QUALITY_CLASSIFIER,
 }

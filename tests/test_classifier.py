@@ -1,0 +1,75 @@
+"""Linear text classifier (fastText-style bag-of-words scorer)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.operators import textanalysis as ta
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_classifier_known_scores(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog"),  # hits: 0.5+0.5+0.5 = 1.5, n=5
+            (2, "buy now click here"),  # hits: -2.0 + -1.5 = -3.5, n=4
+            (3, "zzz qqq"),  # all OOV -> 0, n=2
+            (4, ""),  # empty text: split('') = [''] -> n=1, hits 0
+        ],
+    )
+    w = {"the": 0.5, "and": 0.5, "buy": -2.0, "click": -1.5}
+    out = {
+        r["doc_id"]: (r["clf_logit"], r["clf_score"])
+        for r in ta.classifier_score(df, "text", w, bias=0.25).collect()
+    }
+    assert out[1][0] == 0.25 + 1.5 / 5
+    assert out[2][0] == 0.25 + (-3.5) / 4
+    assert out[3][0] == 0.25
+    assert out[4][0] == 0.25
+    for logit, score in out.values():
+        assert math.isclose(score, 1 / (1 + math.exp(-logit)), rel_tol=1e-12)
+
+
+def test_classifier_weight_table_is_broadcast_not_literal(spark):
+    # the weight table is the MODEL — production vocabs run 1e5-1e6
+    # entries, so it must ride as a broadcast map column, never a
+    # create_map plan literal (the same literal-vs-broadcast cliff as
+    # the IVF centroid matrices, round-11)
+    df = _docs(spark, [(i, f"tok{i} the") for i in range(50)])
+    big_vocab = {f"tok{i}": (i % 7 - 3) / 8.0 for i in range(5000)}
+    out = ta.classifier_score(df, "text", big_vocab)
+
+    old = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000000")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", old)
+    assert len(plan) < 50_000, "vocab leaked into the plan as literals"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # and the scores still come out right through the broadcast path
+    r = {x["doc_id"]: x["clf_logit"] for x in out.collect()}
+    assert r[0] == (big_vocab["tok0"] + 0.0) / 2  # 'the' is OOV here
+
+
+def test_classifier_filter_chains_without_shuffle(spark, sf_dir):
+    # classify -> filter is the production shape (score the corpus,
+    # keep the good docs): one scan, no shuffle beyond the broadcast
+    from dbt_maxcompute_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ta.classifier_score(docs, "text", {"the": 0.5, "buy": -2.0}).filter(
+        F.col("clf_logit") > 0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
