@@ -81,6 +81,17 @@ def main() -> None:
         tiny.select(
             minhash_signature(shingles(tokens(F.col("text")), 3), 32)
         ).write.format("noop").mode("overwrite").save()
+
+        # same first-touch cost for the classifier's interpreted
+        # aggregate-over-map fold (~5 s of one-time analysis/codegen a
+        # long-lived session never re-pays)
+        from dbt_maxcompute_spark.operators.textanalysis import (
+            classifier_score,
+        )
+
+        classifier_score(
+            tiny, "text", {"warm": 0.5}, bias=0.0
+        ).write.format("noop").mode("overwrite").save()
     except Exception as exc:
         print(f"# python-worker warmup failed: {exc}", file=sys.stderr)
 
