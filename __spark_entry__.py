@@ -26,6 +26,7 @@ from dbt_maxcompute_spark.suite import (
     extras9_suite,
     extras10_suite,
     extras11_suite,
+    extras12_suite,
     extras_suite,
     functions_suite,
     pipeline_suite,
@@ -51,6 +52,7 @@ _SUITES = [
     extras9_suite,
     extras10_suite,
     extras11_suite,
+    extras12_suite,
     functions_suite,
     relational2,
     tpch2,
@@ -60,69 +62,69 @@ _SUITES = [
 ]
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
-# FIRST 50 ``queries()`` entries only. Round 11 rotation: the NEW round-11
-# queries lead, then every row whose CODE PATH changed this round (the
-# broadcast-frame centroid/codebook device touches all IVF/PQ rows; the
-# sizeBytes stat and the unit-test prologue merge touch the optimize and
-# unit-test rows), then the 28 r7-stale rows the round-10 verdict queued
-# (freshness floor r7 -> r8), then the next-stalest r8 rows — staleness
-# computed from the union of CORRECTNESS_r01..r10 greens.
+# FIRST 50 ``queries()`` entries only. Round 12 rotation: the NEW round-12
+# queries lead, then every row whose CODE PATH changed this round, then
+# ALL 37 r8-stale rows the round-11 verdict queued (freshness floor
+# r8 -> r9+), then the next-stalest r9 rows — staleness computed from
+# the union of CORRECTNESS_r01..r11 greens.
 _PRIORITY = [
-    # new in round 11 — must be driver-checked
+    # new in round 12 — must be driver-checked
+    "lm_perplexity_filter",
+    "dedup_substring_chunks",
+    # code paths changed in round 12 (byte-candidacy zero-size fix +
+    # fixture invariant, unit-test WITH word boundary, IVF cache
+    # recipe-salted key + rename errno handling)
     "txn_optimize_bytes",
     "model_unit_test_cte",
-    "text_quality_classifier",
-    # code paths changed in round 11 (broadcast-frame quantizer matrices,
-    # cached bench index, sizeBytes stat, unit-test prologue merge)
+    "model_unit_test",
     "ann_ivfpq_indexed_topk",
     "ann_ivfpq_residual_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivf_indexed_topk",
-    "ann_ivf_index_maintenance",
-    "ann_ivf_cdf_sync",
-    "ann_ivf_rebalance",
-    "txn_optimize_incremental",
-    "model_unit_test",
-    "sql_maintenance_script",
-    # the 28 r7-stale rows (round-10 verdict item 2)
-    "mv_minmax_maintenance",
-    "ops_compact_probe",
-    "percentiles_exact",
-    "pivot_status_priority",
-    "pricing_summary",
-    "ranking_family",
-    "regexp_ops",
-    "revenue_by_nation",
-    "rollup_revenue",
-    "scalar_subquery_recent_orders",
-    "semi_join_parts_with_lineitems",
-    "setops_nationkeys",
-    "sketch_heavy_hitters",
-    "sketch_mergeable_distinct",
-    "skew_salted_rollup",
-    "stats_moments",
-    "stream_cdf_pipeline",
-    "stream_custom_state_totals",
-    "stream_interval_join",
-    "stream_late_data_drop",
-    "stream_session_windows",
-    "stream_txn_exactly_once",
-    "top10_expensive_orders",
-    "tpch_q2_min_cost_supplier",
-    "txn_bloom_skipping",
-    "txn_change_feed_keyed",
-    "txn_time_travel",
-    "webdataset_roundtrip",
-    # next-stalest hard-green rows (last checked r8), name order
-    "cartesian_regions",
-    "corpus_zipf_profile",
-    "decontam_ngram_overlap",
-    "events_funnel",
-    "events_json_props",
-    "exact_distinct_users",
-    "hash_split_counts",
+    # the 37 r8-stale rows (round-11 verdict item 1: freshness floor
+    # r8 -> r9+), staleness computed from CORRECTNESS_r01..r11 union
+    "incr_append_partitioned",
+    "incr_delete_insert_lineitem",
+    "incr_merge_orders",
+    "multimodal_features",
+    "multimodal_metadata",
+    "mv_auto_rewrite",
+    "mv_rewrite_containment",
+    "mv_rewrite_join_alias",
+    "sample_domain_quota",
+    "sample_quality_weighted",
+    "sample_stratified_lang",
+    "sql_copy_into",
+    "sql_ddl_statement_script",
+    "sql_dml_script",
+    "sql_merge_dv_script",
+    "stream_txn_upsert",
+    "text_chunking",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_redaction",
+    "text_repetition",
+    "text_stats",
+    "text_tfidf_top_terms",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_lateness_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tuple_in_subquery",
+    "txn_dv_upsert",
+    "txn_file_skipping",
+    "txn_restore",
+    "txn_schema_evolution",
+    "txn_zorder_skipping",
+    "window_running_revenue",
+    "window_top_orders_per_segment",
+    # next-stalest (r9) rows, name order, filling the 50-row window
+    "ann_brute_force_cosine",
+    "bucketed_colocated_join",
+    "catalog_ddl_audit",
+    "contracts_not_null",
+    "curation_filter_funnel",
+    "decimal_fidelity",
 ]
 
 

@@ -24,9 +24,26 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_noise_probe() -> float:
+    """Seconds for a fixed pure-Python busy loop (~0.7 s on a quiet
+    host). The machine has multi-hour noisy phases (r10/r11: wall
+    times drift 1.3-1.6x with no code change); this sentinel lets a
+    reader normalize or discard a run MECHANICALLY instead of by
+    narrative (round-11 verdict item 7). Single-threaded on purpose:
+    it measures scheduler/steal pressure, not parallel throughput."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i & 1023
+    assert acc  # keep the loop un-eliminable
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from dbt_maxcompute_spark.session import get_spark
+
+    noise_before = _host_noise_probe()
 
     spark = get_spark(app_name="bench")
     qs = entrymod.queries()
@@ -142,6 +159,13 @@ def main() -> None:
                 "failed": sorted(n for n, t in timings.items() if t < 0),
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
+                # busy-loop seconds before/after the suite (~0.7 s
+                # quiet); >~1.5x that on either probe marks the run
+                # noisy — normalize or discard mechanically
+                "host_noise": {
+                    "before": noise_before,
+                    "after": _host_noise_probe(),
+                },
             }
         )
     )

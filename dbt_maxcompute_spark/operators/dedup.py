@@ -749,3 +749,93 @@ def semantic_dedup(
     return base.join(flag, id_col, "left").withColumn(
         "is_semdup", F.coalesce(F.col("is_semdup"), F.lit(False))
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact substring dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def dedup_substring_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 50,
+    min_docs: int = 2,
+    clean_col: str = "clean_text",
+) -> DataFrame:
+    """Chunk-level EXACT substring dedup (the tractable approximation
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", which removes >=50-token spans repeated across the
+    corpus — their exact tool is a suffix array, which does not
+    distribute; fixed-stride chunk hashing is the standard scale-out
+    substitute).
+
+    Tokenize, cut NON-OVERLAPPING ``chunk_tokens``-token windows (the
+    trailing partial window included), and drop every chunk whose text
+    recurs in >= ``min_docs`` DISTINCT docs; survivors reassemble in
+    order into ``clean_col``. Returns one row per input doc with
+    ``n_chunks``, ``n_dup_chunks``, and ``clean_col``.
+
+    Scale shape: chunk spans shuffle as md5 DIGESTS (32 bytes
+    regardless of chunk width), never the 50-token strings — shuffle
+    #1 computes distinct-doc counts per digest (partial-agg friendly:
+    (digest, doc) distinct then count), shuffle #2 regroups survivor
+    chunks per doc. Both key on high-cardinality hashes, so AQE's
+    skew split covers a pathological hot chunk. No Python, no
+    collect; a 100 TB corpus is two bounded shuffles.
+    """
+    w = int(chunk_tokens)
+    toks = tokens(F.col(text_col))
+    nch = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda c: F.struct(
+            c.alias("idx"),
+            F.concat_ws(" ", F.slice(toks, c * w + 1, w)).alias("chunk"),
+        ),
+    )
+    ch = (
+        df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.idx").alias("__idx"),
+            F.col("__c.chunk").alias("__chunk"),
+        )
+        .withColumn("__h", F.md5(F.col("__chunk")))
+    )
+    rep = (
+        ch.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__h", F.lit(True).alias("__dup"))
+    )
+    flagged = ch.join(rep, "__h", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("__dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__dup").isNull(),
+                                F.struct(
+                                    F.col("__idx").alias("idx"),
+                                    F.col("__chunk").alias("chunk"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias(clean_col),
+        )
+    )

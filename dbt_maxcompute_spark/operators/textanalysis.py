@@ -166,6 +166,87 @@ def classifier_score(
     )
 
 
+def lm_perplexity(
+    df,
+    text_col: str,
+    logprobs: dict[str, float],
+    order: int = 2,
+    backoff_logprob: float = -0.5,
+    oov_logprob: float = -8.0,
+    lp_col: str = "lm_mean_logprob",
+    ppl_col: str = "lm_perplexity",
+):
+    """KenLM-style n-gram language-model scorer with STUPID BACKOFF
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the perplexity filter CCNet (Wenzek et al. 2019)
+    and the Gopher/RefinedWeb quality pipelines gate web text on.
+
+    ``logprobs`` maps space-joined n-grams of ANY length 1..order to
+    log-probabilities. Token i scores on the LONGEST n-gram ending at
+    i that is (a) in the table and (b) fits the available left
+    context; each level backed off adds ``backoff_logprob`` (log of
+    the stupid-backoff alpha); a token missing even as a unigram
+    contributes ``oov_logprob`` after the same backoff chain. Adds
+    ``lp_col`` = mean token log-prob (pure dyadic arithmetic when the
+    table is — order-exact, oracle-checkable) and ``ppl_col`` =
+    exp(-mean) (transcendental; cross-engine comparison belongs on
+    the mean).
+
+    Scale shape (same device as :func:`classifier_score`): the n-gram
+    table IS the model — real KenLM tables run 1e6-1e8 entries — so
+    it rides as ONE broadcast single-row MAP column, never a
+    `create_map` plan literal. Scoring is one Catalyst
+    transform+aggregate fold per row over the :func:`with_tokens`
+    binding: no shuffle, no Python, chains straight into a
+    partitioned filter/write.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [({str(k): float(v) for k, v in logprobs.items()},)],
+        "__lm_m map<string,double>",
+    )
+    out = df.crossJoin(F.broadcast(wdf))
+    m = F.col("__lm_m")
+    bk = float(backoff_logprob)
+    oov = float(oov_logprob)
+
+    def mean_lp(toks: Column) -> Column:
+        def lp_at(w: Column, i: Column) -> Column:
+            # i is 0-based; the current token sits at 1-based i+1
+            attempts = F.least(i, F.lit(order - 1)).cast("double")
+            res = None
+            for d in range(order - 1, 0, -1):
+                # d context tokens: 1-based positions (i+1-d)..i
+                key = F.concat_ws(
+                    " ", F.slice(toks, i - F.lit(d) + 1, d), w
+                )
+                hit = F.element_at(m, key)
+                cand = hit + (attempts - float(d)) * bk
+                guard = (i >= d) & hit.isNotNull()
+                res = (
+                    F.when(guard, cand)
+                    if res is None
+                    else res.when(guard, cand)
+                )
+            uni = (
+                F.coalesce(F.element_at(m, w), F.lit(oov))
+                + attempts * bk
+            )
+            return uni if res is None else res.otherwise(uni)
+
+        total = F.aggregate(
+            F.transform(toks, lp_at), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return total / F.size(toks).cast("double")
+
+    z = with_tokens(F.col(text_col), mean_lp)
+    return (
+        out.withColumn(lp_col, z)
+        .withColumn(ppl_col, F.exp(-F.col(lp_col)))
+        .drop("__lm_m")
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic:
       0.35*alpha_ratio + 0.25*min(stopword_ratio*4, 1)

@@ -445,7 +445,7 @@ def run_unit_test(
         lead = re.match(r"(?s)^(?:\s|--[^\n]*\n|/\*.*?\*/)*", m).end()
         head, body0 = m[:lead], m[lead:]
         prologue = ", ".join(ctes)
-        mw = re.match(r"(?i)^WITH(\s+RECURSIVE\b)?", body0)
+        mw = re.match(r"(?i)^WITH\b(\s+RECURSIVE\b)?", body0)
         if mw:
             # RECURSIVE must stay immediately after WITH; fixture CTEs
             # are non-recursive, so hoisting the keyword is sound

@@ -126,6 +126,23 @@ ORDER BY l_returnflag
 """
 
 
+def _build_recipe_hash() -> str:
+    """Hash of the index-BUILD CODE itself (similarity.py + quantize.py
+    bytes), salted into the cache key: an index persisted by an OLDER
+    build recipe must be a cache miss after the algorithm changes, or
+    a long-lived /tmp cache silently serves stale artifacts to driver
+    and bench rows (round-11 advisory)."""
+    import hashlib
+
+    from dbt_maxcompute_spark.operators import quantize, similarity
+
+    recipe = hashlib.sha256()
+    for mod in (similarity, quantize):
+        with open(mod.__file__, "rb") as fh:
+            recipe.update(fh.read())
+    return recipe.hexdigest()
+
+
 def _cached_ivf_index(spark: SparkSession, sf_dir: str, **params) -> str:
     """Build-once cache for the persisted IVF-PQ index the two
     ``ann_ivfpq_*`` rows search (round-11 bench hygiene, round-10
@@ -141,6 +158,7 @@ def _cached_ivf_index(spark: SparkSession, sf_dir: str, **params) -> str:
     cache-miss path IS build_ivf_index — first run per environment
     still proves the build; the sidecar's params are re-validated on
     every hit."""
+    import errno
     import hashlib
     import json
     import os
@@ -162,7 +180,12 @@ def _cached_ivf_index(spark: SparkSession, sf_dir: str, **params) -> str:
         )
     key = hashlib.sha256(
         json.dumps(
-            [os.path.abspath(sf_dir), parts, sorted(params.items())],
+            [
+                os.path.abspath(sf_dir),
+                parts,
+                sorted(params.items()),
+                _build_recipe_hash(),
+            ],
             sort_keys=True,
             default=str,
         ).encode()
@@ -180,8 +203,19 @@ def _cached_ivf_index(spark: SparkSession, sf_dir: str, **params) -> str:
         )
         try:
             os.rename(stage, dst)  # atomic publish
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)  # concurrent build won
+        except OSError as exc:
+            # Only a concurrent winner justifies discarding the stage:
+            # EEXIST/ENOTEMPTY, or the winner's meta already readable.
+            # Anything else (EACCES, EXDEV, ...) is a real error —
+            # discarding would turn it into a confusing missing-file
+            # crash at the open() below (round-11 advisory).
+            if exc.errno in (errno.EEXIST, errno.ENOTEMPTY) or os.path.exists(
+                meta_path
+            ):
+                shutil.rmtree(stage, ignore_errors=True)  # concurrent build won
+            else:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
     with open(meta_path) as fh:
         meta = json.load(fh)
     ok = meta["num_centroids"] == params.get("num_centroids") and (

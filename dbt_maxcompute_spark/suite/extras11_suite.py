@@ -35,9 +35,11 @@ def q_txn_optimize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
     t = TxnTable(spark, tempfile.mkdtemp(prefix="optbytes_") + "/t")
-    # wide-row file: every 4th document with its full text (byte-huge,
-    # row-small relative to the appends)
-    t.create(docs.filter(F.col("doc_id") % 4 == 0).coalesce(1))
+    # wide-row file: 3/4 of the documents with their full text —
+    # structurally byte-huge vs the truncated appends at ANY fixture SF
+    # (round-11 advisory: the old 1/4 slice left too little headroom at
+    # small SFs, risking k >= len(candidates) and a silent no-op)
+    t.create(docs.filter(F.col("doc_id") % 4 != 1).coalesce(1))
     # byte-tiny appends: the %4==1 slice with the text TRUNCATED to one
     # char — many rows, almost no bytes, split into 5 files
     for b in range(5):
@@ -54,13 +56,21 @@ def q_txn_optimize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.getsize(os.path.join(t.path, wide)),
         os.path.getmtime(os.path.join(t.path, wide)),
     )
-    # target between the sizes: every tiny file is a candidate AND the
-    # pack shrinks the file count (2x headroom over the largest tiny
-    # file), while the byte-huge wide file stays out (capped below it)
-    target = 2 * max(
-        snap0.stats[f]["sizeBytes"] for f in snap0.files if f != wide
-    ) + 1
-    target = min(target, snap0.stats[wide]["sizeBytes"])
+    # Derive the smallest target that (a) admits every tiny file as a
+    # candidate and (b) guarantees k = ceil(cand_bytes/target) <
+    # len(tiny), so the pack provably shrinks the file count; then
+    # ASSERT it stays below the wide file so the wide file provably
+    # stays out. A fixture scale that broke the invariant now fails
+    # loudly here instead of silently flipping the oracle booleans.
+    tiny = [f for f in snap0.files if f != wide]
+    tiny_sizes = [snap0.stats[f]["sizeBytes"] for f in tiny]
+    target = max(max(tiny_sizes) + 1, -(-sum(tiny_sizes) // (len(tiny) - 1)))
+    wide_bytes = snap0.stats[wide]["sizeBytes"]
+    if target > wide_bytes:
+        raise AssertionError(
+            f"optimize_bytes fixture invariant broke: derived target "
+            f"{target} exceeds wide file {wide_bytes} bytes"
+        )
     v = t.optimize(target_bytes=target)
 
     after = t.snapshot()
@@ -100,7 +110,7 @@ SELECT lang,
        TRUE AS tiny_files_packed,
        TRUE AS single_commit
 FROM (
-  SELECT lang, text FROM documents WHERE doc_id % 4 = 0
+  SELECT lang, text FROM documents WHERE doc_id % 4 <> 1
   UNION ALL
   SELECT lang, substring(text, 1, 1) AS text FROM documents
   WHERE doc_id % 4 = 1

@@ -2162,7 +2162,13 @@ class TxnTable:
             ]
             if len(candidates) < 2:
                 return snap.version  # nothing worth compacting: no-op
-            cand_bytes = sum(sizes[f] or target_bytes for f in candidates)
+            # `if None` (not `or`): a known-ZERO-byte file contributes 0,
+            # else enough empty files inflate k past len(candidates) and
+            # the compaction no-ops instead of packing them.
+            cand_bytes = sum(
+                sizes[f] if sizes[f] is not None else target_bytes
+                for f in candidates
+            )
             k = max(1, -(-cand_bytes // target_bytes))
             if k >= len(candidates):
                 return snap.version  # packing would not shrink: no-op

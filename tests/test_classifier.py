@@ -73,3 +73,17 @@ def test_classifier_filter_chains_without_shuffle(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 1
     assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_classifier_empty_weights_degrades_to_bias(spark):
+    # round-11 advisory sweep: an EMPTY weight dict must not break the
+    # crossJoin with the broadcast map — every token is OOV, the fold
+    # degrades to the bias, and the sigmoid follows it
+    df = _docs(spark, [(1, "any text at all"), (2, "")])
+    out = {
+        r["doc_id"]: (r["clf_logit"], r["clf_score"])
+        for r in ta.classifier_score(df, "text", {}, bias=0.75).collect()
+    }
+    assert out[1][0] == 0.75 and out[2][0] == 0.75
+    for logit, score in out.values():
+        assert math.isclose(score, 1 / (1 + math.exp(-logit)), rel_tol=1e-12)

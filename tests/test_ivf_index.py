@@ -839,3 +839,52 @@ def test_maintain_and_search_survive_fully_emptied_index(spark, sf_dir, tmp_path
         spark, pqi, back.withColumn("_change_type", F.lit("insert"))
     )
     assert similarity.ivfpq_indexed_topk(spark, pqi, q, k=3, nprobe=4).count() == 6
+
+
+def test_cached_bench_index_key_is_salted_by_build_recipe(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-12 (r11 advisory): the cache key includes a hash of the
+    build CODE — a recipe change must be a cache miss, never a stale
+    artifact served from a long-lived /tmp cache. A rename failure
+    that is NOT a concurrent-winner signature re-raises instead of
+    discarding the stage and crashing later on a missing meta file."""
+    import os
+    import tempfile as _tf
+
+    from dbt_maxcompute_spark.suite import extras10_suite as e10
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    _tf.tempdir = None
+    try:
+        idx1 = e10._cached_ivf_index(
+            spark, sf_dir, num_centroids=8, pq_m=8, pq_ks=32
+        )
+        monkeypatch.setattr(
+            e10, "_build_recipe_hash", lambda: "new-recipe-version"
+        )
+        idx2 = e10._cached_ivf_index(
+            spark, sf_dir, num_centroids=8, pq_m=8, pq_ks=32
+        )
+        assert idx1 != idx2, "recipe change must miss the cache"
+        assert os.path.exists(os.path.join(idx2, "_ivf_meta.json"))
+
+        # non-winner rename failure surfaces instead of being eaten
+        real_rename = os.rename
+
+        def deny(src, dst):
+            raise PermissionError(13, "denied", src)
+
+        monkeypatch.setattr(e10, "_build_recipe_hash", lambda: "v3")
+        monkeypatch.setattr(os, "rename", deny)
+        try:
+            import pytest as _pt
+
+            with _pt.raises(PermissionError):
+                e10._cached_ivf_index(
+                    spark, sf_dir, num_centroids=8, pq_m=8, pq_ks=32
+                )
+        finally:
+            monkeypatch.setattr(os, "rename", real_rename)
+    finally:
+        _tf.tempdir = None

@@ -1,0 +1,109 @@
+"""KenLM-style n-gram LM perplexity scorer (stupid backoff)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.operators import textanalysis as ta
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lm_bigram_known_scores(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat sat"),  # -1.0 (uni), -0.5 (bi), -0.25 (bi)
+            (2, "zz qq"),  # oov -8.0; bi+uni miss -> -8.0 + 1*-0.5
+            (3, ""),  # split('') = [''] -> one OOV token
+        ],
+    )
+    lp = {"the": -1.0, "cat": -2.0, "sat": -3.0, "the cat": -0.5, "cat sat": -0.25}
+    out = {
+        r["doc_id"]: (r["lm_mean_logprob"], r["lm_perplexity"])
+        for r in ta.lm_perplexity(df, "text", lp, order=2).collect()
+    }
+    assert out[1][0] == (-1.0 - 0.5 - 0.25) / 3
+    assert out[2][0] == (-8.0 + (-8.0 - 0.5)) / 2
+    assert out[3][0] == -8.0
+    for mean_lp, ppl in out.values():
+        assert math.isclose(ppl, math.exp(-mean_lp), rel_tol=1e-12)
+
+
+def test_lm_trigram_backoff_chain(spark):
+    # order=3: the 3rd token prefers the trigram, then bigram with one
+    # backoff step, then unigram with two, then OOV with two
+    lp = {
+        "a b c": -0.125,  # trigram hit
+        "b d": -0.25,  # bigram hit (one backoff)
+        "e": -1.0,  # unigram hit (two backoffs)
+    }
+    df = _docs(
+        spark,
+        [(1, "a b c"), (2, "a b d"), (3, "a b e"), (4, "a b f")],
+    )
+    out = {
+        r["doc_id"]: r["lm_mean_logprob"]
+        for r in ta.lm_perplexity(
+            df, "text", lp, order=3, backoff_logprob=-0.5, oov_logprob=-8.0
+        ).collect()
+    }
+    # first two tokens are identical across docs:
+    #   'a' i=0: uni miss -> -8.0
+    #   'b' i=1: bigram 'a b' miss, uni miss -> -8.0 - 0.5
+    head = -8.0 + (-8.0 - 0.5)
+    assert out[1] == (head + (-0.125 + 0 * -0.5)) / 3
+    assert out[2] == (head + (-0.25 + 1 * -0.5)) / 3
+    assert out[3] == (head + (-1.0 + 2 * -0.5)) / 3
+    assert out[4] == (head + (-8.0 + 2 * -0.5)) / 3
+
+
+def test_lm_table_is_broadcast_not_literal(spark):
+    # the n-gram table is the MODEL — real KenLM tables run 1e6-1e8
+    # entries — so it must ride as a broadcast map column, never a
+    # create_map plan literal (same cliff as classifier_score / IVF)
+    df = _docs(spark, [(i, f"tok{i} the end") for i in range(50)])
+    big = {f"tok{i} the": -float((i % 15) + 1) / 8.0 for i in range(5000)}
+    big.update({f"tok{i}": -1.0 for i in range(1000)})
+    out = ta.lm_perplexity(df, "text", big, order=2)
+
+    old = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000000")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", old)
+    assert len(plan) < 50_000, "n-gram table leaked into the plan as literals"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # and scores come out right through the broadcast path:
+    # tok i: uni hit -1.0 (i<1000) / oov; 'the': bigram hit; 'end': oov+bk
+    r = {x["doc_id"]: x["lm_mean_logprob"] for x in out.collect()}
+    assert r[3] == (-1.0 + big["tok3 the"] + (-8.0 - 0.5)) / 3
+
+
+def test_lm_filter_chains_without_shuffle(spark, sf_dir):
+    # score -> filter is the production shape (CCNet: keep docs whose
+    # perplexity is under a threshold): one scan, no shuffle
+    from dbt_maxcompute_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ta.lm_perplexity(
+        docs, "text", {"the": -1.0, "the cat": -0.5}
+    ).filter(F.col("lm_mean_logprob") > -6.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_lm_empty_table_degrades_to_oov(spark):
+    df = _docs(spark, [(1, "a b c d")])
+    out = ta.lm_perplexity(df, "text", {}, order=2).collect()[0]
+    # token 0: oov; tokens 1-3: oov after one failed backoff
+    assert out["lm_mean_logprob"] == (-8.0 + 3 * (-8.0 - 0.5)) / 4

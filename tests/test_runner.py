@@ -700,6 +700,17 @@ def test_run_unit_test_merges_past_leading_comments_and_recursive(spark, cat):
     )
     assert res["status"] == "pass", res
 
+    # round-12 advisory: WITH detection is word-bounded (`WITH\b`), so
+    # only a real WITH keyword takes the splice branch; a parenthesized
+    # body wraps cleanly via `WITH <prologue> (SELECT ...)`
+    res = run_unit_test(
+        cat, "ut_paren_body",
+        "(SELECT id, v * 2 AS v2 FROM src_c)",
+        given={"src_c": [{"id": 1, "v": 4}]},
+        expect=[{"id": 1, "v2": 8}],
+    )
+    assert res["status"] == "pass", res
+
 
 def test_run_unit_test_empty_fixture_and_unknown_column(spark, cat):
     from dbt_maxcompute_spark.runner import run_unit_test

@@ -1322,3 +1322,48 @@ def test_footer_stats_tolerate_decimal_columns(spark, tmp_path):
         assert "id" in st["min"]  # other columns still skip
     assert len(t.files_scanned([("id", ">=", 150)])) == 1
     assert t.read(where=[("amt", ">=", 0)]).count() == 200  # conservative scan
+
+
+def test_optimize_target_bytes_counts_known_zero_sizes_as_zero(
+    spark, tmp_path
+):
+    """Round-11 advisory: a logged sizeBytes of 0 must contribute 0 to
+    cand_bytes — `sizes[f] or target` treated known-zero like UNKNOWN
+    (a full target-size bin each), so enough zero-logged files inflated
+    k past len(candidates) and the compaction silently no-opped."""
+    import json as _json
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(0, 10).coalesce(1))
+    for i in range(4):
+        t.append(spark.range(10 + i * 5, 15 + i * 5).coalesce(1))
+    # rewrite the log so every append's sizeBytes reads 0 (a writer
+    # that logged zero sizes); content on disk is untouched
+    for name in sorted(os.listdir(t.log_path)):
+        if not name.endswith(".json") or name.startswith("."):
+            continue
+        p = os.path.join(t.log_path, name)
+        with open(p) as fh:
+            entry = _json.load(fh)
+        if entry["version"] == 0:
+            continue
+        for a in entry["actions"]:
+            if "add" in a and a.get("stats"):
+                a["stats"]["sizeBytes"] = 0
+        os.chmod(p, 0o644)
+        with open(p, "w") as fh:
+            _json.dump(entry, fh)
+    snap0 = t.snapshot()
+    pre = sorted(r.id for r in t.read().collect())
+    zeroed = [f for f in snap0.files if snap0.stats[f]["sizeBytes"] == 0]
+    assert len(zeroed) == 4
+    # target above the create file's real size: EVERY file a candidate;
+    # with the fix cand_bytes = create_size + 0*4 -> k=1 < 5 -> packs.
+    # With the `or` bug cand_bytes = create_size + 4*target -> k=5 ->
+    # no-op.
+    big = max(snap0.stats[f]["sizeBytes"] for f in snap0.files)
+    v = t.optimize(target_bytes=big + 1)
+    assert v == snap0.version + 1, "zero-size files must still pack"
+    after = t.snapshot()
+    assert len(after.files) < len(snap0.files)
+    assert sorted(r.id for r in t.read().collect()) == pre
