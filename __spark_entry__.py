@@ -71,6 +71,7 @@ _PRIORITY = [
     # new in round 12 — must be driver-checked
     "lm_perplexity_filter",
     "dedup_substring_chunks",
+    "lm_train_ngram_counts",
     # code paths changed in round 12 (byte-candidacy zero-size fix +
     # fixture invariant, unit-test WITH word boundary, IVF cache
     # recipe-salted key + rename errno handling)
@@ -124,7 +125,6 @@ _PRIORITY = [
     "catalog_ddl_audit",
     "contracts_not_null",
     "curation_filter_funnel",
-    "decimal_fidelity",
 ]
 
 

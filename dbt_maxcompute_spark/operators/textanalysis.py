@@ -247,6 +247,63 @@ def lm_perplexity(
     )
 
 
+def ngram_counts(
+    df,
+    text_col: str,
+    order: int = 2,
+    min_count: int = 1,
+):
+    """Count-based n-gram LM TRAINING (the MLE table
+    :func:`lm_perplexity` scores with): one row per (context, word)
+    n-gram with its corpus count, the context's continuation count,
+    and the MLE probability ``prob = cnt / ctx_cnt`` — exactly the
+    relative frequencies KenLM's pipeline starts from (Heafield 2011)
+    before smoothing.
+
+    ``context`` is the space-joined first ``order-1`` tokens (empty
+    string for unigrams, whose ``ctx_cnt`` is then the total token
+    count). Docs shorter than ``order`` tokens contribute nothing.
+    ``min_count`` prunes the OUTPUT only — probabilities are true MLE
+    over the unpruned counts.
+
+    Scale shape: one explode + groupBy(context, word) with map-side
+    partial aggregation (the shuffle carries (ngram, partial-count),
+    never positions), then ``ctx_cnt`` via a window sum partitioned by
+    context over the ALREADY-AGGREGATED counts — partition width is
+    the context's continuation vocabulary, bounded by |vocab|, not by
+    corpus size. Two shuffles total for a 100 TB corpus; no Python.
+    """
+    toks = tokens(F.col(text_col))
+    n = int(order)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(toks, i, n - 1)).alias("context"),
+                F.element_at(toks, (i + n - 1).cast("int")).alias("word"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<context:string,word:string>>"))
+    ex = df.select(F.explode(grams).alias("__g")).select(
+        F.col("__g.context").alias("context"),
+        F.col("__g.word").alias("word"),
+    )
+    cnt = ex.groupBy("context", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("context")
+    return (
+        cnt.withColumn("ctx_cnt", F.sum("cnt").over(w).cast("long"))
+        .withColumn(
+            "prob", F.col("cnt").cast("double") / F.col("ctx_cnt").cast("double")
+        )
+        .filter(F.col("cnt") >= int(min_count))
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic:
       0.35*alpha_ratio + 0.25*min(stopword_ratio*4, 1)

@@ -183,12 +183,61 @@ ORDER BY doc_id
 """
 
 
+def q_lm_train_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12 extension: the TRAINING half of the LM pipeline —
+    # count-based MLE bigram table over the corpus (the relative
+    # frequencies KenLM starts from), the table lm_perplexity then
+    # scores with. prob = cnt/ctx_cnt is one IEEE division of two
+    # exact integers, so the oracle compare needs no rounding. Counts
+    # shuffle as aggregated (context, word) pairs; ctx_cnt is a window
+    # sum over the aggregated counts (partition width = the context's
+    # continuation vocab, bounded by |vocab|, never corpus size).
+    from dbt_maxcompute_spark.operators import textanalysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ta.ngram_counts(docs, "text", order=2, min_count=5)
+    return out.select(
+        "context", "word", "cnt", "ctx_cnt", "prob"
+    ).orderBy("context", "word")
+
+
+ORACLE_LM_TRAIN_NGRAM_COUNTS = """
+WITH base AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+  FROM documents
+),
+pos AS (
+  SELECT arr, unnest(range(1, len(arr))) AS i
+  FROM base WHERE len(arr) >= 2
+),
+ng AS (
+  SELECT arr[i] AS context, arr[i + 1] AS word FROM pos
+),
+cnt AS (
+  SELECT context, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM ng GROUP BY context, word
+),
+ctx AS (
+  SELECT context, word, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY context) AS BIGINT) AS ctx_cnt
+  FROM cnt
+)
+SELECT context, word, cnt, ctx_cnt,
+       CAST(cnt AS DOUBLE) / CAST(ctx_cnt AS DOUBLE) AS prob
+FROM ctx
+WHERE cnt >= 5
+ORDER BY context, word
+"""
+
+
 QUERIES = {
     "lm_perplexity_filter": q_lm_perplexity_filter,
     "dedup_substring_chunks": q_dedup_substring_chunks,
+    "lm_train_ngram_counts": q_lm_train_ngram_counts,
 }
 
 ORACLES = {
     "lm_perplexity_filter": ORACLE_LM_PERPLEXITY_FILTER,
     "dedup_substring_chunks": ORACLE_DEDUP_SUBSTRING_CHUNKS,
+    "lm_train_ngram_counts": ORACLE_LM_TRAIN_NGRAM_COUNTS,
 }

@@ -107,3 +107,73 @@ def test_lm_empty_table_degrades_to_oov(spark):
     out = ta.lm_perplexity(df, "text", {}, order=2).collect()[0]
     # token 0: oov; tokens 1-3: oov after one failed backoff
     assert out["lm_mean_logprob"] == (-8.0 + 3 * (-8.0 - 0.5)) / 4
+
+
+def test_ngram_counts_known_values(spark):
+    df = _docs(spark, [(1, "a b a b c"), (2, "a b"), (3, "x")])
+    out = {
+        (r["context"], r["word"]): (r["cnt"], r["ctx_cnt"], r["prob"])
+        for r in ta.ngram_counts(df, "text", order=2).collect()
+    }
+    assert out[("a", "b")] == (3, 3, 1.0)
+    assert out[("b", "a")] == (1, 2, 0.5)
+    assert out[("b", "c")] == (1, 2, 0.5)
+    assert len(out) == 3  # doc 3 is shorter than the order
+    # unigrams: context '', ctx_cnt = total tokens
+    uni = {
+        r["word"]: (r["context"], r["cnt"], r["ctx_cnt"])
+        for r in ta.ngram_counts(df, "text", order=1).collect()
+    }
+    assert uni["a"] == ("", 3, 8) and uni["x"] == ("", 1, 8)
+
+
+def test_ngram_counts_min_count_prunes_output_not_probs(spark):
+    df = _docs(spark, [(1, "a b a b a c")])
+    out = {
+        (r["context"], r["word"]): r["prob"]
+        for r in ta.ngram_counts(df, "text", order=2, min_count=2).collect()
+    }
+    # 'a c' (cnt=1) pruned, but 'a b' prob stays 2/3 (true MLE over
+    # the unpruned context count), not 2/2
+    assert out == {("a", "b"): 2 / 3, ("b", "a"): 1.0}
+
+
+def test_train_then_score_roundtrip(spark):
+    # the full CCNet-style pipeline: train the table on a corpus,
+    # score held-out docs with lm_perplexity using MLE log-probs
+    import math
+
+    corpus = _docs(
+        spark, [(i, "the cat sat on the mat") for i in range(5)]
+    )
+    table_rows = ta.ngram_counts(corpus, "text", order=2).collect()
+    table = {
+        f"{r['context']} {r['word']}": math.log(r["prob"])
+        for r in table_rows
+    }
+    # in-domain bigrams score their MLE log-probs ('the' continues to
+    # cat/mat -> ln(0.5); 'cat sat' is deterministic -> ln(1)=0);
+    # out-of-domain text sinks to OOV
+    held = _docs(spark, [(1, "the cat sat"), (2, "purple monkey dishwasher")])
+    out = {
+        r["doc_id"]: r["lm_mean_logprob"]
+        for r in ta.lm_perplexity(held, "text", table, order=2).collect()
+    }
+    assert out[1] == (-8.0 + math.log(0.5) + 0.0) / 3  # first token uni-OOV
+    assert out[2] == (-8.0 + 2 * -8.5) / 3
+    assert out[1] > out[2]
+
+
+def test_ngram_counts_plan_two_shuffles(spark, sf_dir):
+    import re
+
+    from dbt_maxcompute_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ta.ngram_counts(docs, "text", order=2, min_count=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+    # groupBy(context, word) + window partitionBy(context): exactly
+    # two hash exchanges; partial aggregation before the first
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert plan.count("documents.parquet") == 1
