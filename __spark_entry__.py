@@ -72,6 +72,8 @@ _PRIORITY = [
     "lm_perplexity_filter",
     "dedup_substring_chunks",
     "lm_train_ngram_counts",
+    "dsir_profile_counts",
+    "dsir_topk_selection",
     # code paths changed in round 12 (byte-candidacy zero-size fix +
     # fixture invariant, unit-test WITH word boundary, IVF cache
     # recipe-salted key + rename errno handling)
@@ -123,8 +125,6 @@ _PRIORITY = [
     "ann_brute_force_cosine",
     "bucketed_colocated_join",
     "catalog_ddl_audit",
-    "contracts_not_null",
-    "curation_filter_funnel",
 ]
 
 

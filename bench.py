@@ -44,6 +44,7 @@ def main() -> None:
     from dbt_maxcompute_spark.session import get_spark
 
     noise_before = _host_noise_probe()
+    loadavg_before = list(os.getloadavg())
 
     spark = get_spark(app_name="bench")
     qs = entrymod.queries()
@@ -165,6 +166,11 @@ def main() -> None:
                 "host_noise": {
                     "before": noise_before,
                     "after": _host_noise_probe(),
+                    # the noisy-phase signature on this host is HIGH
+                    # loadavg with ~100% idle CPU (the busy loop stays
+                    # quiet while Spark stages stall) — record both
+                    "loadavg_before": loadavg_before,
+                    "loadavg_after": list(os.getloadavg()),
                 },
             }
         )

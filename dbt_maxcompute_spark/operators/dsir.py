@@ -1,0 +1,183 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Selects pretraining documents from a large SOURCE corpus that look
+like a small TARGET corpus: featurize each doc as a hashed bag of
+n-grams, fit unigram multinomials over the hash buckets for target
+(p) and source (q), weight each source doc by
+log w = sum_f count_f * (log p_f - log q_f), and keep the top-k by
+log w + Gumbel noise (resampling without replacement).
+
+No counterpart in the reference (extension per BASELINE.json).
+
+Scale shape mirrors the engine's other table-driven scorers:
+- featurization is a pure Catalyst fold (tokens + joined bigrams ->
+  md5-prefix buckets) — the md5/conv device is chosen over xxhash64
+  because it is reproducible in ANSI SQL, so oracles can replay it;
+- profile fitting is explode -> groupBy(bucket) with map-side partial
+  aggregation: the shuffle carries at most `buckets` partial counts
+  per task, never corpus-scale rows;
+- the log-ratio table (= the model, `buckets` entries) rides as ONE
+  broadcast single-row map column, never a create_map plan literal
+  (the classifier_score / lm_perplexity device);
+- scoring is one fold per row, no shuffle; selection is a global
+  top-k (sort of scores only — k-bounded, the same posture as the
+  ANN rows' rank-k).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.operators.textanalysis import tokens
+
+
+def hashed_features(text: Column, buckets: int, orders: tuple = (1, 2)) -> Column:
+    """Array of hash buckets, one per n-gram occurrence: bucket =
+    (first 8 hex chars of md5(ngram) as int) % buckets. Bigrams are
+    space-joined token pairs. The md5-prefix device is deliberately
+    SQL-reproducible (DuckDB: CAST('0x'||substring(md5(f),1,8) AS
+    UBIGINT) % m) so every driver row over this path has a strict
+    oracle; 32 hash bits over m<=1e6 buckets is uniform enough for a
+    multinomial feature space (DSIR's own default is 1e4 buckets)."""
+
+    def bucket(f: Column) -> Column:
+        return F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long") % int(
+            buckets
+        )
+
+    toks = tokens(text)
+    parts = []
+    if 1 in orders:
+        parts.append(F.transform(toks, bucket))
+    if 2 in orders:
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: bucket(F.concat_ws(" ", F.slice(toks, i, 2))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        parts.append(bigrams)
+    if not parts:
+        raise ValueError("orders must include 1 and/or 2")
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def fit_profile(
+    df: DataFrame, text_col: str, buckets: int, orders: tuple = (1, 2)
+) -> DataFrame:
+    """Hash-bucket occurrence counts over a corpus: one row per
+    OBSERVED bucket (bucket, cnt). Partial aggregation bounds the
+    shuffle at `buckets` rows per task."""
+    feats = hashed_features(F.col(text_col), buckets, orders)
+    return (
+        df.select(F.explode(feats).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def log_ratio_table(
+    target_counts: dict[int, int],
+    source_counts: dict[int, int],
+    buckets: int,
+    quantum: float = 1.0 / 64,
+) -> dict[int, float]:
+    """Driver-side table build from the two fitted profiles (each at
+    most `buckets` entries — model-sized, not data-sized): add-one
+    smoothed log(p_f / q_f), QUANTIZED to dyadic multiples of
+    `quantum` so downstream score sums are order-exact (the same
+    dyadic discipline as the LM/classifier tables). Only buckets
+    observed in either profile get entries — unobserved buckets have
+    log-ratio log(T_smooth/S_smooth)=const which the scorer applies
+    as its default."""
+    t_tot = sum(target_counts.values()) + buckets
+    s_tot = sum(source_counts.values()) + buckets
+    out: dict[int, float] = {}
+    for b in set(target_counts) | set(source_counts):
+        lr = math.log(
+            ((target_counts.get(b, 0) + 1) / t_tot)
+            / ((source_counts.get(b, 0) + 1) / s_tot)
+        )
+        out[int(b)] = round(lr / quantum) * quantum
+    return out
+
+
+def importance_score(
+    df: DataFrame,
+    text_col: str,
+    table: dict[int, float],
+    buckets: int,
+    orders: tuple = (1, 2),
+    default_logratio: float = 0.0,
+    score_col: str = "dsir_logw",
+) -> DataFrame:
+    """log w per doc = sum over feature occurrences of
+    table[bucket] (missing buckets contribute `default_logratio`).
+    The table rides as ONE broadcast single-row map column; scoring
+    is a single Catalyst fold — no shuffle, no Python."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [({int(k): float(v) for k, v in table.items()},)],
+        "__dsir_m map<bigint,double>",
+    )
+    out = df.crossJoin(F.broadcast(wdf))
+    feats = hashed_features(F.col(text_col), buckets, orders)
+    score = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, b: acc
+        + F.coalesce(
+            F.element_at(F.col("__dsir_m"), b),
+            F.lit(float(default_logratio)),
+        ),
+    )
+    return out.withColumn(score_col, score).drop("__dsir_m")
+
+
+def gumbel_key(id_col: Column, score: Column, seed: int = 0) -> Column:
+    """Gumbel top-k resampling key: score + G where G = -ln(-ln(u))
+    and u in (0,1) derives from md5(id, seed) — deterministic given
+    the seed, independent across ids; top-k by this key IS sampling
+    without replacement with probability proportional to exp(score)
+    (Vieira 2014). Pure Catalyst."""
+    u_int = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", id_col, F.lit(str(seed)))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (u_int + 0.5) / float(1 << 32)
+    return score + (-F.log(-F.log(u)))
+
+
+def select_top_k(
+    scored: DataFrame,
+    id_col: str,
+    k: int,
+    score_col: str = "dsir_logw",
+    seed: int | None = None,
+) -> DataFrame:
+    """Keep the k source docs with the highest selection key —
+    deterministic top-k when `seed` is None (ties break on id), Gumbel
+    resampling when seeded. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition partial top-k merged at the
+    driver, k-bounded — NEVER a global row_number window (which would
+    funnel the whole corpus through one reducer)."""
+    key = (
+        F.col(score_col)
+        if seed is None
+        else gumbel_key(F.col(id_col), F.col(score_col), seed)
+    )
+    return (
+        scored.withColumn("__key", key)
+        .orderBy(F.desc("__key"), F.col(id_col))
+        .limit(int(k))
+        .drop("__key")
+    )

@@ -230,14 +230,169 @@ ORDER BY context, word
 """
 
 
+# --- DSIR (Xie et al. 2023) -------------------------------------------------
+
+_DSIR_BUCKETS = 512
+
+
+def _dsir_bucket(f: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % _DSIR_BUCKETS
+
+
+# Dyadic per-bucket log-ratio table for the selection row, derived at
+# import from token-level weights (bucket collisions resolved
+# deterministically: later sorted token wins — the ORACLE is generated
+# from the final bucket->weight dict, so both engines see one table).
+_DSIR_TOKEN_WEIGHTS = {
+    "spark": 0.5, "query": 0.5, "join": 0.375, "scan": 0.375,
+    "table": 0.25, "data": 0.25, "hash": 0.375, "merge": 0.25,
+    "window": 0.375, "stream": 0.25, "batch": 0.25, "filter": 0.375,
+    "customer": -0.5, "line": -0.375, "value": -0.25, "slow": -0.5,
+    "small": -0.25, "big": -0.25, "the": -0.125, "a": -0.125,
+}
+_DSIR_TABLE = {
+    _dsir_bucket(t): w for t, w in sorted(_DSIR_TOKEN_WEIGHTS.items())
+}
+_DSIR_K = 25
+
+
+def q_dsir_profile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12 extension: the FIT half of DSIR (Xie et al. 2023,
+    # "Data Selection for Language Models via Importance Resampling")
+    # — hashed-n-gram (unigram+bigram) bucket counts for a TARGET
+    # slice (lang='en' docs) and the full SOURCE corpus, the two
+    # multinomials the importance weights derive from. The md5-prefix
+    # bucket device is SQL-reproducible, so the oracle replays the
+    # exact featurization; counts are exact integers. Shuffle is
+    # bounded at `buckets` partial counts per task.
+    from dbt_maxcompute_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = dsir.fit_profile(
+        docs.filter(F.col("lang") == "en"), "text", _DSIR_BUCKETS
+    )
+    src = dsir.fit_profile(docs, "text", _DSIR_BUCKETS)
+    return (
+        src.withColumnRenamed("cnt", "source_cnt")
+        .join(tgt.withColumnRenamed("cnt", "target_cnt"), "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.coalesce("target_cnt", F.lit(0)).cast("long").alias("target_cnt"),
+            F.col("source_cnt").cast("long").alias("source_cnt"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_DSIR_PROFILE_COUNTS = f"""
+WITH base AS (
+  SELECT lang,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+  FROM documents
+),
+uni AS (
+  SELECT lang, unnest(arr) AS f FROM base
+),
+pos AS (
+  SELECT lang, arr, unnest(range(1, len(arr))) AS i
+  FROM base WHERE len(arr) >= 2
+),
+bi AS (
+  SELECT lang, arr[i] || ' ' || arr[i + 1] AS f FROM pos
+),
+feat AS (
+  SELECT lang,
+         CAST(CAST(('0x' || substring(md5(f), 1, 8)) AS UBIGINT)
+              % {_DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (SELECT lang, f FROM uni UNION ALL SELECT lang, f FROM bi)
+)
+SELECT bucket,
+       CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS target_cnt,
+       CAST(count(*) AS BIGINT) AS source_cnt
+FROM feat
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def q_dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12 extension: the SELECT half of DSIR — score every source
+    # doc as the sum of per-bucket dyadic log-ratios (the table rides
+    # as ONE broadcast map column, one Catalyst fold per row, no
+    # shuffle) and keep the deterministic top-k (ties on doc_id; the
+    # Gumbel-seeded variant is pytest-pinned, the driver row stays
+    # noise-free so the oracle is exact). Scores are dyadic sums —
+    # bit-exact cross-engine, no rounding. Top-k compiles to
+    # TakeOrderedAndProject, never a global window.
+    from dbt_maxcompute_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir.importance_score(
+        docs, "text", _DSIR_TABLE, _DSIR_BUCKETS, orders=(1, 2)
+    )
+    top = dsir.select_top_k(scored, "doc_id", _DSIR_K)
+    return top.select("doc_id", "lang", "dsir_logw").orderBy(
+        F.desc("dsir_logw"), "doc_id"
+    )
+
+
+def _dsir_values_sql() -> str:
+    rows = ", ".join(
+        f"({b}, {w!r})" for b, w in sorted(_DSIR_TABLE.items())
+    )
+    return f"w(bucket, wt) AS (VALUES {rows})"
+
+
+ORACLE_DSIR_TOPK_SELECTION = f"""
+WITH {_dsir_values_sql()},
+base AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, unnest(arr) AS f FROM base
+),
+pos AS (
+  SELECT doc_id, arr, unnest(range(1, len(arr))) AS i
+  FROM base WHERE len(arr) >= 2
+),
+bi AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS f FROM pos
+),
+feat AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(f), 1, 8)) AS UBIGINT)
+              % {_DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+score AS (
+  SELECT f.doc_id,
+         CAST(COALESCE(SUM(w.wt), 0.0) AS DOUBLE) AS dsir_logw
+  FROM feat f LEFT JOIN w USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT b.doc_id, b.lang, s.dsir_logw
+FROM base b JOIN score s USING (doc_id)
+ORDER BY s.dsir_logw DESC, b.doc_id
+LIMIT {_DSIR_K}
+"""
+
+
 QUERIES = {
     "lm_perplexity_filter": q_lm_perplexity_filter,
     "dedup_substring_chunks": q_dedup_substring_chunks,
     "lm_train_ngram_counts": q_lm_train_ngram_counts,
+    "dsir_profile_counts": q_dsir_profile_counts,
+    "dsir_topk_selection": q_dsir_topk_selection,
 }
 
 ORACLES = {
     "lm_perplexity_filter": ORACLE_LM_PERPLEXITY_FILTER,
     "dedup_substring_chunks": ORACLE_DEDUP_SUBSTRING_CHUNKS,
     "lm_train_ngram_counts": ORACLE_LM_TRAIN_NGRAM_COUNTS,
+    "dsir_profile_counts": ORACLE_DSIR_PROFILE_COUNTS,
+    "dsir_topk_selection": ORACLE_DSIR_TOPK_SELECTION,
 }

@@ -1,0 +1,110 @@
+"""DSIR importance resampling (Xie et al. 2023)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.operators import dsir
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_bucket(f: str, m: int) -> int:
+    return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % m
+
+
+def test_hashed_features_match_python_md5(spark):
+    df = _docs(spark, [(1, "The cat  SAT")])
+    feats = df.select(
+        dsir.hashed_features(F.col("text"), 1000).alias("f")
+    ).collect()[0]["f"]
+    # lowercased whitespace tokens + joined bigrams, in order
+    exp = [
+        _py_bucket("the", 1000),
+        _py_bucket("cat", 1000),
+        _py_bucket("sat", 1000),
+        _py_bucket("the cat", 1000),
+        _py_bucket("cat sat", 1000),
+    ]
+    assert feats == exp
+
+
+def test_fit_profile_counts_occurrences(spark):
+    df = _docs(spark, [(1, "a a b"), (2, "a")])
+    out = {
+        r["bucket"]: r["cnt"]
+        for r in dsir.fit_profile(df, "text", 64, orders=(1,)).collect()
+    }
+    assert out[_py_bucket("a", 64)] == 3
+    assert out[_py_bucket("b", 64)] == 1
+
+
+def test_log_ratio_table_is_dyadic_and_directional(spark):
+    t = {1: 80, 2: 5}
+    s = {1: 10, 2: 50, 3: 7}
+    tbl = dsir.log_ratio_table(t, s, buckets=64)
+    # target-heavy bucket gets a positive ratio, source-heavy negative
+    assert tbl[1] > 0 > tbl[2]
+    for v in tbl.values():
+        assert v == round(v * 64) / 64  # dyadic multiples of 1/64
+    # quantized from the smoothed MLE ratio
+    exp1 = math.log(((80 + 1) / (85 + 64)) / ((10 + 1) / (67 + 64)))
+    assert abs(tbl[1] - exp1) <= 1 / 128
+
+
+def test_end_to_end_selects_target_like_docs(spark):
+    # target: "tech" docs; source: mixed — the pipeline must rank the
+    # tech-like source docs on top
+    target = _docs(spark, [(i, "spark query join scan") for i in range(4)])
+    source = _docs(
+        spark,
+        [(1, "spark query table"), (2, "cat dog bird"), (3, "join scan data"),
+         (4, "weather rain sun"), (5, "spark join")],
+    )
+    m = 256
+    tc = {r["bucket"]: r["cnt"] for r in dsir.fit_profile(target, "text", m).collect()}
+    sc = {r["bucket"]: r["cnt"] for r in dsir.fit_profile(source, "text", m).collect()}
+    tbl = dsir.log_ratio_table(tc, sc, m)
+    scored = dsir.importance_score(source, "text", tbl, m)
+    top = {r["doc_id"] for r in dsir.select_top_k(scored, "doc_id", 3).collect()}
+    assert top == {1, 3, 5}
+
+
+def test_gumbel_seeded_selection_is_deterministic(spark):
+    df = _docs(spark, [(i, f"w{i % 4} common") for i in range(40)])
+    scored = dsir.importance_score(df, "text", {}, 64, default_logratio=0.0)
+    a = [r["doc_id"] for r in dsir.select_top_k(scored, "doc_id", 5, seed=7).collect()]
+    b = [r["doc_id"] for r in dsir.select_top_k(scored, "doc_id", 5, seed=7).collect()]
+    c = [r["doc_id"] for r in dsir.select_top_k(scored, "doc_id", 5, seed=8).collect()]
+    assert a == b
+    assert set(a) != set(c)  # 40C5 collision chance is negligible
+
+
+def test_dsir_plan_shapes(spark, sf_dir):
+    # scoring: broadcast map, no create_map literal, no shuffle;
+    # selection: TakeOrderedAndProject (per-partition top-k), never a
+    # global window
+    from dbt_maxcompute_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    big_tbl = {i: (i % 9 - 4) / 8.0 for i in range(5000)}
+    scored = dsir.importance_score(docs, "text", big_tbl, 5000)
+    old = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000000")
+    try:
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", old)
+    assert len(plan) < 50_000, "table leaked into the plan as literals"
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "EvalPython" not in plan
+
+    top = dsir.select_top_k(scored, "doc_id", 10)
+    tplan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in tplan
+    assert "Window" not in tplan
