@@ -51,8 +51,12 @@ def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exp(-mean) is transcendental and stays out of the row).
     from dbt_maxcompute_spark.operators import textanalysis as ta
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == 1
+    from dbt_maxcompute_spark.operators.dedup import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 1
+        )
     )
     scored = ta.lm_perplexity(
         docs,
@@ -129,9 +133,12 @@ def q_dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 + length (strict full-content check without hauling the
     # strings through the compare); chunk spans shuffle as md5 digests,
     # never 50-token strings.
-    from dbt_maxcompute_spark.operators.dedup import dedup_substring_chunks
+    from dbt_maxcompute_spark.operators.dedup import (
+        dedup_substring_chunks,
+        spread,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     out = dedup_substring_chunks(
         docs, "doc_id", "text", chunk_tokens=4, min_docs=2
     )
@@ -194,7 +201,11 @@ def q_lm_train_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # continuation vocab, bounded by |vocab|, never corpus size).
     from dbt_maxcompute_spark.operators import textanalysis as ta
 
-    docs = load_table(spark, sf_dir, "documents")
+    from dbt_maxcompute_spark.operators.dedup import spread
+
+    # spread(): the fixture arrives as one file split and would pin
+    # the explode+count on one core; no-op at scale
+    docs = spread(load_table(spark, sf_dir, "documents"))
     out = ta.ngram_counts(docs, "text", order=2, min_count=5)
     return out.select(
         "context", "word", "cnt", "ctx_cnt", "prob"
@@ -269,7 +280,9 @@ def q_dsir_profile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded at `buckets` partial counts per task.
     from dbt_maxcompute_spark.operators import dsir
 
-    docs = load_table(spark, sf_dir, "documents")
+    from dbt_maxcompute_spark.operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tgt = dsir.fit_profile(
         docs.filter(F.col("lang") == "en"), "text", _DSIR_BUCKETS
     )
@@ -328,7 +341,9 @@ def q_dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TakeOrderedAndProject, never a global window.
     from dbt_maxcompute_spark.operators import dsir
 
-    docs = load_table(spark, sf_dir, "documents")
+    from dbt_maxcompute_spark.operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     scored = dsir.importance_score(
         docs, "text", _DSIR_TABLE, _DSIR_BUCKETS, orders=(1, 2)
     )
