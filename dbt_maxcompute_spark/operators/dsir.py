@@ -123,21 +123,35 @@ def importance_score(
     table[bucket] (missing buckets contribute `default_logratio`).
     The table rides as ONE broadcast single-row map column; scoring
     is a single Catalyst fold — no shuffle, no Python."""
+    from dbt_maxcompute_spark.operators.textanalysis import _shard_count
+
     spark = df.sparkSession
+    # crc32-style sharding with integer keys (bucket = key % B, B a
+    # power of two — trivially identical on both build and probe
+    # sides): Catalyst's GetMapValue probe is a LINEAR scan over the
+    # map keys, so a flat 1e5-entry table costs O(|table|) per feature
+    # — the measured round-12 cliff in textanalysis._sharded_str_map
+    nshards = _shard_count(len(table))
+    shards: list[dict[int, float]] = [{} for _ in range(nshards)]
+    for k, v in table.items():
+        shards[int(k) % nshards][int(k)] = float(v)
     wdf = spark.createDataFrame(
-        [({int(k): float(v) for k, v in table.items()},)],
-        "__dsir_m map<bigint,double>",
+        [(shards,)], "__dsir_m array<map<bigint,double>>"
     )
     out = df.crossJoin(F.broadcast(wdf))
+
+    def lookup(b: Column) -> Column:
+        if nshards == 1:
+            return F.element_at(F.element_at(F.col("__dsir_m"), 1), b)
+        idx = F.pmod(b, F.lit(nshards)).cast("int")
+        return F.element_at(F.element_at(F.col("__dsir_m"), idx + 1), b)
+
     feats = hashed_features(F.col(text_col), buckets, orders)
     score = F.aggregate(
         feats,
         F.lit(0.0),
         lambda acc, b: acc
-        + F.coalesce(
-            F.element_at(F.col("__dsir_m"), b),
-            F.lit(float(default_logratio)),
-        ),
+        + F.coalesce(lookup(b), F.lit(float(default_logratio))),
     )
     return out.withColumn(score_col, score).drop("__dsir_m")
 

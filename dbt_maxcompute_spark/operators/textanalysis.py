@@ -110,6 +110,53 @@ def stopword_ratio(text: Column) -> Column:
     return with_tokens(text, _stopword_ratio_t)
 
 
+# Catalyst's GetMapValue is a LINEAR scan over the map's keys, so a
+# probe against a broadcast map column costs O(|table|) — fine at the
+# hundreds-of-entries scale, catastrophic at a production 2e5-entry
+# vocab (measured round 12: a 200k-entry map could not finish scoring
+# 5k docs in 6 minutes; 5.4e10 string compares). Above this cutoff the
+# table ships SHARDED: an array of B sub-maps bucketed by
+# crc32(key) % B (crc32 because python's zlib.crc32 and Spark's
+# F.crc32 agree, so both sides place/probe identically), probed as
+# element_at(shards[bucket], key) — O(|table|/B) per probe, still ONE
+# broadcast single-row frame, zero shuffle, bit-identical results.
+_MAP_SHARD_TARGET = 64  # ~entries per shard after bucketing
+_MAP_SHARD_MIN_ENTRIES = 512  # below this a flat map scan is cheaper
+
+
+def _shard_count(n_entries: int) -> int:
+    if n_entries <= _MAP_SHARD_MIN_ENTRIES:
+        return 1
+    b = 1
+    while n_entries / b > _MAP_SHARD_TARGET:
+        b *= 2
+    return b
+
+
+def _sharded_str_map(spark, table: dict[str, float], col: str):
+    """Single-row broadcast frame `col array<map<string,double>>` with
+    crc32-bucketed shards, plus a `lookup(key_col)` probe builder.
+    B=1 keeps the flat-map probe (no crc32 in the hot loop)."""
+    import zlib
+
+    b = _shard_count(len(table))
+    shards: list[dict[str, float]] = [{} for _ in range(b)]
+    for k, v in table.items():
+        kk = str(k)
+        shards[zlib.crc32(kk.encode()) % b][kk] = float(v)
+    wdf = spark.createDataFrame(
+        [(shards,)], f"{col} array<map<string,double>>"
+    )
+
+    def lookup(key: Column) -> Column:
+        if b == 1:
+            return F.element_at(F.element_at(F.col(col), 1), key)
+        idx = F.pmod(F.crc32(F.encode(key, "UTF-8")), F.lit(b)).cast("int")
+        return F.element_at(F.element_at(F.col(col), idx + 1), key)
+
+    return wdf, lookup
+
+
 def classifier_score(
     df,
     text_col: str,
@@ -127,10 +174,13 @@ def classifier_score(
     sigmoid(logit).
 
     Scale shape: the weight table is the model — production vocabs run
-    1e5-1e6 entries — so it rides as ONE broadcast single-row MAP
-    column, never a `create_map` plan literal (the same
-    literal-vs-broadcast cliff as the IVF centroid matrices,
-    round-11). Scoring is one Catalyst fold per row over the
+    1e5-1e6 entries — so it rides as ONE broadcast single-row frame,
+    never a `create_map` plan literal (the same literal-vs-broadcast
+    cliff as the IVF centroid matrices, round-11), and above
+    `_MAP_SHARD_MIN_ENTRIES` it is crc32-SHARDED into B sub-maps so
+    each probe scans O(|vocab|/B) keys instead of Catalyst's O(|vocab|)
+    GetMapValue linear scan (round-12; measured cliff in the module
+    comment). Scoring is one Catalyst fold per row over the
     :func:`with_tokens` binding: no shuffle, no Python, chains
     straight into a partitioned filter/write. Adds ``logit_col``
     (pure-arithmetic — with dyadic-rational weights the fold is
@@ -138,18 +188,14 @@ def classifier_score(
     transcendental, so cross-engine comparison belongs on the logit).
     """
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [({str(k): float(v) for k, v in weights.items()},)],
-        "__clf_m map<string,double>",
-    )
+    wdf, lookup = _sharded_str_map(spark, weights, "__clf_m")
     out = df.crossJoin(F.broadcast(wdf))
 
     def logit(toks: Column) -> Column:
         hits = F.aggregate(
             toks,
             F.lit(0.0),
-            lambda acc, t: acc
-            + F.coalesce(F.element_at(F.col("__clf_m"), t), F.lit(0.0)),
+            lambda acc, t: acc + F.coalesce(lookup(t), F.lit(0.0)),
         )
         n = F.size(toks)
         return F.lit(float(bias)) + F.when(
@@ -194,19 +240,17 @@ def lm_perplexity(
 
     Scale shape (same device as :func:`classifier_score`): the n-gram
     table IS the model — real KenLM tables run 1e6-1e8 entries — so
-    it rides as ONE broadcast single-row MAP column, never a
-    `create_map` plan literal. Scoring is one Catalyst
+    it rides as ONE broadcast single-row frame, never a `create_map`
+    plan literal, crc32-sharded above `_MAP_SHARD_MIN_ENTRIES` so each
+    probe scans O(|table|/B) keys, not Catalyst's O(|table|)
+    GetMapValue linear scan (round-12). Scoring is one Catalyst
     transform+aggregate fold per row over the :func:`with_tokens`
     binding: no shuffle, no Python, chains straight into a
     partitioned filter/write.
     """
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [({str(k): float(v) for k, v in logprobs.items()},)],
-        "__lm_m map<string,double>",
-    )
+    wdf, lookup = _sharded_str_map(spark, logprobs, "__lm_m")
     out = df.crossJoin(F.broadcast(wdf))
-    m = F.col("__lm_m")
     bk = float(backoff_logprob)
     oov = float(oov_logprob)
 
@@ -220,7 +264,7 @@ def lm_perplexity(
                 key = F.concat_ws(
                     " ", F.slice(toks, i - F.lit(d) + 1, d), w
                 )
-                hit = F.element_at(m, key)
+                hit = lookup(key)
                 cand = hit + (attempts - float(d)) * bk
                 guard = (i >= d) & hit.isNotNull()
                 res = (
@@ -229,7 +273,7 @@ def lm_perplexity(
                     else res.when(guard, cand)
                 )
             uni = (
-                F.coalesce(F.element_at(m, w), F.lit(oov))
+                F.coalesce(lookup(w), F.lit(oov))
                 + attempts * bk
             )
             return uni if res is None else res.otherwise(uni)

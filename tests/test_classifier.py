@@ -87,3 +87,28 @@ def test_classifier_empty_weights_degrades_to_bias(spark):
     assert out[1][0] == 0.75 and out[2][0] == 0.75
     for logit, score in out.values():
         assert math.isclose(score, 1 / (1 + math.exp(-logit)), rel_tol=1e-12)
+
+
+def test_sharded_and_flat_map_paths_agree(spark, monkeypatch):
+    # the crc32-sharded probe (vocab > _MAP_SHARD_MIN_ENTRIES) must be
+    # bit-identical to the flat-map probe — same lookups, just bucketed
+    df = _docs(spark, [(i, f"tok{i % 700} the tok{(i * 7) % 700}") for i in range(60)])
+    vocab = {f"tok{i}": (i % 13 - 6) / 8.0 for i in range(700)}  # > 512 -> sharded
+    vocab["the"] = 0.25
+    sharded = {
+        r["doc_id"]: r["clf_logit"]
+        for r in ta.classifier_score(df, "text", vocab).collect()
+    }
+    monkeypatch.setattr(ta, "_shard_count", lambda n: 1)
+    flat = {
+        r["doc_id"]: r["clf_logit"]
+        for r in ta.classifier_score(df, "text", vocab).collect()
+    }
+    assert sharded == flat
+
+
+def test_shard_count_policy():
+    assert ta._shard_count(10) == 1
+    assert ta._shard_count(512) == 1
+    assert ta._shard_count(513) == 16
+    assert ta._shard_count(200_000) == 4096
