@@ -108,3 +108,20 @@ def test_dsir_plan_shapes(spark, sf_dir):
     tplan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in tplan
     assert "Window" not in tplan
+
+
+def test_dsir_sharded_and_flat_scores_agree(spark, monkeypatch):
+    from dbt_maxcompute_spark.operators import textanalysis as ta
+
+    df = _docs(spark, [(i, f"w{i % 50} w{(i * 3) % 50} x") for i in range(30)])
+    tbl = {i: (i % 9 - 4) / 8.0 for i in range(600)}  # > 512 -> sharded
+    sharded = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir.importance_score(df, "text", tbl, 600).collect()
+    }
+    monkeypatch.setattr(ta, "_shard_count", lambda n: 1)
+    flat = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir.importance_score(df, "text", tbl, 600).collect()
+    }
+    assert sharded == flat

@@ -177,3 +177,24 @@ def test_ngram_counts_plan_two_shuffles(spark, sf_dir):
     # two hash exchanges; partial aggregation before the first
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert plan.count("documents.parquet") == 1
+
+
+def test_lm_sharded_and_flat_paths_agree(spark, monkeypatch):
+    # the crc32-sharded probe must be bit-identical through the FULL
+    # backoff chain (bigram hit / backoff / OOV) to the flat map
+    df = _docs(
+        spark,
+        [(i, f"tok{i % 400} tok{(i + 1) % 400} zz") for i in range(40)],
+    )
+    tbl = {f"tok{i}": -((i % 11) + 1) / 8.0 for i in range(400)}
+    tbl.update({f"tok{i} tok{i + 1}": -0.25 for i in range(0, 400, 3)})
+    sharded = {
+        r["doc_id"]: r["lm_mean_logprob"]
+        for r in ta.lm_perplexity(df, "text", tbl, order=2).collect()
+    }
+    monkeypatch.setattr(ta, "_shard_count", lambda n: 1)
+    flat = {
+        r["doc_id"]: r["lm_mean_logprob"]
+        for r in ta.lm_perplexity(df, "text", tbl, order=2).collect()
+    }
+    assert sharded == flat
