@@ -788,15 +788,24 @@ def dedup_substring_chunks(
     w = int(chunk_tokens)
     toks = tokens(F.col(text_col))
     nch = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    # nch >= 1 guard: F.sequence(0, nch-1) at nch=0 would DESCEND to
+    # [0, -1] and slice at a non-positive start; nch IS NULL (null
+    # text: size() = -1 is a lie, tokens() of null is null) must also
+    # not silently vanish. Policy (explicit, round-12 advisory): docs
+    # with no chunkable text still get an output row with n_chunks=0
+    # and an empty clean_col — explode_outer keeps them.
+    idxs = F.when(nch >= 1, F.sequence(F.lit(0), nch - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     chunks = F.transform(
-        F.sequence(F.lit(0), nch - 1),
+        idxs,
         lambda c: F.struct(
             c.alias("idx"),
             F.concat_ws(" ", F.slice(toks, c * w + 1, w)).alias("chunk"),
         ),
     )
     ch = (
-        df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+        df.select(F.col(id_col), F.explode_outer(chunks).alias("__c"))
         .select(
             id_col,
             F.col("__c.idx").alias("__idx"),
@@ -816,7 +825,9 @@ def dedup_substring_chunks(
     return (
         flagged.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            # count(__idx), not count(1): the explode_outer padding row
+            # of a zero-chunk doc has a NULL index and is not a chunk
+            F.count(F.col("__idx")).cast("long").alias("n_chunks"),
             F.sum(F.when(F.col("__dup"), 1).otherwise(0))
             .cast("long")
             .alias("n_dup_chunks"),
@@ -825,7 +836,8 @@ def dedup_substring_chunks(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("__dup").isNull(),
+                                F.col("__dup").isNull()
+                                & F.col("__idx").isNotNull(),
                                 F.struct(
                                     F.col("__idx").alias("idx"),
                                     F.col("__chunk").alias("chunk"),

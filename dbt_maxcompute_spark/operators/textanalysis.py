@@ -261,8 +261,15 @@ def lm_perplexity(
             res = None
             for d in range(order - 1, 0, -1):
                 # d context tokens: 1-based positions (i+1-d)..i
+                # start clamped to 1: when i < d the guard below makes
+                # this branch dead, but the slice must still be LEGAL —
+                # relying on And short-circuit to skip an out-of-range
+                # start would break if Catalyst ever reordered or
+                # hoisted the subexpression (round-12 advisory)
                 key = F.concat_ws(
-                    " ", F.slice(toks, i - F.lit(d) + 1, d), w
+                    " ",
+                    F.slice(toks, F.greatest(i - F.lit(d) + 1, F.lit(1)), d),
+                    w,
                 )
                 hit = lookup(key)
                 cand = hit + (attempts - float(d)) * bk
@@ -336,16 +343,22 @@ def ngram_counts(
     cnt = ex.groupBy("context", "word").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    from pyspark.sql import Window
+    if n == 1:
+        # order=1: every row shares context = '' — a window partitioned
+        # by context would funnel the ENTIRE vocabulary through one
+        # task (round-12 verdict). The empty context's ctx_cnt is just
+        # the global token count: a scalar aggregate broadcast back
+        # over the counts, no window, no single-partition funnel.
+        tot = cnt.agg(F.sum("cnt").cast("long").alias("ctx_cnt"))
+        ctx = cnt.crossJoin(F.broadcast(tot))
+    else:
+        from pyspark.sql import Window
 
-    w = Window.partitionBy("context")
-    return (
-        cnt.withColumn("ctx_cnt", F.sum("cnt").over(w).cast("long"))
-        .withColumn(
-            "prob", F.col("cnt").cast("double") / F.col("ctx_cnt").cast("double")
-        )
-        .filter(F.col("cnt") >= int(min_count))
-    )
+        w = Window.partitionBy("context")
+        ctx = cnt.withColumn("ctx_cnt", F.sum("cnt").over(w).cast("long"))
+    return ctx.withColumn(
+        "prob", F.col("cnt").cast("double") / F.col("ctx_cnt").cast("double")
+    ).filter(F.col("cnt") >= int(min_count))
 
 
 def quality_score(text: Column) -> Column:

@@ -209,12 +209,11 @@ def _cached_ivf_index(spark: SparkSession, sf_dir: str, **params) -> str:
             # Anything else (EACCES, EXDEV, ...) is a real error —
             # discarding would turn it into a confusing missing-file
             # crash at the open() below (round-11 advisory).
-            if exc.errno in (errno.EEXIST, errno.ENOTEMPTY) or os.path.exists(
+            shutil.rmtree(stage, ignore_errors=True)
+            won = exc.errno in (errno.EEXIST, errno.ENOTEMPTY) or os.path.exists(
                 meta_path
-            ):
-                shutil.rmtree(stage, ignore_errors=True)  # concurrent build won
-            else:
-                shutil.rmtree(stage, ignore_errors=True)
+            )
+            if not won:
                 raise
     with open(meta_path) as fh:
         meta = json.load(fh)

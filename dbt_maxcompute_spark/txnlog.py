@@ -56,6 +56,25 @@ CHECKPOINT_EVERY = 10
 _TXN_RETRIES = 3
 
 
+def _quantized_now() -> float:
+    """Commit timestamp, pre-quantized to integer microseconds.
+
+    Time travel, CDF bounds, and RESTORE compare timestamps at
+    microsecond granularity (plans/sqldml.py ``_us``), and timestamp
+    LITERALS carry at most microseconds — but a raw ``time.time()``
+    float has sub-microsecond bits, so a literal derived from a
+    commit's own timestamp (datetime.fromtimestamp + '%f') could
+    round the opposite way and resolve the PREVIOUS version, 1 µs
+    short (round-12 verdict: restore-timestamp flake). Quantizing at
+    WRITE time gives every consumer — ``history()``, time-travel
+    resolution, CDF bounds, display — one representation: µs-quantized
+    epoch seconds round-trip exactly through both ``_us`` and
+    ``datetime.fromtimestamp`` (the µs integer is < 2^53, and the
+    division's relative error stays far under half a microsecond).
+    """
+    return int(round(time.time() * 1_000_000)) / 1_000_000
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed this version first (optimistic
     concurrency loss). Re-read the snapshot and retry."""
@@ -553,7 +572,7 @@ class TxnTable:
             "version": expected_version,
             "actions": actions,
             "schema_json": schema_json,
-            "committed_at": time.time(),
+            "committed_at": _quantized_now(),
         }
         if txn is not None:
             markers = txn if isinstance(txn, list) else [txn]

@@ -198,3 +198,41 @@ def test_lm_sharded_and_flat_paths_agree(spark, monkeypatch):
         for r in ta.lm_perplexity(df, "text", tbl, order=2).collect()
     }
     assert sharded == flat
+
+
+def test_lm_order_exceeds_doc_length(spark):
+    # docs SHORTER than the model order: every token's context window
+    # is clamped (i < d for the high orders), so scoring must fall
+    # through the backoff chain without ever slicing at a non-positive
+    # start (round-12 advisory: the clamp is structural, not an
+    # evaluation-order accident)
+    lp = {"a": -1.0, "a b": -0.5, "a b c": -0.25}
+    df = _docs(spark, [(1, "a"), (2, "a b"), (3, "a b c")])
+    out = {
+        r["doc_id"]: r["lm_mean_logprob"]
+        for r in ta.lm_perplexity(df, "text", lp, order=4).collect()
+    }
+    assert out[1] == -1.0  # i=0: no context possible, unigram hit
+    # 'b' at i=1: attempts=min(1, 3)=1; bigram 'a b' hit, 0 backoffs
+    assert out[2] == (-1.0 + -0.5) / 2
+    # 'c' at i=2: attempts=2; trigram 'a b c' hit at d=2 -> 0 backoffs
+    assert out[3] == (-1.0 + -0.5 + -0.25) / 3
+
+
+def test_ngram_counts_order1_no_window_funnel(spark, sf_dir):
+    # order=1 puts EVERY row in context '' — a window partitioned by
+    # context would funnel the whole vocabulary through one task at
+    # corpus scale (round-12 verdict). Pin the special case: scalar
+    # aggregate + broadcast join, no Window operator in the plan.
+    from dbt_maxcompute_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ta.ngram_counts(docs, "text", order=1, min_count=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
+    # order>=2 keeps the per-context window (bounded partitions)
+    plan2 = ta.ngram_counts(docs, "text", order=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" in plan2

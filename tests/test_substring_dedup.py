@@ -82,3 +82,46 @@ def test_substring_dedup_plan_shuffles_digests_not_strings(spark, sf_dir):
     # chunk text column never appears in a partitioning key
     for keys in hash_exchanges:
         assert "__chunk" not in keys, plan
+
+
+def test_substring_dedup_null_and_empty_text_rows_survive(spark):
+    # explicit policy (round-12 advisory): a NULL-text doc must not
+    # silently vanish from the output — it appears with n_chunks=0 and
+    # an empty clean column, and cannot poison other docs' dup counts
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["clean_text"])
+        for r in dedup_substring_chunks(
+            df, "doc_id", "text", chunk_tokens=4, min_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2] == (0, 0, "")
+    assert out[1] == (1, 1, "") and out[3] == (1, 1, "")
+
+
+def test_substring_dedup_zero_chunk_guard_is_structural(spark):
+    # the nch>=1 guard must hold even if a future tokenizer returns an
+    # EMPTY array (today split('') yields ['']): sequence(0, -1) would
+    # otherwise descend to [0, -1] and slice at a non-positive start
+    from pyspark.sql import functions as F
+
+    from dbt_maxcompute_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([(1, "x"), (2, "")], "doc_id long, text string")
+    real_tokens = dd.tokens
+    try:
+        dd.tokens = lambda c: F.filter(real_tokens(c), lambda t: t != F.lit(""))
+        out = {
+            r["doc_id"]: (r["n_chunks"], r["clean_text"])
+            for r in dedup_substring_chunks(
+                df, "doc_id", "text", chunk_tokens=4, min_docs=2
+            ).collect()
+        }
+    finally:
+        dd.tokens = real_tokens
+    assert out[1] == (1, "x")
+    assert out[2] == (0, "")

@@ -1367,3 +1367,41 @@ def test_optimize_target_bytes_counts_known_zero_sizes_as_zero(
     after = t.snapshot()
     assert len(after.files) < len(snap0.files)
     assert sorted(r.id for r in t.read().collect()) == pre
+
+
+def test_commit_timestamp_microsecond_roundtrip(spark, tmp_path):
+    """Round-12 verdict item 2: committed_at is stored PRE-QUANTIZED to
+    integer microseconds, so a timestamp literal copied from any
+    commit's own timestamp (the datetime.fromtimestamp + '%f' path a
+    user naturally takes from history()) ALWAYS resolves that commit —
+    never the previous one by a 1 µs rounding disagreement."""
+    from datetime import datetime, timezone
+
+    from dbt_maxcompute_spark.catalog import EngineCatalog
+    from dbt_maxcompute_spark.plans.sqldml import _us, _version_at_timestamp
+    from dbt_maxcompute_spark.txnlog import _quantized_now
+
+    # pure property first, over adversarial sub-µs fractions: the
+    # stored float must round-trip exactly through BOTH consumers
+    for frac in (0.0, 0.4999995e-6, 0.5000005e-6, 0.9999994e-6):
+        base = 1_767_225_600.123456  # 2026-01-01-ish epoch
+        q = int(round((base + frac) * 1_000_000)) / 1_000_000
+        assert _us(q) == int(round(q * 1_000_000))
+        dt = datetime.fromtimestamp(q, timezone.utc)
+        assert _us(dt.timestamp()) == _us(q)
+    q = _quantized_now()
+    assert q == int(round(q * 1_000_000)) / 1_000_000
+
+    cat = EngineCatalog(spark, str(tmp_path / "wh_usrt"))
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    cat.create_table("usrt", df, transactional=True, primary_keys=["id"])
+    for i in range(4):
+        cat.execute(f"DELETE FROM usrt WHERE id = {i}")
+    for e in cat.txn("usrt").history():
+        at = e["committed_at"]
+        # stored representation IS µs-quantized
+        assert at == int(round(at * 1_000_000)) / 1_000_000
+        lit = datetime.fromtimestamp(at, timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S.%f+00:00"
+        )
+        assert _version_at_timestamp(cat, "usrt", lit) == e["version"]
