@@ -19,9 +19,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Noise-robust timing (round-12 verdict item 3: two rounds running, the
+# driver's stored artifact was taken during a multi-hour noisy host
+# phase and under-reported the engine ~2x). Policy:
+#   auto (default) — after the full pass, re-run ONLY the rows that came
+#     in above max(1.25x pinned median, pin + 0.3 s) and keep the min;
+#     pins come from BENCH_BASELINE.json when its sf matches. On a quiet
+#     host that's a handful of jitter rows (~seconds); in a noisy phase
+#     it's a cheap second chance for exactly the inflated rows.
+#   all — unconditional best-of-2 (for pin-less scale factors).
+#   none — single pass (for scaling sweeps where min-of-2 would hide
+#     the very drift being measured).
+RETRY_MODE = os.environ.get("SPARK_GRAFT_BENCH_RETRY", "auto")
+
 
 def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _pinned_medians() -> tuple[dict[str, float], float | None]:
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+        ) as fh:
+            base = json.load(fh)
+        return dict(base.get("medians") or {}), base.get("sf")
+    except Exception:
+        return {}, None
 
 
 def _host_noise_probe() -> float:
@@ -113,14 +137,13 @@ def main() -> None:
     except Exception as exc:
         print(f"# python-worker warmup failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    for name, fn in sorted(qs.items()):
+    def run_one(name: str, fn) -> float:
         t0 = time.perf_counter()
         try:
             _consume(fn(spark, SF_DIR))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            t = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep benching; report the failure
-            timings[name] = -1.0
+            t = -1.0
             print(f"# bench FAILED {name}: {exc}", file=sys.stderr)
         # drop persisted frames between queries (outside the timed
         # window): each query is billed for its own materializations,
@@ -130,6 +153,35 @@ def main() -> None:
             spark.catalog.clearCache()
         except Exception:
             pass
+        return t
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(qs.items()):
+        timings[name] = run_one(name, fn)
+
+    # second chance for noise-inflated rows (see RETRY_MODE above);
+    # failures stay failures — a retry must not mask a real error
+    pins, pin_sf = _pinned_medians()
+    sf_txt = SF_DIR.rstrip("/").split("sf")[-1]
+    pins_apply = bool(pins) and pin_sf is not None and sf_txt == str(pin_sf)
+    if RETRY_MODE == "all":
+        retry = [n for n, t in timings.items() if t >= 0]
+    elif RETRY_MODE == "auto" and pins_apply:
+        retry = [
+            n
+            for n, t in timings.items()
+            if t >= 0
+            and n in pins
+            and t > max(1.25 * pins[n], pins[n] + 0.3)
+        ]
+    else:
+        retry = []
+    retried: dict[str, float] = {}
+    for name in sorted(retry):
+        t2 = run_one(name, qs[name])
+        if t2 >= 0:
+            retried[name] = round(min(timings[name], t2), 3)
+            timings[name] = retried[name]
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Emit the queries dict FASTEST-FIRST with failures LAST, and
@@ -160,6 +212,10 @@ def main() -> None:
                 "failed": sorted(n for n, t in timings.items() if t < 0),
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
+                # rows re-run under RETRY_MODE (min-of-2 kept): lets a
+                # reader see how much of the run needed rescuing
+                "retry_mode": RETRY_MODE,
+                "n_retried": len(retried),
                 # busy-loop seconds before/after the suite (~0.7 s
                 # quiet); >~1.5x that on either probe marks the run
                 # noisy — normalize or discard mechanically

@@ -156,6 +156,82 @@ def importance_score(
     return out.withColumn(score_col, score).drop("__dsir_m")
 
 
+def update_profile_incremental(
+    profile_store,
+    changes: DataFrame,
+    text_col: str,
+    buckets: int,
+    orders: tuple = (1, 2),
+    batch_id: int | None = None,
+    app_id: str = "dsir_profile",
+) -> None:
+    """Maintain a :func:`fit_profile` count store from a transaction-
+    table CHANGE FEED instead of corpus rescans (round-12 verdict item
+    8) — the profile tracks a mutating source corpus the way the
+    engine's other incremental stores (boilerplate counts, LSH
+    signatures) track theirs.
+
+    ``changes`` is a net change feed (``TxnTable.change_feed``): rows
+    with ``_change_type='insert'`` add their bucket counts, rows with
+    ``'delete'`` subtract them (an update is its delete+insert pair,
+    so the net is exact). The per-bucket delta upserts into
+    ``profile_store`` — a txn table ``(bucket, cnt)`` — via ONE keyed
+    DV commit; a bucket driven to 0 keeps its row (the store is
+    model-sized, at most ``buckets`` entries) and readers filter
+    ``cnt > 0`` via :func:`read_profile`.
+
+    Scale shape: the delta aggregation is explode → groupBy(bucket)
+    with map-side partials (≤ ``buckets`` rows per task, like
+    :func:`fit_profile`); the feed itself costs O(|changes|) — the
+    append fast path / DV pruning in ``change_feed`` — so a profile
+    sync over a 100 TB corpus is proportional to the churn, never the
+    corpus. ``batch_id`` (the corpus version synced through) rides the
+    txn ledger for exactly-once replay, the same device as the
+    engine's streaming sinks.
+    """
+    if batch_id is not None and profile_store.exists():
+        last = profile_store.last_batch(str(app_id))
+        if last is not None and int(batch_id) <= last:
+            return  # replayed sync: deltas already applied exactly once
+    feats = hashed_features(F.col(text_col), buckets, orders)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    deltas = (
+        changes.select(sign.alias("__s"), F.explode(feats).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.sum("__s").cast("long").alias("__delta"))
+        .filter(F.col("__delta") != 0)
+    )
+    txn = (
+        {"app_id": str(app_id), "batch_id": int(batch_id)}
+        if batch_id is not None
+        else None
+    )
+    if profile_store.exists():
+        current = profile_store.read().select("bucket", "cnt")
+        merged = deltas.join(current, on="bucket", how="left").select(
+            "bucket",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("__delta"))
+            .cast("long")
+            .alias("cnt"),
+        )
+        profile_store.delete_insert_dv(merged, ["bucket"], txn=txn)
+    else:
+        profile_store.create(
+            deltas.select(
+                "bucket", F.col("__delta").cast("long").alias("cnt")
+            ),
+            txn=txn,
+        )
+
+
+def read_profile(profile_store) -> DataFrame:
+    """The live profile: zero-count buckets (fully churned away) are
+    dead rows awaiting the next upsert, not observations."""
+    return profile_store.read().filter(F.col("cnt") > 0).select("bucket", "cnt")
+
+
 def gumbel_key(id_col: Column, score: Column, seed: int = 0) -> Column:
     """Gumbel top-k resampling key: score + G where G = -ln(-ln(u))
     and u in (0,1) derives from md5(id, seed) — deterministic given

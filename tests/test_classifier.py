@@ -112,3 +112,33 @@ def test_shard_count_policy():
     assert ta._shard_count(512) == 1
     assert ta._shard_count(513) == 16
     assert ta._shard_count(200_000) == 4096
+
+
+def test_classifier_100k_vocab_plan_is_sharded_and_bounded(spark):
+    # round-13 (verdict item 4): institutionalize the production-vocab
+    # measurement — at 1e5 entries the sharded path MUST engage (B>1),
+    # the table must not leak into the plan as literals, and scoring
+    # stays single-scan/no-shuffle/no-Python. A regression to the flat
+    # GetMapValue scan would show up as B==1 here and as a bench-row
+    # blowup on classifier_vocab_100k.
+    assert ta._shard_count(100_000) > 1
+
+    df = _docs(spark, [(i, f"tok{i % 50} filler words") for i in range(40)])
+    vocab = {f"w{i} pad": -0.125 for i in range(100_000)}
+    vocab.update({f"tok{i}": 0.25 for i in range(50)})
+    out = ta.classifier_score(df, "text", vocab, bias=0.0)
+
+    old = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000000")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", old)
+    assert len(plan) < 80_000, "100k vocab leaked into the plan as literals"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    r = {x["doc_id"]: x["clf_logit"] for x in out.collect()}
+    # every doc: one vocab token (0.25) + two OOV -> 0.25/3
+    assert r[7] == 0.25 / 3

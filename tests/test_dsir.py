@@ -125,3 +125,100 @@ def test_dsir_sharded_and_flat_scores_agree(spark, monkeypatch):
         for r in dsir.importance_score(df, "text", tbl, 600).collect()
     }
     assert sharded == flat
+
+
+def _mk_corpus(spark, tmp_path, rows):
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "corpus"))
+    t.create(spark.createDataFrame(rows, "doc_id long, text string"))
+    return t
+
+
+def test_incremental_profile_tracks_appends_and_deletes(spark, tmp_path):
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    m = 64
+    corpus = _mk_corpus(
+        spark, tmp_path, [(1, "a b"), (2, "c d e"), (5, "a a")]
+    )
+    store = TxnTable(spark, str(tmp_path / "prof"))
+    boot = corpus.read(version=0).withColumn("_change_type", F.lit("insert"))
+    dsir.update_profile_incremental(store, boot, "text", m, batch_id=0)
+
+    def snap():
+        return {
+            r["bucket"]: r["cnt"] for r in dsir.read_profile(store).collect()
+        }
+
+    def full():
+        return {
+            r["bucket"]: r["cnt"]
+            for r in dsir.fit_profile(corpus.read(), "text", m).collect()
+        }
+
+    assert snap() == full()
+
+    v1 = corpus.append(
+        spark.createDataFrame([(7, "a zzz"), (8, "d d")], "doc_id long, text string")
+    )
+    dsir.update_profile_incremental(
+        store, corpus.change_feed(0, v1), "text", m, batch_id=v1
+    )
+    assert snap() == full()
+
+    # row-level DV delete: counts must SUBTRACT; a bucket whose only
+    # contributor vanishes drops out of read_profile entirely
+    v2 = corpus.delete_where_dv("doc_id = 2")
+    dsir.update_profile_incremental(
+        store, corpus.change_feed(v1, v2), "text", m, batch_id=v2
+    )
+    assert snap() == full()
+
+
+def test_incremental_profile_replay_is_exactly_once(spark, tmp_path):
+    from dbt_maxcompute_spark.txnlog import TxnTable
+
+    m = 64
+    corpus = _mk_corpus(spark, tmp_path, [(1, "a b c")])
+    store = TxnTable(spark, str(tmp_path / "prof"))
+    boot = corpus.read(version=0).withColumn("_change_type", F.lit("insert"))
+    dsir.update_profile_incremental(store, boot, "text", m, batch_id=0)
+    v1 = corpus.append(
+        spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    )
+    feed = corpus.change_feed(0, v1)
+    dsir.update_profile_incremental(store, feed, "text", m, batch_id=v1)
+    before = {r["bucket"]: r["cnt"] for r in dsir.read_profile(store).collect()}
+    # same batch id again: the ledger must skip the delta, not double it
+    dsir.update_profile_incremental(store, feed, "text", m, batch_id=v1)
+    after = {r["bucket"]: r["cnt"] for r in dsir.read_profile(store).collect()}
+    assert before == after
+    assert after == {
+        r["bucket"]: r["cnt"]
+        for r in dsir.fit_profile(corpus.read(), "text", m).collect()
+    }
+
+
+def test_incremental_profile_delta_plan_is_bounded(spark, tmp_path, sf_dir):
+    # the delta aggregation must show map-side partial aggregation and
+    # shuffle only bucket partials — the same bound as fit_profile
+    import re
+
+    from dbt_maxcompute_spark.sources.registry import load_table
+    from dbt_maxcompute_spark.operators.dsir import hashed_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    changes = docs.withColumn("_change_type", F.lit("insert"))
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    deltas = (
+        changes.select(sign.alias("__s"), F.explode(
+            hashed_features(F.col("text"), 256)
+        ).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.sum("__s").cast("long").alias("__delta"))
+    )
+    plan = deltas._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert "EvalPython" not in plan
