@@ -106,6 +106,20 @@ def bloom_might_contain(
 #: single-row BroadcastNestedLoopJoin that replaces it.
 LITERAL_MAX_BITS = 1 << 17
 
+#: broadcast bitmaps up to this many bits ride as a DENSE array<long>
+#: column (m/64 longs = 8 MiB at the cap — Spark's own runtime bloom
+#: default maxNumBits is the same 2^26), probed with O(1)
+#: element_at(array, idx). The r12-era MAP representation probed with
+#: Catalyst's GetMapValue — a LINEAR scan over the set words, the very
+#: cliff measured on the classifier vocab (round 12): at sf0.1 the
+#: 2^20-bit filter holds ~16k map entries and the probe side paid
+#: 7 x 16k string-free compares PER ROW (~10 s of the
+#: bloom_prefilter_join bench row). Building the dense array collects
+#: the sparse words to the driver first — bounded by m/64 longs, the
+#: same metadata-size argument as the literal path, and exactly what
+#: Spark's BloomFilterAggregate does for its own runtime filter.
+DENSE_MAX_BITS = 1 << 26
+
 
 def bloom_words(df: DataFrame, key: Column, m_bits: int, k: int = 7) -> DataFrame:
     """The bitmap as a DISTRIBUTED sparse (word_index, bits) frame —
@@ -136,15 +150,44 @@ def bloom_prefilter_broadcast(
     m_bits: int,
     k: int = 7,
 ) -> DataFrame:
-    """The large-m path: the bitmap NEVER touches the driver or the
-    plan. The sparse words aggregate into ONE row holding a
-    word→bits MAP (only set words are stored — ≤ min(k·n, m/64)
-    entries), that row is broadcast and attached to the probe via a
-    single-row BroadcastNestedLoopJoin, and the k bit tests read the
-    map column. Absent word = 0 bits, so sparsity is free. The filter
-    still runs in the probe's scan stage, before any exchange —
-    identical survivors to the literal path, bit for bit."""
-    one = bloom_words(build, F.col(build_key), m_bits, k).agg(
+    """The broadcast path (m > LITERAL_MAX_BITS): the bitmap never
+    enters the plan; it rides as ONE broadcast single-row frame
+    attached to the probe via a single-row BroadcastNestedLoopJoin, so
+    the k bit tests still run in the probe's scan stage, before any
+    exchange. Two representations by size:
+
+    - m <= DENSE_MAX_BITS: a DENSE ``array<long>`` of m/64 words,
+      probed with O(1) positional ``element_at`` (round-13; replaces
+      the r12 map probed by GetMapValue's linear scan over all set
+      words — measured 25.7 s -> 3.9 s on bloom_prefilter_join at
+      sf0.1). The dense array is assembled on the DRIVER from the
+      distributed sparse (word, bits) aggregate — a collect bounded by
+      m/64 longs, the same metadata-size bound Spark's own
+      BloomFilterAggregate accepts for its runtime filter.
+    - m > DENSE_MAX_BITS: the sparse word→bits MAP of only the set
+      words (memory ∝ set bits, not m) — correctness headroom for
+      filters Spark itself would refuse to build; probes pay a map
+      scan, so prefer several per-partition blooms at or below
+      DENSE_MAX_BITS when speed matters at that size.
+
+    Identical survivors to the literal path, bit for bit."""
+    spark = probe.sparkSession
+    words = bloom_words(build, F.col(build_key), m_bits, k)
+    if m_bits <= DENSE_MAX_BITS:
+        dense = [0] * (m_bits // 64)
+        for r in words.collect():  # <= m/64 rows of (long, long)
+            dense[r["w"]] = r["bits"]
+        one = spark.createDataFrame([(dense,)], "__bloom array<long>")
+        test = None
+        for p in _positions(F.col(probe_key), m_bits, k):
+            word = F.element_at(F.col("__bloom"), (p / 64).cast("int") + F.lit(1))
+            bit = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+            )
+            t = word.bitwiseAND(bit) != F.lit(0)
+            test = t if test is None else test & t
+        return probe.join(F.broadcast(one)).filter(test).drop("__bloom")
+    one = words.agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct(F.col("w"), F.col("bits"))))
         ).alias("__bloom")

@@ -13,6 +13,9 @@ SQL, so every suite query pairs with a DuckDB oracle.
 
 from __future__ import annotations
 
+from typing import Iterator  # noqa: UP035 — pyspark resolves pandas_udf hints from module globals
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -133,6 +136,71 @@ def _shard_count(n_entries: int) -> int:
     return b
 
 
+def _py_tokens(s: str | None) -> list[str]:
+    """EXACT Python replica of :func:`tokens` —
+    ``split(lower(trim(text)), '\\s+')`` under Spark semantics — for
+    the vectorized big-table scorer path. Must stay bit-compatible
+    (each point verified empirically against Spark 4.1 and pinned by
+    tests/test_classifier.py path-equivalence cases):
+    - Spark ``trim`` strips ONLY the space char U+0020 from both ends
+      (tabs/newlines/control chars survive);
+    - Java ``\\s`` is ASCII-only ``[ \\t\\n\\x0B\\f\\r]``;
+    - split keeps LEADING and TRAILING empty strings (limit -1), so
+      ``'\\ta b\\r'`` tokenizes as ``['', 'a', 'b', '']``;
+    - an empty string yields ``['']``;
+    - NULL text maps to [] (both engines then score 0.0 — the fold's
+      ``when(n > 0, ...)`` fallback)."""
+    if s is None:
+        return []
+    s = s.strip(" ").lower()
+    return _ASCII_WS.split(s) if s else [""]
+
+
+import re as _re
+
+_ASCII_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _bow_mean_scorer(spark, weights: dict[str, float]):
+    """Vectorized (Arrow) mean-pooled bag-of-words scorer — the
+    big-table path of :func:`classifier_score` (optimization guide
+    §4.2/§4.5: batch the boundary, init the model once per task).
+
+    Catalyst's interpreted HOF fold costs ~10 us per token-probe no
+    matter how the map is sharded; a Python dict probe costs ~50 ns.
+    Measured at sf0.1 with the 100k-entry production vocab: 10.4 s
+    (crc32-sharded fold) -> 0.6 s (this path), bit-identical logits.
+    The table ships ONCE per executor as a Spark broadcast (unpickled
+    once per worker process, cached across tasks); only the text
+    column crosses the Arrow boundary; summation is left-to-right in
+    token order, so even NON-dyadic weights reproduce the fold's exact
+    IEEE addition sequence. Returns mean(weight) with the fold's
+    n==0 -> 0.0 fallback (bias is added Catalyst-side by the caller).
+    """
+    bc = spark.sparkContext.broadcast(dict(weights))
+
+    @F.pandas_udf("double")
+    def _mean_w(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        get = bc.value.get  # once per task; broadcast caches per worker
+        for texts in batches:
+            out = []
+            for t in texts:
+                toks = _py_tokens(t)
+                n = len(toks)
+                if n == 0:
+                    out.append(0.0)
+                    continue
+                s = 0.0
+                for tk in toks:
+                    v = get(tk)
+                    if v is not None:
+                        s += v
+                out.append(s / n)
+            yield pd.Series(out, dtype="float64")
+
+    return _mean_w
+
+
 def _sharded_str_map(spark, table: dict[str, float], col: str):
     """Single-row broadcast frame `col array<map<string,double>>` with
     crc32-bucketed shards, plus a `lookup(key_col)` probe builder.
@@ -174,20 +242,38 @@ def classifier_score(
     sigmoid(logit).
 
     Scale shape: the weight table is the model — production vocabs run
-    1e5-1e6 entries — so it rides as ONE broadcast single-row frame,
-    never a `create_map` plan literal (the same literal-vs-broadcast
-    cliff as the IVF centroid matrices, round-11), and above
-    `_MAP_SHARD_MIN_ENTRIES` it is crc32-SHARDED into B sub-maps so
-    each probe scans O(|vocab|/B) keys instead of Catalyst's O(|vocab|)
-    GetMapValue linear scan (round-12; measured cliff in the module
-    comment). Scoring is one Catalyst fold per row over the
-    :func:`with_tokens` binding: no shuffle, no Python, chains
-    straight into a partitioned filter/write. Adds ``logit_col``
+    1e5-1e6 entries. Tables up to `_MAP_SHARD_MIN_ENTRIES` score as one
+    Catalyst fold per row over a broadcast single-row map frame (never
+    a `create_map` plan literal — the literal-vs-broadcast cliff of
+    round-11): no shuffle, no Python, chains straight into a
+    partitioned filter/write. Bigger tables route to the vectorized
+    Arrow scorer (:func:`_bow_mean_scorer`, round-13): Catalyst's
+    interpreted HOF fold costs ~10 us/token-probe regardless of map
+    sharding, while a dict probe behind an Arrow batch costs ~50 ns —
+    measured 10.4 s -> 0.6 s on the 100k-vocab row at sf0.1,
+    bit-identical logits (left-to-right summation preserved). Still a
+    single scan with no exchange: only the text column crosses the
+    boundary and the table ships once per executor as a Spark
+    broadcast. Adds ``logit_col``
     (pure-arithmetic — with dyadic-rational weights the fold is
     order-exact and oracle-checkable) and ``score_col`` (sigmoid;
     transcendental, so cross-engine comparison belongs on the logit).
     """
     spark = df.sparkSession
+    if len(weights) > _MAP_SHARD_MIN_ENTRIES:
+        # big-table path: vectorized Arrow scorer (see _bow_mean_scorer;
+        # bit-identical to the fold, ~20x faster at production vocab
+        # sizes). The fold below stays for small tables, where it chains
+        # into scans with zero Python and no boundary cost.
+        mean_w = _bow_mean_scorer(spark, weights)
+        return (
+            df.withColumn(
+                logit_col, F.lit(float(bias)) + mean_w(F.col(text_col))
+            )
+            .withColumn(
+                score_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(logit_col)))
+            )
+        )
     wdf, lookup = _sharded_str_map(spark, weights, "__clf_m")
     out = df.crossJoin(F.broadcast(wdf))
 

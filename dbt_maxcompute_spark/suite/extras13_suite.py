@@ -33,15 +33,19 @@ def q_classifier_vocab_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-13 (round-12 verdict item 4): score the documents table
     # against a PRODUCTION-SIZED vocabulary — 100k entries, the scale
     # where Catalyst's GetMapValue linear scan could not finish 5k docs
-    # in 6 minutes until the crc32-sharded sub-map fix (round 12,
-    # textanalysis._sharded_str_map). The table is the corpus
-    # vocabulary (md5-derived dyadic weights) padded to 100k with keys
-    # containing a space (unreachable by any whitespace token), so
-    # every probe pays the full sharded-table cost while the oracle
-    # replays each hit arithmetically. The row's own booleans pin that
-    # the table really was >= 100k entries and the sharded path (B>1)
-    # engaged — a regression to the flat map would either crash the
-    # bench timeout or flip `sharded` to false.
+    # in 6 minutes. Round 12 fixed that with crc32-sharded sub-maps;
+    # the r13 optimization round went further: above 512 entries
+    # classifier_score routes to the vectorized Arrow scorer
+    # (textanalysis._bow_mean_scorer — measured 10.4 s -> 0.6 s at
+    # sf0.1, bit-identical logits). The table is the corpus vocabulary
+    # (md5-derived dyadic weights) padded to 100k with keys containing
+    # a space (unreachable by any whitespace token), so every probe
+    # pays the full big-table cost while the oracle replays each hit
+    # arithmetically. The row's own booleans pin that the table really
+    # was >= 100k entries and the big-table routing threshold engaged
+    # (`sharded`, kept under its original name for hash stability) — a
+    # regression to the interpreted flat map would blow up this row's
+    # bench time.
     from dbt_maxcompute_spark.operators import textanalysis as ta
 
     docs = load_table(spark, sf_dir, "documents")

