@@ -71,7 +71,22 @@ def assign_clusters(
     """Attach `cluster` = argmin_k ||vec - centroid_k||^2 (ties to the
     lower index — array_position finds the first minimum). No shuffle —
     the only extra input is the broadcast centroid matrix — so it is
-    safe to chain into a partitioned-by-cluster write at scale."""
+    safe to chain into a partitioned-by-cluster write at scale.
+
+    Round-13: the K x dim fold math per row runs behind one Arrow
+    stage by default (vecmath.argmin_dists_udf — identical IEEE
+    sequence and first-min tiebreak; equality pinned by
+    tests/test_vecmath.py). The fold form stays as the
+    USE_ARROW=False reference."""
+    from dbt_maxcompute_spark.operators import vecmath
+
+    if vecmath.USE_ARROW:
+        am = vecmath.argmin_dists_udf(df.sparkSession, centroids)
+        return (
+            df.withColumn("__am", am(F.col(vec_col)))
+            .withColumn("cluster", F.col("__am.cluster"))
+            .drop("__am")
+        )
     with_m, mcol = _with_matrix(df, centroids)
     dists = _dists_expr_col(F.col(vec_col), F.col(mcol))
     cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
@@ -174,7 +189,24 @@ def kmeans_cluster_profile(
 ) -> DataFrame:
     """Fit + assign + per-cluster profile (size, mean within-cluster
     squared distance). The driver-visible shape of the operator."""
+    from dbt_maxcompute_spark.operators import vecmath
+
     centroids, _ = kmeans_fit(df, id_col, vec_col, k=k, max_iter=max_iter)
+    if vecmath.USE_ARROW:
+        am = vecmath.argmin_dists_udf(df.sparkSession, centroids)
+        with_m = (
+            df.withColumn("__am", am(F.col(vec_col)))
+            .withColumn("__d2", F.col("__am.d2"))
+            .withColumn("cluster", F.col("__am.cluster"))
+        )
+        return (
+            with_m.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.round(F.avg("__d2"), 6).alias("mean_sq_dist"),
+            )
+            .orderBy("cluster")
+        )
     with_m, mcol = _with_matrix(df, centroids)
     dists = _dists_expr_col(F.col(vec_col), F.col(mcol))
     return (

@@ -70,15 +70,55 @@ def hashed_features(text: Column, buckets: int, orders: tuple = (1, 2)) -> Colum
     return out
 
 
+def _bucket_col(f: Column, buckets: int) -> Column:
+    """Row-context bucket of one n-gram string — identical arithmetic
+    to :func:`hashed_features`'s per-element lambda, but evaluated as a
+    plain projected expression, which Catalyst CODEGENS. Inside an
+    array higher-order function the same md5/conv chain is interpreted
+    per element (~10x slower — the r13 profile measured the fold-side
+    bucketing at 2.9 s per profile sync vs 0.6 s for explode-then-
+    bucket on the same corpus slice)."""
+    return F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long") % int(buckets)
+
+
+def _ngram_rows(df: DataFrame, text_col: str, orders: tuple, carry: list[str]) -> DataFrame:
+    """One row per n-gram OCCURRENCE: ``carry`` columns + ``__f`` (the
+    n-gram string). Same multiset of n-grams as
+    ``explode(hashed_features(...))`` — unigrams then bigrams — but the
+    only array lambda left is a cheap string concat (zip_with of the
+    two shifted token slices); the expensive md5 bucketing happens
+    after the explode via :func:`_bucket_col`."""
+    toks = tokens(F.col(text_col))
+    grams = []
+    if 1 in orders:
+        grams.append(toks)
+    if 2 in orders:
+        n = F.size(toks)
+        bigrams = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams.append(bigrams)
+    if not grams:
+        raise ValueError("orders must include 1 and/or 2")
+    allg = grams[0] if len(grams) == 1 else F.concat(*grams)
+    return df.select(*carry, F.explode(allg).alias("__f"))
+
+
 def fit_profile(
     df: DataFrame, text_col: str, buckets: int, orders: tuple = (1, 2)
 ) -> DataFrame:
     """Hash-bucket occurrence counts over a corpus: one row per
     OBSERVED bucket (bucket, cnt). Partial aggregation bounds the
-    shuffle at `buckets` rows per task."""
-    feats = hashed_features(F.col(text_col), buckets, orders)
+    shuffle at `buckets` rows per task. Bucketing runs AFTER the
+    explode (row context, codegen) — see :func:`_bucket_col`."""
     return (
-        df.select(F.explode(feats).alias("bucket"))
+        _ngram_rows(df, text_col, orders, [])
+        .select(_bucket_col(F.col("__f"), buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -193,37 +233,59 @@ def update_profile_incremental(
         last = profile_store.last_batch(str(app_id))
         if last is not None and int(batch_id) <= last:
             return  # replayed sync: deltas already applied exactly once
-    feats = hashed_features(F.col(text_col), buckets, orders)
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
+    # explode-then-bucket (codegen md5, see _bucket_col) instead of
+    # bucketing inside hashed_features' interpreted array lambdas —
+    # identical bucket multiset, ~5x less CPU on the feed scan
     deltas = (
-        changes.select(sign.alias("__s"), F.explode(feats).alias("bucket"))
+        _ngram_rows(
+            changes.select(sign.alias("__s"), F.col(text_col)),
+            text_col,
+            orders,
+            ["__s"],
+        )
+        .select("__s", _bucket_col(F.col("__f"), buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.sum("__s").cast("long").alias("__delta"))
         .filter(F.col("__delta") != 0)
     )
-    txn = (
-        {"app_id": str(app_id), "batch_id": int(batch_id)}
-        if batch_id is not None
-        else None
-    )
-    if profile_store.exists():
-        current = profile_store.read().select("bucket", "cnt")
-        merged = deltas.join(current, on="bucket", how="left").select(
-            "bucket",
-            (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("__delta"))
-            .cast("long")
-            .alias("cnt"),
+    # the upsert path runs THREE actions over the delta frame (the
+    # broadcast key probe, the DV write, the staging write); persisting
+    # the aggregated deltas — model-sized, at most `buckets` rows —
+    # pays the feed scan once instead of three times (guide §2: don't
+    # recompute a lineage you can hold in memory at model size).
+    # coalesce(1) first: a persisted frame pins its partitioning, and
+    # 32 near-empty post-shuffle partitions would otherwise stage 32
+    # tiny store files PER SYNC (guide §6 small-files) — the map-side
+    # partials stay parallel, only the ≤`buckets`-row final agg runs
+    # in the single task
+    deltas = deltas.coalesce(1).persist()
+    try:
+        txn = (
+            {"app_id": str(app_id), "batch_id": int(batch_id)}
+            if batch_id is not None
+            else None
         )
-        profile_store.delete_insert_dv(merged, ["bucket"], txn=txn)
-    else:
-        profile_store.create(
-            deltas.select(
-                "bucket", F.col("__delta").cast("long").alias("cnt")
-            ),
-            txn=txn,
-        )
+        if profile_store.exists():
+            current = profile_store.read().select("bucket", "cnt")
+            merged = deltas.join(current, on="bucket", how="left").select(
+                "bucket",
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("__delta"))
+                .cast("long")
+                .alias("cnt"),
+            )
+            profile_store.delete_insert_dv(merged, ["bucket"], txn=txn)
+        else:
+            profile_store.create(
+                deltas.select(
+                    "bucket", F.col("__delta").cast("long").alias("cnt")
+                ),
+                txn=txn,
+            )
+    finally:
+        deltas.unpersist()
 
 
 def read_profile(profile_store) -> DataFrame:

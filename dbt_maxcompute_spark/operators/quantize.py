@@ -181,7 +181,18 @@ def pq_encode(
     codeword table is ``element_at(frame, s+1)`` — a single attribute
     reference — and the L2 argmin math is unchanged, so the codes are
     bit-identical to the literal form. (``pq_lut`` stays literal: it
-    runs over the |queries|-bounded frame only.)"""
+    runs over the |queries|-bounded frame only.)
+
+    Round-13: by default the m*ks*d0 fold math per row runs behind one
+    Arrow stage instead (vecmath.pq_codes_udf — identical IEEE
+    sequence, identical first-min tiebreaks, codebook broadcast once
+    per executor; equality pinned by tests/test_vecmath.py). The
+    staged-fold form below remains the USE_ARROW=False reference."""
+    from dbt_maxcompute_spark.operators import vecmath
+
+    if vecmath.USE_ARROW:
+        enc = vecmath.pq_codes_udf(df.sparkSession, codebook, normalize)
+        return df.withColumn(out_col, enc(F.col(vec_col)))
     m, d0 = len(codebook), len(codebook[0][0])
     cols = df.columns
     cbmat = [[[float(x) for x in c] for c in sub] for sub in codebook]

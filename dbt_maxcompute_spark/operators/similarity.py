@@ -48,7 +48,19 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL-safe-ish: 0.0 when either norm is 0."""
+    """Cosine similarity; NULL-safe-ish: 0.0 when either norm is 0.
+
+    Every call site is a PAIR frame (candidate verification / exact
+    re-rank), where the three interpreted folds per pair dominated the
+    ANN/dedup rows' wall time — so by default this routes through the
+    Arrow kernel (round-13, guide §4), which replays the identical
+    IEEE operation sequence (vecmath.cosine_pairs_udf; equality pinned
+    by tests/test_vecmath.py). The fold form below stays as the
+    USE_ARROW=False reference."""
+    from dbt_maxcompute_spark.operators import vecmath
+
+    if vecmath.USE_ARROW:
+        return vecmath.cosine_pairs_udf(a, b)
     dot = dot_expr(a, b)
     denom = norm_expr(a) * norm_expr(b)
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom)
@@ -246,9 +258,30 @@ def _assign_cells(
     is the metadata-sized broadcast, and the argmax/tiebreaks are
     bit-identical to the literal form (ties to the lowest centroid_id
     via array_position's first match)."""
+    from dbt_maxcompute_spark.operators import vecmath
+
     spark = df.sparkSession
     mat = [[float(x) for x in row] for row in unit_mat]
     id_t = _ids_sql_type(ids)
+    if vecmath.USE_ARROW:
+        # round-13: the C x dim dot products move behind one Arrow
+        # stage (identical IEEE sequence + first-max tiebreak —
+        # vecmath.argmax_sims_udf; equality pinned by
+        # tests/test_vecmath.py). The matrix ships as a Spark
+        # broadcast; the id lookup keeps the broadcast-frame device so
+        # the plan stays O(1) in C.
+        idx = vecmath.argmax_sims_udf(spark, mat)(F.col(vec_col))
+        if id_t is None:
+            return df.withColumn(
+                "centroid_id",
+                F.element_at(F.array(*[F.lit(i) for i in ids]), idx),
+            )
+        mdf = spark.createDataFrame([(list(ids),)], f"__cids array<{id_t}>")
+        return (
+            df.crossJoin(F.broadcast(mdf))
+            .withColumn("centroid_id", F.element_at(F.col("__cids"), idx))
+            .drop("__cids")
+        )
     if id_t is None:
         mdf = spark.createDataFrame([(mat,)], "__cmat array<array<double>>")
         out = df.crossJoin(F.broadcast(mdf))

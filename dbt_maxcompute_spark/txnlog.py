@@ -188,6 +188,12 @@ _PRUNE_BLOOM_BROADCAST_CAP = 128 * 1024 * 1024
 # job; mapped back to ValueError at the delete_insert_dv boundary)
 _DUP_KEY_MSG = "DELETE_INSERT_DUPLICATE_KEYS"
 
+# commits at or below this many files read parquet footers directly on
+# the driver (metadata-sized); larger commits fan the reads out in one
+# parallelize().map() job. Env-tunable for clusters where even small
+# commits should stay off the driver.
+_DRIVER_STAT_MAX_FILES = int(os.environ.get("SPARK_GRAFT_DRIVER_STAT_MAX", "16"))
+
 
 def _bloom_hash64(values):
     """Deterministic 64-bit hashes. Numeric arrays go through a
@@ -658,11 +664,24 @@ class TxnTable:
                 st["bloomFile"] = f"{_BLOOM_DIR}/{rel}.json"
             return rel, st
 
-        stats = (
-            self.spark.sparkContext.parallelize(out, min(len(out), 64))
-            .map(_stat_one)
-            .collect()
-        )
+        if len(out) <= _DRIVER_STAT_MAX_FILES:
+            # small commit: read the footers straight on the driver —
+            # KBs of metadata per file, the same bound as the commit
+            # JSON itself. The parallelize().map() job below costs a
+            # whole Python-worker round trip (~0.2 s in local mode,
+            # scheduler+task overhead on a cluster) that dwarfs the
+            # footer reads for typical incremental commits of a few
+            # files; Delta's writers likewise collect small-commit
+            # stats driver-side. Big commits (wide repartitioned
+            # writes) keep the distributed job so thousands of footer
+            # reads never serialize on the driver.
+            stats = [_stat_one(rel) for rel in out]
+        else:
+            stats = (
+                self.spark.sparkContext.parallelize(out, min(len(out), 64))
+                .map(_stat_one)
+                .collect()
+            )
         by_name = dict(stats)
         # never commit a zero-row data file: an empty file carries no
         # rows but still lands in every later scan's file list, and a

@@ -208,7 +208,14 @@ def test_ivf_corpus_scans_have_no_matrix_literal(spark, sf_dir):
 
         runs = re.findall(r"(?:-?\d+\.\d+(?:E-?\d+)?,\s*){64,}", plan)
         assert not runs, f"{name}: literal matrix fragment in plan"
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
+        # the matrix rides either a broadcast single-row frame (the
+        # Catalyst fold form) or a SparkContext broadcast inside the
+        # round-13 Arrow kernel — both keep it out of the plan string
+        assert (
+            "BroadcastNestedLoopJoin" in plan
+            or "BroadcastExchange" in plan
+            or "ArrowEvalPython" in plan
+        ), name
         assert "Exchange" not in plan.replace("BroadcastExchange", ""), name
 
 

@@ -47,13 +47,28 @@ def test_adc_matches_python_reference(spark, sf_dir):
         assert math.isclose(r.s, want, rel_tol=1e-12)
 
 
-def test_encode_is_shuffle_free(spark, sf_dir):
+def test_encode_is_shuffle_free(spark, sf_dir, monkeypatch):
+    from dbt_maxcompute_spark.operators import vecmath
+
     emb = load_table(spark, sf_dir, "embeddings")
     cb = quantize.pq_codebook(emb, "vec_id", "embedding", m=8, ks=16)
+
+    # default path (round-13): one Arrow stage per scan — never the
+    # row-pickling BatchEvalPython — and still projection-only
     coded = quantize.pq_encode(emb.select("vec_id", "embedding"), "embedding", cb)
     plan = plan_of(spark, coded, "simple")
-    # the only exchange is the metadata-sized broadcast of the codebook
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), (
+        "PQ encoding must be a pure projection"
+    )
+    assert "ArrowEvalPython" in plan, "default encode must be the Arrow kernel"
+    assert "BatchEvalPython" not in plan, "row-pickling UDF path is forbidden"
+
+    # reference path (USE_ARROW=False): pure Catalyst, zero Python; the
+    # only exchange is the metadata-sized broadcast of the codebook
     # frame (round-11: the codebook rides broadcast, not plan literals)
+    monkeypatch.setattr(vecmath, "USE_ARROW", False)
+    coded = quantize.pq_encode(emb.select("vec_id", "embedding"), "embedding", cb)
+    plan = plan_of(spark, coded, "simple")
     assert "Exchange" not in plan.replace("BroadcastExchange", ""), (
         "PQ encoding must be a pure projection"
     )

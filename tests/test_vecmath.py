@@ -1,0 +1,162 @@
+"""Arrow vecmath kernels (round-13) must be BIT-IDENTICAL to the
+Catalyst fold forms they replace — the driver re-hashes every query
+against the DuckDB oracle, so these are equality pins, not closeness
+checks. Each test runs the same operator with USE_ARROW on and off
+(monkeypatched) over fixture data PLUS edge rows (zero vector, NULL
+vector, tie-prone duplicates) and compares collected results exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_maxcompute_spark.operators import (
+    clustering,
+    quantize,
+    similarity,
+    vecmath,
+)
+from dbt_maxcompute_spark.sources.registry import load_table
+
+
+@pytest.fixture()
+def emb_with_edges(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    edge = spark.createDataFrame(
+        [
+            (90001, [0.0] * dim, 0),  # zero vector: cosine denom == 0
+            (90002, None, 0),  # NULL vector
+            (90003, [1.0] + [0.0] * (dim - 1), 0),  # tie-prone dup
+            (90004, [1.0] + [0.0] * (dim - 1), 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    return emb.unionByName(edge)
+
+
+def _both(fn):
+    """(arrow_result, fold_result) of the same callable."""
+    orig = vecmath.USE_ARROW
+    try:
+        vecmath.USE_ARROW = True
+        a = fn()
+        vecmath.USE_ARROW = False
+        b = fn()
+    finally:
+        vecmath.USE_ARROW = orig
+    return a, b
+
+
+def test_assign_cells_bit_identical(spark, sf_dir, emb_with_edges):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = similarity.ivf_assign(emb, "vec_id", "embedding", 16, 42)
+    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    ids = [r["centroid_id"] for r in cent]
+    umat = [
+        similarity._unit([float(x) for x in r["centroid_vec"]]) for r in cent
+    ]
+    a, b = _both(
+        lambda: sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in similarity._assign_cells(
+                emb_with_edges, "embedding", ids, umat
+            ).collect()
+        )
+    )
+    assert a == b
+
+
+def test_pq_codes_bit_identical(spark, sf_dir, emb_with_edges):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = quantize.pq_codebook(emb, "vec_id", "embedding", m=8, ks=32, seed=42)
+    a, b = _both(
+        lambda: sorted(
+            (
+                r["vec_id"],
+                tuple(r["__codes"]) if r["__codes"] is not None else None,
+            )
+            for r in quantize.pq_encode(
+                emb_with_edges.select(
+                    "vec_id", F.col("embedding").alias("__cv")
+                ),
+                "__cv",
+                cb,
+            ).collect()
+        )
+    )
+    assert a == b
+
+
+def test_cosine_pairs_bit_identical(spark, emb_with_edges):
+    # cross of 60 x 20 rows including the zero/NULL/dup edges; exact
+    # float equality (NaN/NULL positions must match too)
+    pairs = (
+        emb_with_edges.limit(60)
+        .select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        .crossJoin(
+            emb_with_edges.limit(20).select(
+                F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+            )
+        )
+    )
+    a, b = _both(
+        lambda: sorted(
+            (r["ia"], r["ib"], r["c"])
+            for r in pairs.withColumn(
+                "c", similarity.cosine_expr(F.col("va"), F.col("vb"))
+            ).collect()
+        )
+    )
+    assert a == b
+
+
+def test_cosine_mismatched_lengths_match_fold(spark):
+    # zip_with null-padding semantics: dot is NULL when lengths differ,
+    # so result is NULL unless the norm product is 0 (then 0.0)
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], [1.0, 2.0, 3.0]),
+            (2, [0.0, 0.0], [0.0, 0.0, 0.0]),
+            (3, [1.0], [1.0]),
+        ],
+        "i long, a array<double>, b array<double>",
+    )
+    a, b = _both(
+        lambda: [
+            (r["i"], r["c"])
+            for r in df.withColumn(
+                "c", similarity.cosine_expr(F.col("a"), F.col("b"))
+            )
+            .orderBy("i")
+            .collect()
+        ]
+    )
+    assert a == b
+
+
+def test_kmeans_assign_and_profile_bit_identical(spark, sf_dir, emb_with_edges):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    a, b = _both(
+        lambda: sorted(
+            (r["vec_id"], r["cluster"])
+            for r in clustering.assign_clusters(
+                emb_with_edges, "embedding", cents
+            ).collect()
+        )
+    )
+    assert a == b
+    a, b = _both(
+        lambda: [
+            tuple(r)
+            for r in clustering.kmeans_cluster_profile(
+                emb, "vec_id", "embedding", k=8, max_iter=4
+            ).collect()
+        ]
+    )
+    assert a == b
