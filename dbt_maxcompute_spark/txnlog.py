@@ -2077,11 +2077,11 @@ class TxnTable:
         bounds = probe.approxQuantile(
             [f"__zc{i}" for i in range(len(cols))], probs, 1.0 / (4 * nb)
         )
-        def _rank_of(e, bound_list):
-            return F.aggregate(
-                F.lit(bound_list),
-                F.lit(0),
-                lambda acc, b: acc + F.when(e >= b, 1).otherwise(0),
+        def _spread(rank: int, dim: int) -> int:
+            # rank's bits interleaved round-robin into dimension slot
+            # ``dim`` — computed at plan-build time with exact ints
+            return sum(
+                ((rank >> j) & 1) << (j * len(cols) + dim) for j in range(bits)
             )
 
         z = F.lit(0).cast("long")
@@ -2090,11 +2090,29 @@ class TxnTable:
                 # all-null (or uncastable) column: no quantile bounds —
                 # it contributes rank 0 everywhere, so skip its bits
                 continue
-            rank = _rank_of(e, bounds[i])
-            rank = F.when(e.isNull(), 0).otherwise(rank).cast("long")
-            for j in range(bits):
-                bit = F.shiftright(rank, j).bitwiseAND(F.lit(1).cast("long"))
-                z = z + F.shiftleft(bit, j * len(cols) + i)
+            bl = bounds[i]
+
+            # Rank = upper_bound(sorted boundaries, e) = the fold count
+            # of boundaries <= e, found by a balanced F.when binary
+            # search whose leaves return the rank's bit-interleaved
+            # contribution as a precomputed literal: O(bits)
+            # codegen-able comparisons per row, versus the O(2**bits)
+            # interpreted HOF fold (with ``bits`` re-evaluations) this
+            # replaces. Ranks are bit-identical, including NaN (> any
+            # boundary in Spark ordering, so it falls through to the
+            # max-rank leaf exactly as the fold counted it).
+            def _tree(lo: int, hi: int, dim: int):
+                if lo == hi:
+                    return F.lit(_spread(lo, dim)).cast("long")
+                mid = (lo + hi) // 2
+                return F.when(e < F.lit(bl[mid]), _tree(lo, mid, dim)).otherwise(
+                    _tree(mid + 1, hi, dim)
+                )
+
+            contrib = F.when(e.isNull(), F.lit(0).cast("long")).otherwise(
+                _tree(0, len(bl), i)
+            )
+            z = z + contrib
         return z
 
     def optimize(
