@@ -290,6 +290,13 @@ def maintain_minmax_rollup_from_changes(
         & (F.coalesce(F.col(count_col), F.lit(0)) < F.lit(0))
     )
     j = j.withColumn("__recompute", any_touched)
+    # j is rollup-sized (|rollup| + |changed groups| rows) but its
+    # subplan contains the whole change-feed aggregate; touched_keys
+    # below references j a SECOND time (the broadcast semi-join side),
+    # so without persistence the feed — multi-version DV reconciliation
+    # included — evaluates twice per sync. Persist the model-sized
+    # frame once; lifetime is this maintenance step's write.
+    j = j.persist()
 
     touched_keys = j.filter(F.col("__recompute")).select(*keys)
     recomputed = (

@@ -154,6 +154,28 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
+        # Path-halving shortcut (pointer jumping): follow each node's
+        # label to that label's OWN label — comp values are node ids,
+        # so one extra labels-sized self-join contracts chains
+        # exponentially (round k reaches distance ~2^k instead of k).
+        # Same fixed point (min reachable id): labels only ever
+        # decrease toward it, and least() keeps monotonicity. The lazy
+        # localCheckpoint above makes the self-join read ONE
+        # materialization, not two plan copies. Near-clique graphs
+        # (the dedup common case) converge in the same 2-3 rounds;
+        # chain-shaped dup graphs stop exhausting the label budget and
+        # spilling into the star-contraction restart.
+        hop = new.select(F.col("node").alias("__hp"), F.col("comp").alias("__hc"))
+        new = (
+            new.join(hop, new["comp"] == hop["__hp"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("__hc"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
         changed = (
             new.join(labels.withColumnRenamed("comp", "prev"), "node")
             .filter(F.col("comp") != F.col("prev"))

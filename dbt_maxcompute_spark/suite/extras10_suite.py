@@ -48,13 +48,13 @@ def q_txn_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # well-sized: 2/3 of the slice across two files (~N/3 rows each)
     t.create(base.filter(F.col("l_orderkey") % 9 < 6).repartition(2))
     # organic small appends: the %9==6 third, split by line number
-    # (~N/21 rows each, one file per append)
+    # (~N/21 rows each, one file per append). The slice is persisted
+    # once so the seven append commits don't re-scan lineitem seven
+    # times (fixture setup cost, not the OPTIMIZE under test).
+    seed = base.filter(F.col("l_orderkey") % 9 == 6).persist()
     for ln in range(1, 8):
-        t.append(
-            base.filter(
-                (F.col("l_orderkey") % 9 == 6) & (F.col("l_linenumber") == ln)
-            ).coalesce(1)
-        )
+        t.append(seed.filter(F.col("l_linenumber") == ln).coalesce(1))
+    seed.unpersist()
     t.delete_where_dv("l_quantity > 45")  # hits big AND small files
     snap0 = t.snapshot()
     big = [

@@ -42,14 +42,17 @@ def q_txn_optimize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.create(docs.filter(F.col("doc_id") % 4 != 1).coalesce(1))
     # byte-tiny appends: the %4==1 slice with the text TRUNCATED to one
     # char — many rows, almost no bytes, split into 5 files
+    # persisted once so the five append commits don't re-scan the
+    # documents table five times (fixture setup, not the byte-candidacy
+    # under test)
+    seed = (
+        docs.filter(F.col("doc_id") % 4 == 1)
+        .withColumn("text", F.substring("text", 1, 1))
+        .persist()
+    )
     for b in range(5):
-        t.append(
-            docs.filter(
-                (F.col("doc_id") % 4 == 1) & (F.col("doc_id") % 5 == b)
-            )
-            .withColumn("text", F.substring("text", 1, 1))
-            .coalesce(1)
-        )
+        t.append(seed.filter(F.col("doc_id") % 5 == b).coalesce(1))
+    seed.unpersist()
     snap0 = t.snapshot()
     wide = max(snap0.files, key=lambda f: snap0.stats[f]["sizeBytes"])
     meta0 = (

@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional further args: subset of query names (iteration aid; the full
+# run — no subset — remains the gate)
+SUBSET = set(sys.argv[2:])
 
 
 def main() -> int:
@@ -31,6 +34,8 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    if SUBSET:
+        qs = {k: v for k, v in qs.items() if k in SUBSET}
     for name in sorted(qs):
         try:
             got = qs[name](spark, SF)
