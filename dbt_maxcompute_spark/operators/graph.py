@@ -142,16 +142,30 @@ def connected_components(
 
     label_rounds = 0
     converged = False
+    comp_type = dict(labels.dtypes)["comp"]
     for _ in range(min(max_iter, star_after)):
         label_rounds += 1
+        # The closed-neighborhood union already carries each node's
+        # PREVIOUS label on the `labels` branch (one row per node), so
+        # threading it through the aggregate as max(__prev) — nulls on
+        # the neighbor branch are ignored — recovers prev on the SAME
+        # shuffle. The convergence probe then reads comp != __prev off
+        # the checkpointed result directly instead of paying a separate
+        # labels-sized join back against the previous round every
+        # iteration (guide §2.2: shuffle fewer bytes / fewer passes).
         nbr = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .select(F.col("a").alias("node"), "comp")
+            .select(
+                F.col("a").alias("node"),
+                "comp",
+                F.lit(None).cast(comp_type).alias("__prev"),
+            )
         )
+        own = labels.select("node", "comp", F.col("comp").alias("__prev"))
         new = (
-            nbr.union(labels)
+            nbr.union(own)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.max("__prev").alias("__prev"))
             .localCheckpoint(eager=False)
         )
         # Path-halving shortcut (pointer jumping): follow each node's
@@ -173,16 +187,12 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("__hc"), F.col("comp"))
                 ).alias("comp"),
+                "__prev",
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("comp", "prev"), "node")
-            .filter(F.col("comp") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("comp") != F.col("__prev")).limit(1).count()
+        labels = new.select("node", "comp")
         if changed == 0:
             converged = True
             break
