@@ -464,10 +464,17 @@ def q_model_unit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_maxcompute_spark.runner import run_unit_test
 
     cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="ut_wh_"))
+    # Both frames are consumed several times inside one invocation (the
+    # fixture by each unit test's model SQL; the expectation by the two
+    # collects, the decoy count and the returned frame) — persist them so
+    # the orders slice is scanned once, not ~6x (guide §5.1). Tiny
+    # (orders/17 rows, 3-row agg); Spark's ContextCleaner reclaims the
+    # cache once the returned frame is consumed and dropped.
     fixture = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 17 == 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .persist()
     )
     # decoy catalog table with the SAME name but different content —
     # the fixture must win
@@ -485,7 +492,7 @@ def q_model_unit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsum = F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
     expected = fixture.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n"), dsum.alias("total")
-    )
+    ).persist()
     ok = run_unit_test(
         cat, "agg_matches", model, given={"uorders": fixture}, expect=expected
     )

@@ -136,10 +136,14 @@ def q_model_unit_test_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_maxcompute_spark.runner import run_unit_test
 
     cat = EngineCatalog(spark, tempfile.mkdtemp(prefix="utcte_wh_"))
+    # persisted: the slice feeds the decoy table write AND the returned
+    # aggregate — one orders scan instead of two (guide §5.1); tiny
+    # (orders/23) and scoped to this invocation.
     src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 23 == 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .persist()
     )
     # decoy catalog table: the fixture must shadow it
     cat.create_table(
@@ -170,11 +174,20 @@ def q_model_unit_test_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
+    # The fixture reference lives in the ANCHOR's scalar subquery and the
+    # bound rides the recursion as a column: Spark's UnionLoop re-plans and
+    # re-executes a scalar subquery in the loop CONDITION on every
+    # iteration (measured ~0.9 s/iteration vs a literal bound's ~85 ms —
+    # guide §5.1 evaluate-invariants-once), while an anchor subquery runs
+    # exactly once. Same rows (n=1..3), same n_rows=3, and the fixture
+    # still must shadow the decoy INSIDE the recursive CTE for the test
+    # to pass.
     recursive = (
         "-- row-per-unit expansion\n"
         "WITH RECURSIVE seq AS ("
-        "  SELECT 1 AS n UNION ALL SELECT n + 1 FROM seq"
-        "  WHERE n < (SELECT count(*) FROM uord)"
+        "  SELECT 1 AS n, (SELECT count(*) FROM uord) AS k"
+        "  UNION ALL SELECT n + 1, k FROM seq"
+        "  WHERE n < k"
         ") SELECT count(*) AS n_rows FROM seq"
     )
     ok_recursive = run_unit_test(
