@@ -888,6 +888,18 @@ class TxnTable:
             # nothing to match: the upsert degenerates to an append
             adds = self._stage_files(source)
             return self._commit(snap.version + 1, adds, source.schema.json(), txn=txn)
+        # stage the insert files FIRST: the feed plan (a MERGE source,
+        # an aggregated count delta — arbitrarily expensive) evaluates
+        # exactly once, in the staging job; the broadcast key probe
+        # below then reads the just-staged parquet back instead of
+        # re-executing the feed. (A persist() here is the wrong tool:
+        # cached plans keep their pre-AQE shuffle partitioning, so the
+        # staged write fans out into dozens of tiny files.) Bonus: the
+        # duplicate-key guard now fires before ANY store write.
+        # SPARK_GRAFT_DV_PROBE=feed keeps the re-execute-the-feed form
+        # as the reference path for equivalence tests and A/B timing.
+        staged_probe = os.environ.get("SPARK_GRAFT_DV_PROBE", "staged") != "feed"
+        adds = self._stage_files(source) if staged_probe else None
         if snap.schema_json:
             schema = StructType.fromJson(json.loads(snap.schema_json))
             raw = self.spark.read.schema(schema).parquet(
@@ -903,8 +915,17 @@ class TxnTable:
             ).withColumn("__p", F.col("_metadata.row_index")),
             snap,
         )
+        if not staged_probe:
+            probe = source
+        elif adds:
+            probe = self.spark.read.schema(source.schema).parquet(
+                *[os.path.join(self.path, a["add"]) for a in adds]
+            )
+        else:
+            # all-empty feed: same probe semantics (no key matches)
+            probe = self.spark.createDataFrame([], source.schema)
         matched = (
-            visible.join(F.broadcast(source.select(*keys).distinct()), keys, "left_semi")
+            visible.join(F.broadcast(probe.select(*keys).distinct()), keys, "left_semi")
             .select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
         )
         if snap.dv_file:
@@ -917,7 +938,8 @@ class TxnTable:
             matched = matched.unionByName(old)
         dv_name = f"dv-{uuid.uuid4().hex}"
         matched.write.parquet(os.path.join(self.path, dv_name))
-        adds = self._stage_files(source)
+        if adds is None:
+            adds = self._stage_files(source)
         return self._commit(
             snap.version + 1,
             [{"set_dv": dv_name}] + adds,
@@ -1542,25 +1564,34 @@ class TxnTable:
         bad = set(sets) - set(cols)
         if bad:
             raise ValueError(f"update_where_dv: unknown columns {sorted(bad)}")
-        matched = visible.filter(f"coalesce(({condition}), false)")
-        # pass 1: the rewritten rows (SET against the pre-update row,
-        # types re-pinned to the committed schema)
-        dtypes = {f.name: f.dataType for f in visible.schema.fields}
-        new_rows = matched.select(
-            *[
-                (
-                    F.expr(sets[c]).cast(dtypes[c]).alias(c)
-                    if c in sets
-                    else F.col(c)
-                )
-                for c in cols
-            ]
-        )
-        adds = self._stage_files(new_rows)
-        # pass 2: the DV positions of the replaced rows (disjoint from
-        # the old store — matching ran post-subtraction)
-        pos = matched.select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
-        v, affected = self.commit_dv_delta(snap, adds, pos)
+        # matched feeds TWO jobs (rewritten-row staging, then the DV
+        # position write) — persist it so the pruned scan + filter run
+        # once per UPDATE, not twice. Bounded by the affected rows,
+        # which the rewrite materializes anyway.
+        matched = visible.filter(f"coalesce(({condition}), false)").persist()
+        try:
+            # pass 1: the rewritten rows (SET against the pre-update row,
+            # types re-pinned to the committed schema)
+            dtypes = {f.name: f.dataType for f in visible.schema.fields}
+            new_rows = matched.select(
+                *[
+                    (
+                        F.expr(sets[c]).cast(dtypes[c]).alias(c)
+                        if c in sets
+                        else F.col(c)
+                    )
+                    for c in cols
+                ]
+            )
+            adds = self._stage_files(new_rows)
+            # pass 2: the DV positions of the replaced rows (disjoint from
+            # the old store — matching ran post-subtraction)
+            pos = matched.select(
+                F.col("__f").alias("file"), F.col("__p").alias("pos")
+            )
+            v, affected = self.commit_dv_delta(snap, adds, pos)
+        finally:
+            matched.unpersist()
         return (v, affected) if return_count else v
 
     def stats_row_count(self, snap: "Snapshot | None" = None) -> int | None:

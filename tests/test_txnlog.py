@@ -1405,3 +1405,44 @@ def test_commit_timestamp_microsecond_roundtrip(spark, tmp_path):
             "%Y-%m-%dT%H:%M:%S.%f+00:00"
         )
         assert _version_at_timestamp(cat, "usrt", lit) == e["version"]
+
+
+def test_dv_probe_staged_and_feed_paths_agree(spark, tmp_path, monkeypatch):
+    """r13 §12: the upsert's broadcast key probe now reads the staged
+    insert files back instead of re-executing the feed plan. Both paths
+    must produce identical visible rows, identical DV row counts, and
+    the same duplicate-key rejection — on a feed whose plan is NOT a
+    trivial literal frame (agg + join), so the staged readback is
+    genuinely exercised."""
+    import pytest as _pytest
+
+    def feed(mult):
+        # aggregated + self-joined feed: an expensive plan shape
+        base = spark.range(0, 40).select(
+            (F.col("id") % 10).alias("id"), (F.col("id") * mult).alias("x")
+        )
+        agg = base.groupBy("id").agg(F.sum("x").alias("v"))
+        dim = spark.range(0, 10).select(F.col("id"), (F.col("id") + 1).alias("w"))
+        return agg.join(dim, "id").select("id", (F.col("v") * F.col("w")).alias("v"))
+
+    got = {}
+    for mode in ("staged", "feed"):
+        monkeypatch.setenv("SPARK_GRAFT_DV_PROBE", mode)
+        t = TxnTable(spark, str(tmp_path / f"probe_{mode}"))
+        t.create(_r(spark, 0, 30).coalesce(2))
+        t.delete_insert_dv(feed(3), ["id"])
+        t.delete_insert_dv(feed(5), ["id"])  # second upsert: old-DV union path
+        snap = t.snapshot()
+        dv_rows = t._dv_rows(snap.dv_file) if snap.dv_file else 0
+        got[mode] = (
+            sorted((r.id, r.v) for r in t.read().collect()),
+            dv_rows,
+            snap.version,
+        )
+        # duplicate keys still rejected before anything commits
+        dup = spark.createDataFrame([(1, 1), (1, 2)], "id bigint, v bigint")
+        with _pytest.raises(ValueError, match="duplicate key"):
+            t.delete_insert_dv(dup, ["id"])
+        assert t.snapshot().version == snap.version
+    assert got["staged"] == got["feed"]
+    assert got["staged"][1] == 20  # 10 keys matched per upsert, twice
