@@ -856,6 +856,19 @@ def maintain_ivf_index(spark, index_path: str, changes: DataFrame) -> dict:
     else:
         old = spark.createDataFrame([], additions.schema)
     kept = old.join(F.broadcast(removals), [id_col, "centroid_id"], "left_anti")
+    # `kept` feeds BOTH the idempotence anti-join's build side below and
+    # the union written out — without a materialization the touched-cell
+    # read + removal anti-join execute twice per batch (at 100 TB: one
+    # redundant read of every touched cell partition per sync). A lazy
+    # localCheckpoint makes the write job compute it once and read the
+    # materialization for the second consumer (same device as the CC
+    # label rounds). The staged write's layout is unaffected: `out` is
+    # explicitly repartitioned by centroid_id, so the cached-plan
+    # partitioning trap that sank the DV-feed persist does not apply.
+    # SPARK_GRAFT_IVF_KEPT=plan keeps the two-plan-copies form as the
+    # reference path (equivalence tests + interleaved A/B hook).
+    if _os.environ.get("SPARK_GRAFT_IVF_KEPT", "checkpoint") != "plan":
+        kept = kept.localCheckpoint(eager=False)
     # IDEMPOTENT upsert semantics on a keyed corpus: an addition whose
     # id already survives in the touched cells is skipped — a replayed
     # batch (crash between the cell swap and a caller's cursor commit)

@@ -888,3 +888,32 @@ def test_cached_bench_index_key_is_salted_by_build_recipe(
             monkeypatch.setattr(os, "rename", real_rename)
     finally:
         _tf.tempdir = None
+
+
+def test_maintain_kept_checkpoint_and_plan_paths_agree(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13 §13: `kept` (touched-cell read minus removals) feeds both the
+    idempotence anti-join and the written union; the lazy localCheckpoint
+    that makes it evaluate once must not change the maintained artifact.
+    Both modes run the full keyed-CDF batch (deletes, update pairs,
+    inserts) and must produce identical cell placement and vectors."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    got = {}
+    for mode in ("checkpoint", "plan"):
+        monkeypatch.setenv("SPARK_GRAFT_IVF_KEPT", mode)
+        idx_path = str(tmp_path / f"ivf_{mode}")
+        similarity.build_ivf_index(
+            base, "vec_id", "embedding", idx_path, num_centroids=8
+        )
+        res = similarity.maintain_ivf_index(spark, idx_path, _changes(emb))
+        # replay the same batch: the idempotent upsert (which consumes
+        # `kept` a second way) must be a no-op in both modes
+        res2 = similarity.maintain_ivf_index(spark, idx_path, _changes(emb))
+        rows = sorted(
+            (r.vec_id, r.centroid_id, tuple(r.embedding))
+            for r in spark.read.parquet(idx_path).collect()
+        )
+        got[mode] = (res["touched_cells"], res2["touched_cells"], rows)
+    assert got["checkpoint"] == got["plan"]
