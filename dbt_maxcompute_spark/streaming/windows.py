@@ -17,6 +17,9 @@ batch).
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -48,6 +51,38 @@ EVENTS_RAW_SCHEMA = StructType(
 EVENTS_SCHEMA = StructType(
     [f if f.name != "ts" else StructField("ts", TimestampType()) for f in EVENTS_RAW_SCHEMA]
 )
+
+
+@contextmanager
+def state_partition_scope(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to the STREAMING default
+    for the duration of a stream start + drain.
+
+    Every stateful streaming operator keeps one state-store instance
+    per shuffle partition, and every micro-batch pays a per-instance
+    load/commit/maintenance round even for partitions that hold no
+    rows this trigger (a stream-stream join keeps FOUR stores per
+    partition). Batch shuffle sizing (cores, then AQE-coalesced) is
+    the wrong default here: AQE does not run inside a streaming query,
+    and state placement is pinned by the checkpoint, so a 32-core
+    session pays 32 x stores x triggers of pure state-store overhead
+    regardless of data volume. Size streaming shuffles by stateful-key
+    throughput instead: ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS``
+    (default 8 locally; raise on a real cluster — the value is baked
+    into each NEW checkpoint at its first trigger, so it must be set
+    before ``start()``). ``inherit`` keeps the session value (the
+    pre-round-13 reference behavior)."""
+    val = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+    if val in ("", "0", "inherit"):
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, val)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def read_events_stream(
@@ -113,14 +148,15 @@ def run_available_now(agg: DataFrame, query_name: str) -> None:
     """Drain the source with AvailableNow into an in-memory sink (test /
     backfill harness). Complete mode: window aggs without append-mode
     finality; production sinks would use update/append + a real sink."""
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partition_scope(agg.sparkSession):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_available_now_append(agg: DataFrame, query_name: str) -> None:
@@ -129,11 +165,12 @@ def run_available_now_append(agg: DataFrame, query_name: str) -> None:
     watermark semantics (late-input dropping + state eviction) are
     actually LIVE. Complete mode retains all state and drops nothing,
     so late-data claims can only be demonstrated here."""
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partition_scope(agg.sparkSession):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -390,14 +390,15 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag="30 minutes", watermark="3650 days",
     )
     name = "stream_ivj_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sw.state_partition_scope(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -486,14 +487,15 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "session_start", "session_end", "session_value")
     )
     name = "stream_sess_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sw.state_partition_scope(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     seq = W.partitionBy("user_id").orderBy("session_start")
     return (
         spark.table(name)
@@ -561,14 +563,15 @@ def q_stream_custom_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
     totals = stateful.user_running_totals(stream)
     name = "stream_state_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sw.state_partition_scope(spark):
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     final = F.max(F.struct("n_events", "total_value")).alias("__f")
     return (
         spark.table(name)

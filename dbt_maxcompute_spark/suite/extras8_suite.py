@@ -99,15 +99,27 @@ def q_ann_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hash("embedding").alias("eh"),
         ).withColumn("__s", F.lit(s))
 
-    net = (
+    # one pass over the maintained index for BOTH checks: the net
+    # multiset diff vs the fresh rebuild AND the corpus row count
+    # (corpus_n = rows contributed with __s == +1, i.e. got.count()) —
+    # previously a second full scan of the index (guide §1.2: don't
+    # read what you already read)
+    chk = (
         keyed(got, 1)
         .unionByName(keyed(want, -1))
         .groupBy("vec_id", "cell", "eh")
-        .agg(F.sum("__s").alias("net"))
-        .filter(F.col("net") != 0)
-        .count()
+        .agg(
+            F.sum("__s").alias("net"),
+            F.count(F.when(F.col("__s") == 1, F.lit(1))).alias("got_rows"),
+        )
+        .agg(
+            F.count(F.when(F.col("net") != 0, F.lit(1))).alias("mismatch"),
+            F.sum("got_rows").alias("corpus_n"),
+        )
+        .collect()[0]
     )
-    corpus_n = got.count()
+    net = int(chk["mismatch"])
+    corpus_n = int(chk["corpus_n"] or 0)
 
     queries = final.filter(F.col("vec_id") < 5)
     out = similarity.ivf_indexed_topk(spark, idx_path, queries, k=10, nprobe=8)

@@ -99,3 +99,52 @@ def test_dedup_stream_drops_replayed_file(spark, sf_dir, tmp_path):
     n_events = load_table(spark, sf_dir, "events").count()
     assert got.count() == n_events
     assert got.select("event_id").distinct().count() == n_events
+
+
+def test_state_partition_scope_sets_and_restores(spark, monkeypatch):
+    """The streaming drain scopes spark.sql.shuffle.partitions to the
+    stream default (state-store count per trigger) and restores the
+    session value afterwards — including on error."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "5")
+    with sw.state_partition_scope(spark):
+        assert spark.conf.get(key) == "5"
+    assert spark.conf.get(key) == before
+
+    # inherit / empty keep the session value untouched
+    for v in ("inherit", "", "0"):
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", v)
+        with sw.state_partition_scope(spark):
+            assert spark.conf.get(key) == before
+
+    # restored even when the drain raises
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "5")
+    try:
+        with sw.state_partition_scope(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
+
+
+def test_stateful_results_invariant_to_state_partitions(spark, sf_dir, tmp_path, monkeypatch):
+    """State partitioning is an execution detail: the drained result of
+    a stateful agg must be identical under 2 partitions and under the
+    session (batch) value."""
+    stream_dir = tmp_path / "spart"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(table_path(sf_dir, "events"))
+    got = {}
+    for tag, parts in (("narrow", "2"), ("inherit", "inherit")):
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", parts)
+        name = f"t_spart_{tag}"
+        stream = sw.read_events_stream(spark, str(stream_dir), max_files_per_trigger=4)
+        agg = sw.tumbling_hourly(stream)
+        sw.run_available_now(agg, name)
+        got[tag] = {
+            (r.hour_start, r.event_type, r.n_events, round(r.total_value, 6))
+            for r in spark.table(name).collect()
+        }
+    assert got["narrow"] == got["inherit"]
