@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_maxcompute_spark.functions.scalar import trunc_time
+from dbt_maxcompute_spark.localframe import local_frame
 
 META_FILE = "_engine_meta.json"
 
@@ -546,7 +547,7 @@ class EngineCatalog:
             schema = StructType.fromJson(json.loads(meta.schema_json))
             if not _has_data_files(self.table_dir(name)):
                 # empty table: no parquet files to scan — empty frame
-                return self.spark.createDataFrame([], schema)
+                return local_frame(self.spark, [], schema)
             reader = reader.schema(schema)
         return reader.parquet(self.table_dir(name))
 
@@ -981,9 +982,7 @@ class EngineCatalog:
         per (privilege, grantee) from the recorded ACL."""
         meta = self.meta(name)
         rows = [(p, g) for p in sorted(meta.grants) for g in meta.grants[p]]
-        return self.spark.createDataFrame(
-            rows, "privilege string, grantee string"
-        )
+        return local_frame(self.spark, rows, "privilege string, grantee string")
 
     # -- schema evolution (reference macros/adapters/columns.sql) --------------
 
@@ -1067,7 +1066,8 @@ class EngineCatalog:
                         m.lifecycle,
                     )
                 )
-        return self.spark.createDataFrame(
+        return local_frame(
+            self.spark,
             rows,
             "table_schema string, table_name string, table_type string, "
             "comment string, n_columns int, lifecycle int",

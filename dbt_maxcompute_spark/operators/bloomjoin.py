@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbt_maxcompute_spark.localframe import local_frame
+
 _SEED1 = 0x9E3779B1
 _SEED2 = 0x85EBCA77
 
@@ -177,7 +179,7 @@ def bloom_prefilter_broadcast(
         dense = [0] * (m_bits // 64)
         for r in words.collect():  # <= m/64 rows of (long, long)
             dense[r["w"]] = r["bits"]
-        one = spark.createDataFrame([(dense,)], "__bloom array<long>")
+        one = local_frame(spark, [(dense,)], "__bloom array<long>")
         test = None
         for p in _positions(F.col(probe_key), m_bits, k):
             word = F.element_at(F.col("__bloom"), (p / 64).cast("int") + F.lit(1))

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbt_maxcompute_spark.localframe import local_frame
+
 
 def _dists_expr_col(vec: Column, mat: Column) -> Column:
     """array<double> of squared L2 distances to every centroid row of
@@ -59,8 +61,10 @@ def _with_matrix(df: DataFrame, centroids: list[list[float]]) -> tuple[DataFrame
     1024 x 768 matrices on a real cluster (3 MB broadcast vs a 786k-node
     expression tree)."""
     spark = df.sparkSession
-    mdf = spark.createDataFrame(
-        [([[float(x) for x in c] for c in centroids],)], "__mat array<array<double>>"
+    mdf = local_frame(
+        spark,
+        [([[float(x) for x in c] for c in centroids],)],
+        "__mat array<array<double>>",
     )
     return df.crossJoin(F.broadcast(mdf)), "__mat"
 

@@ -32,6 +32,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbt_maxcompute_spark.localframe import local_frame
+
 from dbt_maxcompute_spark.operators.textanalysis import tokens
 
 
@@ -175,9 +177,7 @@ def importance_score(
     shards: list[dict[int, float]] = [{} for _ in range(nshards)]
     for k, v in table.items():
         shards[int(k) % nshards][int(k)] = float(v)
-    wdf = spark.createDataFrame(
-        [(shards,)], "__dsir_m array<map<bigint,double>>"
-    )
+    wdf = local_frame(spark, [(shards,)], "__dsir_m array<map<bigint,double>>")
     out = df.crossJoin(F.broadcast(wdf))
 
     def lookup(b: Column) -> Column:
@@ -194,6 +194,15 @@ def importance_score(
         + F.coalesce(lookup(b), F.lit(float(default_logratio))),
     )
     return out.withColumn(score_col, score).drop("__dsir_m")
+
+
+def _delta_partitions(buckets: int) -> int:
+    """Final-agg task count for the incremental-profile delta: one task
+    per ~64k buckets, capped at 32 — small profiles keep the single
+    store file (guide §6 small-files), huge ones (1e6+ buckets) don't
+    funnel the final aggregate through one straggler task (round-13
+    verdict item 10)."""
+    return max(1, min(32, buckets // 65536))
 
 
 def update_profile_incremental(
@@ -256,12 +265,14 @@ def update_profile_incremental(
     # the aggregated deltas — model-sized, at most `buckets` rows —
     # pays the feed scan once instead of three times (guide §2: don't
     # recompute a lineage you can hold in memory at model size).
-    # coalesce(1) first: a persisted frame pins its partitioning, and
+    # coalesce first: a persisted frame pins its partitioning, and
     # 32 near-empty post-shuffle partitions would otherwise stage 32
     # tiny store files PER SYNC (guide §6 small-files) — the map-side
     # partials stay parallel, only the ≤`buckets`-row final agg runs
-    # in the single task
-    deltas = deltas.coalesce(1).persist()
+    # in the coalesced tasks. Bounded, not 1 (round-13 verdict item
+    # 10): one task per ~64k buckets caps the final-agg funnel at
+    # large profiles while small profiles keep the single store file.
+    deltas = deltas.coalesce(_delta_partitions(buckets)).persist()
     try:
         txn = (
             {"app_id": str(app_id), "batch_id": int(batch_id)}

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dbt_maxcompute_spark.localframe import local_frame
+
 # Knuth multiplicative hash over 32 bits: portable plain-SQL integer
 # arithmetic (id * 2654435761 mod 2^32), reproducible in any engine.
 _KNUTH = 2654435761
@@ -97,8 +99,8 @@ def mixture_sample(
 
     spark = df.sparkSession
     plan_df = F.broadcast(
-        spark.createDataFrame(
-            plan, f"{group_col} string, __boundary int, __before double"
+        local_frame(
+            spark, plan, f"{group_col} string, __boundary int, __before double"
         )
     )
     joined = base.join(plan_df, group_col)

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbt_maxcompute_spark.localframe import local_frame
+
 
 def vector_scale(vec: Column) -> Column:
     """Per-vector symmetric scale: max|x| / 127 (double). Zero vectors
@@ -196,8 +198,8 @@ def pq_encode(
     m, d0 = len(codebook), len(codebook[0][0])
     cols = df.columns
     cbmat = [[[float(x) for x in c] for c in sub] for sub in codebook]
-    cbdf = df.sparkSession.createDataFrame(
-        [(cbmat,)], "__pq_cb array<array<array<double>>>"
+    cbdf = local_frame(
+        df.sparkSession, [(cbmat,)], "__pq_cb array<array<array<double>>>"
     )
     base = (
         _unit_expr(F.col(vec_col))

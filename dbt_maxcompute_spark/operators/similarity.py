@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbt_maxcompute_spark.localframe import local_frame
+
 # ---------------------------------------------------------------------------
 # vector expressions (pure Catalyst)
 # ---------------------------------------------------------------------------
@@ -276,18 +278,19 @@ def _assign_cells(
                 "centroid_id",
                 F.element_at(F.array(*[F.lit(i) for i in ids]), idx),
             )
-        mdf = spark.createDataFrame([(list(ids),)], f"__cids array<{id_t}>")
+        mdf = local_frame(spark, [(list(ids),)], f"__cids array<{id_t}>")
         return (
             df.crossJoin(F.broadcast(mdf))
             .withColumn("centroid_id", F.element_at(F.col("__cids"), idx))
             .drop("__cids")
         )
     if id_t is None:
-        mdf = spark.createDataFrame([(mat,)], "__cmat array<array<double>>")
+        mdf = local_frame(spark, [(mat,)], "__cmat array<array<double>>")
         out = df.crossJoin(F.broadcast(mdf))
         id_arr: Column = F.array(*[F.lit(i) for i in ids])
     else:
-        mdf = spark.createDataFrame(
+        mdf = local_frame(
+            spark,
             [(mat, list(ids))],
             f"__cmat array<array<double>>, __cids array<{id_t}>",
         )
@@ -565,7 +568,8 @@ def _with_residual(
 
     spark = df.sparkSession
     mat = [[float(x) for x in row] for row in unit_mat]
-    mdf = spark.createDataFrame(
+    mdf = local_frame(
+        spark,
         [(mat, [str(i) for i in ids])],
         "__cmat array<array<double>>, __cids_s array<string>",
     )
@@ -854,7 +858,7 @@ def maintain_ivf_index(spark, index_path: str, changes: DataFrame) -> dict:
             F.col("centroid_id").isin(touched)
         )
     else:
-        old = spark.createDataFrame([], additions.schema)
+        old = local_frame(spark, [], additions.schema)
     kept = old.join(F.broadcast(removals), [id_col, "centroid_id"], "left_anti")
     # `kept` feeds BOTH the idempotence anti-join's build side below and
     # the union written out — without a materialization the touched-cell

@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from dbt_maxcompute_spark.localframe import local_frame
+
 # Small fixed stopword sets per language — the heuristic's lexicon.
 # Deliberately tiny: lang-ID here demonstrates the operator shape
 # (argmax over per-language token-hit counts); swap in real lexicons
@@ -212,9 +214,7 @@ def _sharded_str_map(spark, table: dict[str, float], col: str):
     for k, v in table.items():
         kk = str(k)
         shards[zlib.crc32(kk.encode()) % b][kk] = float(v)
-    wdf = spark.createDataFrame(
-        [(shards,)], f"{col} array<map<string,double>>"
-    )
+    wdf = local_frame(spark, [(shards,)], f"{col} array<map<string,double>>")
 
     def lookup(key: Column) -> Column:
         if b == 1:

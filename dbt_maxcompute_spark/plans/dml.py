@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dbt_maxcompute_spark.catalog import EngineCatalog, TableMeta, cluster_for_write
+from dbt_maxcompute_spark.localframe import local_frame
 
 _T, _S = "__dml_tgt_present", "__dml_src_present"
 
@@ -115,7 +116,8 @@ def _scope_to_partitions(df: DataFrame, pt_cols: list[str], parts: list[dict]) -
     if len(parts) <= _PARTITION_FILTER_MAX_LITERALS:
         return df.filter(_partition_filter(pt_cols, parts))
     spark = df.sparkSession
-    ptf = spark.createDataFrame(
+    ptf = local_frame(
+        spark,
         [tuple(p[c] for c in pt_cols) for p in parts],
         df.select(*pt_cols).schema,
     )
@@ -198,7 +200,7 @@ def _listed_partition_dirs(
     rows = [tuple(p[c] for c in pt) + (1,) for p in parts]
     try:
         try:
-            probe_df = spark.createDataFrame(rows, schema)
+            probe_df = local_frame(spark, rows, schema)
         except TypeError:
             # Mis-typed static partition values (e.g. '5' for an int
             # column) must keep degrading gracefully, not raise from the
@@ -213,7 +215,7 @@ def _listed_partition_dirs(
                 tuple(None if v is None else str(v) for v in r[:-1]) + (1,)
                 for r in rows
             ]
-            probe_df = spark.createDataFrame(str_rows, str_schema).select(
+            probe_df = local_frame(spark, str_rows, str_schema).select(
                 *[
                     F.col(f.name).cast(f.dataType).alias(f.name)
                     for f in fields

@@ -39,6 +39,7 @@ from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, functions as F
+from dbt_maxcompute_spark.localframe import local_frame
 
 if TYPE_CHECKING:
     from dbt_maxcompute_spark.catalog import EngineCatalog
@@ -1415,8 +1416,8 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         _, schema, pat = parsed
         schema = schema or catalog.default_schema
         rows = [(schema, t) for t in catalog.list_tables(schema, pat)]
-        return catalog.spark.createDataFrame(
-            rows, "table_schema string, table_name string"
+        return local_frame(
+            catalog.spark, rows, "table_schema string, table_name string"
         )
     if op == "show_schemas":
         _, pat = parsed
@@ -1432,8 +1433,8 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
                 re.IGNORECASE,
             )
             names = [n for n in names if rx.match(n)]
-        return catalog.spark.createDataFrame(
-            [(n,) for n in names], "schema_name string"
+        return local_frame(
+            catalog.spark, [(n,) for n in names], "schema_name string"
         )
     if op == "restore":
         _, tbl, ver, ts = parsed
@@ -1470,8 +1471,8 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
                     walk(_os.path.join(d, e), depth + 1, prefix + [e])
 
         walk(base, 0, [])
-        return catalog.spark.createDataFrame(
-            [(p,) for p in combos], "partition string"
+        return local_frame(
+            catalog.spark, [(p,) for p in combos], "partition string"
         )
     if op == "copy_into":
         import fnmatch as _fnmatch
@@ -1507,8 +1508,8 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
     if op == "show_tblprops":
         _, tbl = parsed
         props = catalog.meta(tbl).tblproperties or {}
-        return catalog.spark.createDataFrame(
-            sorted(props.items()), "key string, value string"
+        return local_frame(
+            catalog.spark, sorted(props.items()), "key string, value string"
         )
     if op == "describe_detail":
         import os as _os
@@ -1538,7 +1539,8 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         pt = list(meta.partition_by or [])
         if meta.auto_partition and meta.auto.generated_column not in pt:
             pt.append(meta.auto.generated_column)
-        return catalog.spark.createDataFrame(
+        return local_frame(
+            catalog.spark,
             [(
                 tbl,
                 meta.table_type,
@@ -1568,7 +1570,8 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
             (c, dt, comments.get(c), c in pt)
             for c, dt in catalog.columns(tbl)
         ]
-        return catalog.spark.createDataFrame(
+        return local_frame(
+            catalog.spark,
             rows,
             "col_name string, data_type string, comment string, "
             "is_partition boolean",
@@ -1577,7 +1580,8 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
         _, tbl = parsed
         t = _require_txn(catalog, tbl, "DESCRIBE HISTORY")
         hist = t.history()
-        return catalog.spark.createDataFrame(
+        return local_frame(
+            catalog.spark,
             [
                 (
                     int(e["version"]),
@@ -1593,8 +1597,8 @@ def execute_statement(catalog: "EngineCatalog", stmt: str) -> DataFrame | None:
 
 
 def _summary(catalog: "EngineCatalog", op: str, tbl: str, n: int) -> DataFrame:
-    return catalog.spark.createDataFrame(
-        [(op, tbl, n)], "operation string, table string, affected_rows bigint"
+    return local_frame(
+        catalog.spark, [(op, tbl, n)], "operation string, table string, affected_rows bigint"
     )
 
 
@@ -1867,7 +1871,7 @@ def _exec_create_table(catalog: "EngineCatalog", spec: dict) -> DataFrame:
     ddl = [f"{c['name']} {_spark_type(c['type'])}" for c in spec["columns"]]
     ddl += [f"{p['name']} {_spark_type(p['type'])}" for p in spec["partition_by"]]
     schema = StructType.fromDDL(", ".join(ddl))
-    empty = catalog.spark.createDataFrame([], schema)
+    empty = local_frame(catalog.spark, [], schema)
     props = dict(spec["tblproperties"])
     transactional = (
         spec["transactional"] or props.get("transactional", "").lower() == "true"

@@ -45,6 +45,7 @@ from dbt_maxcompute_spark.materializations.materialized_view import (
 from dbt_maxcompute_spark.materializations.raw import run_raw
 from dbt_maxcompute_spark.materializations.snapshot import run_snapshot
 from dbt_maxcompute_spark.sources.seeds import load_seed
+from dbt_maxcompute_spark.localframe import local_frame
 
 MATERIALIZATIONS = (
     "table",
@@ -398,7 +399,7 @@ def run_unit_test(
                 )
             return spark.createDataFrame([dict(r) for r in rows])
         if not rows:
-            return spark.createDataFrame([], target)
+            return local_frame(spark, [], target)
         keys = {k for r in rows for k in r}
         unknown = keys - {f.name for f in target}
         if unknown:
@@ -413,8 +414,8 @@ def run_unit_test(
             tuple(str(r.get(k)) if r.get(k) is not None else None for k in ordered)
             for r in rows
         ]
-        raw = spark.createDataFrame(
-            data, ", ".join(f"`{k}` string" for k in ordered)
+        raw = local_frame(
+            spark, data, ", ".join(f"`{k}` string" for k in ordered)
         )
         cols = []
         for f in target:
@@ -466,8 +467,8 @@ def run_unit_test(
             tuple(str(r.get(c)) if r.get(c) is not None else None for c in cols)
             for r in expect
         ]
-        raw = spark.createDataFrame(
-            data, ", ".join(f"`{c}` string" for c in cols)
+        raw = local_frame(
+            spark, data, ", ".join(f"`{c}` string" for c in cols)
         )
         expected = raw.select(
             *[

@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dbt_maxcompute_spark.sources.registry import load_table
+from dbt_maxcompute_spark.localframe import local_frame
 
 
 def _dsum(col, scale=6):
@@ -303,7 +304,8 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (mtime, mtime))
 
     def _one_row(ts, etype):
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             [(-1, ts, -1, etype, 0.0, "{}")],
             "event_id long, ts timestamp, user_id long, event_type string, "
             "value double, props string",
@@ -390,15 +392,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag="30 minutes", watermark="3650 days",
     )
     name = "stream_ivj_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    with sw.state_partition_scope(spark):
-        q = (
-            pairs.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    sw.run_available_now_append(pairs, name)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -456,7 +450,8 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
         hi = ev.agg(F.max("ts")).collect()[0][0]  # metadata-sized
-        sentinel = spark.createDataFrame(
+        sentinel = local_frame(
+            spark,
             [(-1, hi + datetime.timedelta(days=3701), -1, "sentinel", 0.0, "{}")],
             "event_id long, ts timestamp, user_id long, event_type string, "
             "value double, props string",
@@ -487,15 +482,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "session_start", "session_end", "session_value")
     )
     name = "stream_sess_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    with sw.state_partition_scope(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    sw.run_available_now_append(agg, name)
     seq = W.partitionBy("user_id").orderBy("session_start")
     return (
         spark.table(name)
@@ -617,7 +604,7 @@ def q_stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(tpath, ignore_errors=True)
     stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
     table = TxnTable(spark, tpath)
-    table.create(spark.createDataFrame([], stream.schema))
+    table.create(local_frame(spark, [], stream.schema))
 
     for _run in range(2):  # second run: fresh checkpoint, full redelivery
         ckpt = os.path.join(_bucket_warehouse(sf_dir), f"ckpt_{uuid.uuid4().hex}")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_maxcompute_spark.sources.registry import load_table
+from dbt_maxcompute_spark.localframe import local_frame
 
 
 def q_txn_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,8 +481,8 @@ def q_model_unit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture must win
     cat.create_table(
         "uorders",
-        spark.createDataFrame(
-            [(0, "Z", 0.0)], "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        local_frame(
+            spark, [(0, "Z", 0.0)], "o_orderkey bigint, o_orderstatus string, o_totalprice double"
         ),
     )
     model = (

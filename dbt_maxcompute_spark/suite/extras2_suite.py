@@ -15,6 +15,7 @@ from dbt_maxcompute_spark.operators import relevance, sampling, training
 from dbt_maxcompute_spark.operators import textanalysis as ta
 from dbt_maxcompute_spark.sources.registry import load_table
 from dbt_maxcompute_spark.suite.relational import _dsum
+from dbt_maxcompute_spark.localframe import local_frame
 
 _BUCKET_WAREHOUSES: dict[str, str] = {}
 
@@ -442,7 +443,8 @@ def q_catalog_ddl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for full in ("core.r1", "core.r3")
     }
     info = cat.info_schema().filter(F.col("table_schema") == "core")
-    sig_df = spark.createDataFrame(
+    sig_df = local_frame(
+        spark,
         [("r1", sig["core.r1"]), ("r3", sig["core.r3"]), ("v1", None)],
         "table_name string, cols_sig string",
     )
@@ -525,7 +527,8 @@ def q_ops_contract_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         invalid_raises = False
     except Exception:
         invalid_raises = True
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (
                 bool(0.0 <= age < 3600.0),
@@ -574,7 +577,8 @@ def q_ops_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.create_table("ttl_long", nation.limit(1), lifecycle=30)
     created = cat.meta("ttl_short").created_at
     dropped = cat.sweep_lifecycle(now=created + 2 * 86400)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (
                 bool(stats["files_before"] >= 4),
@@ -891,7 +895,8 @@ def q_skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,4)")
         .alias("rev"),
     )
-    dim = spark.createDataFrame(
+    dim = local_frame(
+        spark,
         [("A", "accepted"), ("N", "none"), ("R", "returned")],
         "l_returnflag string, flag_label string",
     )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_maxcompute_spark.sources.registry import load_table
+from dbt_maxcompute_spark.localframe import local_frame
 
 
 def q_sql_dml_script(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,7 +269,8 @@ def q_sql_maintenance_script(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM li"""
     ).collect()[0]
     last = hist[-1]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (
                 int(agg.n),

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_maxcompute_spark.sources.registry import load_table
+from dbt_maxcompute_spark.localframe import local_frame
 
 
 def q_model_hooks_script(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,7 +42,7 @@ def q_model_hooks_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.create_table("ord_src", base)
     cat.create_table(
         "on_model_hook",
-        spark.createDataFrame([], "test_state string, n bigint"),
+        local_frame(spark, [], "test_state string, n bigint"),
     )
     tz_before = spark.conf.get("spark.sql.session.timeZone")
 
@@ -416,8 +417,8 @@ def q_text_boilerplate_incremental(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("n_removed_lines").cast("bigint").alias("removed"),
         ).collect()[0]
         rows.append((k, agg["n_docs"], agg["chars"], agg["removed"]))
-    return spark.createDataFrame(
-        rows, "batch_id int, n_docs bigint, chars bigint, removed bigint"
+    return local_frame(
+        spark, rows, "batch_id int, n_docs bigint, chars bigint, removed bigint"
     ).orderBy("batch_id")
 
 

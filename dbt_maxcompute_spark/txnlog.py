@@ -45,6 +45,8 @@ import os
 import re
 import time
 import uuid
+
+from dbt_maxcompute_spark.localframe import local_frame
 from dataclasses import dataclass
 from typing import Any
 
@@ -923,7 +925,7 @@ class TxnTable:
             )
         else:
             # all-empty feed: same probe semantics (no key matches)
-            probe = self.spark.createDataFrame([], source.schema)
+            probe = local_frame(self.spark, [], source.schema)
         matched = (
             visible.join(F.broadcast(probe.select(*keys).distinct()), keys, "left_semi")
             .select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
@@ -1106,7 +1108,7 @@ class TxnTable:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(snap.schema_json))
-            return self.spark.createDataFrame([], schema)
+            return local_frame(self.spark, [], schema)
         paths = [os.path.join(self.path, f) for f in files]
         # the COMMITTED schema governs the read (Delta semantics): a
         # column added by a later commit backfills NULL for files
@@ -1442,7 +1444,7 @@ class TxnTable:
         use = snap.files if files is None else files
         if not use:
             schema = StructType.fromJson(json.loads(snap.schema_json))
-            empty = self.spark.createDataFrame([], schema)
+            empty = local_frame(self.spark, [], schema)
             return empty.withColumn("__f", F.lit(None).cast("string")).withColumn(
                 "__p", F.lit(None).cast("long")
             )
@@ -1957,7 +1959,7 @@ class TxnTable:
 
     def _read_dv(self, dv_file: str | None) -> DataFrame:
         if not dv_file:
-            return self.spark.createDataFrame([], "file string, pos long")
+            return local_frame(self.spark, [], "file string, pos long")
         return self.spark.read.schema("file string, pos long").parquet(
             os.path.join(self.path, dv_file)
         )
@@ -1973,7 +1975,7 @@ class TxnTable:
 
         if not files:
             schema = StructType.fromJson(json.loads(schema_json))
-            return self.spark.createDataFrame([], schema)
+            return local_frame(self.spark, [], schema)
         reader = self.spark.read
         if schema_json:
             reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
@@ -2043,8 +2045,8 @@ class TxnTable:
                 "left_anti",
             ).select(*cols)
         else:
-            added_vis = self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(schema_json))
+            added_vis = local_frame(
+                self.spark, [], StructType.fromJson(json.loads(schema_json))
             )
 
         # file lists are metadata-sized (they bound the pruned scans);
@@ -2320,7 +2322,7 @@ class TxnTable:
 
         if not files:
             schema = StructType.fromJson(json.loads(snap.schema_json))
-            return self.spark.createDataFrame([], schema)
+            return local_frame(self.spark, [], schema)
         paths = [os.path.join(self.path, f) for f in files]
         if snap.schema_json:
             schema = StructType.fromJson(json.loads(snap.schema_json))

@@ -222,3 +222,15 @@ def test_incremental_profile_delta_plan_is_bounded(spark, tmp_path, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "partial_sum" in plan or "HashAggregate" in plan
     assert "EvalPython" not in plan
+
+
+def test_delta_partitions_bounded_but_not_single_at_scale():
+    # round-13 verdict item 10: the delta funnel must stay a bounded
+    # small file count at declared shapes AND fan past one task for
+    # 1e6+ bucket profiles
+    from dbt_maxcompute_spark.operators.dsir import _delta_partitions
+
+    assert _delta_partitions(256) == 1
+    assert _delta_partitions(65536) == 1
+    assert _delta_partitions(1 << 20) == 16
+    assert _delta_partitions(1 << 30) == 32

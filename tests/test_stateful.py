@@ -148,3 +148,53 @@ def test_stateful_results_invariant_to_state_partitions(spark, sf_dir, tmp_path,
             for r in spark.table(name).collect()
         }
     assert got["narrow"] == got["inherit"]
+
+def test_stream_shuffle_partitions_derived_and_validated(spark, monkeypatch):
+    """Round-14: the streaming shuffle default derives from the session
+    (defaultParallelism/4 clamped to [4, 64]) instead of a box-tuned
+    literal; a malformed env override raises a clear error naming the
+    variable instead of an opaque planning failure mid-stream."""
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", raising=False)
+    par = spark.sparkContext.defaultParallelism
+    assert sw._stream_shuffle_partitions(spark) == max(4, min(64, par // 4))
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "auto")
+    assert sw._stream_shuffle_partitions(spark) == max(4, min(64, par // 4))
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "12")
+    assert sw._stream_shuffle_partitions(spark) == 12
+
+    for v in ("", "0", "inherit", "-3"):
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", v)
+        assert sw._stream_shuffle_partitions(spark) is None
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "eight")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"):
+        sw._stream_shuffle_partitions(spark)
+
+
+def test_state_partition_scope_serializes_concurrent_scopes(spark, monkeypatch):
+    """Two overlapping scopes must not interleave set/restore (round-13
+    ADVICE item 1): the module lock serializes them, so the session
+    value is intact after any concurrent pattern."""
+    import threading
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "5")
+
+    inner_values = []
+
+    def drain():
+        with sw.state_partition_scope(spark):
+            inner_values.append(spark.conf.get(key))
+
+    threads = [threading.Thread(target=drain) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert inner_values == ["5"] * 4
+    assert spark.conf.get(key) == before
