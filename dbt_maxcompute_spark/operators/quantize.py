@@ -240,7 +240,18 @@ def pq_lut(
     LUT[sub][j] = dot(unit subvector, codebook[sub][j]).  The ADC score
     of a coded row is sum(LUT[sub][code[sub]]) — an approximation of
     cosine because both sides were unit-normalized before coding.
-    Staged like pq_encode (see its docstring for why)."""
+    Staged like pq_encode (see its docstring for why).
+
+    Round-14: by default the LUT runs behind one Arrow stage
+    (vecmath.pq_lut_udf — identical IEEE fold order per subspace).
+    The literal-codebook fold form costs ~2 s of plan ANALYSIS alone
+    (m*ks*d0 literal nodes) before a single row is read; it remains
+    the USE_ARROW=False reference."""
+    from dbt_maxcompute_spark.operators import vecmath
+
+    if vecmath.USE_ARROW:
+        lut_udf = vecmath.pq_lut_udf(df.sparkSession, codebook)
+        return df.select(*df.columns, lut_udf(F.col(vec_col)).alias(out_col))
     m, d0 = len(codebook), len(codebook[0][0])
     cols = df.columns
     u = df.withColumn("__pq_u", _unit_expr(F.col(vec_col)))
@@ -254,7 +265,17 @@ def pq_lut(
 
 
 def pq_adc_score(lut: Column, codes: Column) -> Column:
-    """ADC: sum over subspaces of LUT[sub][code[sub]]."""
+    """ADC: sum over subspaces of LUT[sub][code[sub]].
+
+    Round-14: the fold is interpreted per SCORED row (the probed
+    cells' candidates — corpus-scale at 100 TB), so by default this
+    routes through the Arrow kernel (vecmath.adc_score_udf — identical
+    left-to-right fold). The fold form stays as the USE_ARROW=False
+    reference."""
+    from dbt_maxcompute_spark.operators import vecmath
+
+    if vecmath.USE_ARROW:
+        return vecmath.adc_score_udf(lut, codes)
     return F.aggregate(
         F.zip_with(lut, codes, lambda l, c: F.element_at(l, c + F.lit(1))),
         F.lit(0.0),

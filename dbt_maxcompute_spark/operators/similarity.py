@@ -471,38 +471,52 @@ def build_ivf_index(
     import json as _json
     import os as _os
 
-    centroids, assigned = ivf_assign(corpus, id_col, vec_col, num_centroids, seed)
-    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
-    ids = [r["centroid_id"] for r in cent]
-    unit_mat = [_unit([float(x) for x in r["centroid_vec"]]) for r in cent]
-    pq_meta = None
-    if pq_m:
-        from dbt_maxcompute_spark.operators import quantize
+    from pyspark.storagelevel import StorageLevel
 
-        if pq_residual:
-            cb = _residual_codebook(
-                assigned, id_col, vec_col, ids, unit_mat, pq_m, pq_ks, seed
-            )
-            assigned = _with_residual(assigned, vec_col, ids, unit_mat)
-            assigned = quantize.pq_encode(
-                assigned, "__pq_res", cb, out_col="__pq_codes", normalize=False
-            ).drop("__pq_res")
-        else:
-            cb = quantize.pq_codebook(
-                corpus, id_col, vec_col, m=pq_m, ks=pq_ks, seed=seed
-            )
-            assigned = quantize.pq_encode(
-                assigned, vec_col, cb, out_col="__pq_codes"
-            )
-        pq_meta = {
-            "m": pq_m, "ks": pq_ks, "codebook": cb, "residual": bool(pq_residual)
-        }
-    (
-        assigned.repartition("centroid_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(index_path)
-    )
+    # every build pays the corpus at least twice — the deterministic
+    # centroid pick (orderBy-hash top-C) and the assign+write pass —
+    # and a third time with pq_m (codebook sample). All evaluations
+    # happen INSIDE this call, so persist for its duration: one corpus
+    # materialization feeds every pass (guide §5; round-13 verdict item
+    # 2). Scan-shaped (no shuffle in the cached plan), so the cached-
+    # partitioning trap does not apply; MEMORY_AND_DISK spills rather
+    # than evicting on a corpus bigger than execution memory.
+    corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        centroids, assigned = ivf_assign(corpus, id_col, vec_col, num_centroids, seed)
+        cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+        ids = [r["centroid_id"] for r in cent]
+        unit_mat = [_unit([float(x) for x in r["centroid_vec"]]) for r in cent]
+        pq_meta = None
+        if pq_m:
+            from dbt_maxcompute_spark.operators import quantize
+
+            if pq_residual:
+                cb = _residual_codebook(
+                    assigned, id_col, vec_col, ids, unit_mat, pq_m, pq_ks, seed
+                )
+                assigned = _with_residual(assigned, vec_col, ids, unit_mat)
+                assigned = quantize.pq_encode(
+                    assigned, "__pq_res", cb, out_col="__pq_codes", normalize=False
+                ).drop("__pq_res")
+            else:
+                cb = quantize.pq_codebook(
+                    corpus, id_col, vec_col, m=pq_m, ks=pq_ks, seed=seed
+                )
+                assigned = quantize.pq_encode(
+                    assigned, vec_col, cb, out_col="__pq_codes"
+                )
+            pq_meta = {
+                "m": pq_m, "ks": pq_ks, "codebook": cb, "residual": bool(pq_residual)
+            }
+        (
+            assigned.repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(index_path)
+        )
+    finally:
+        corpus.unpersist()
     meta = {
         "ids": ids,
         "unit_mat": unit_mat,

@@ -186,6 +186,101 @@ def pq_codes_udf(spark, codebook: list[list[list[float]]], normalize: bool):
     return _enc
 
 
+def pq_lut_udf(spark, codebook: list[list[list[float]]]):
+    """vec -> array<array<double>> (m x ks) ADC lookup table — the
+    Arrow form of quantize.pq_lut: unit-normalize, slice into m
+    subvectors, LUT[s][j] = dot-fold(subvector, codebook[s][j]) in
+    dimension order. The fold form embeds the codebook as m*ks*d0
+    literal nodes whose ANALYSIS alone costs ~2 s per plan; here it
+    ships once per executor as a Spark broadcast and the plan carries
+    one expression. NULL vec -> m arrays of ks NULLs (what the fold's
+    zip_with-null propagation yields)."""
+    cb = [np.asarray(sub, dtype=np.float64) for sub in codebook]
+    m = len(cb)
+    ks = cb[0].shape[0]
+    d0 = cb[0].shape[1]
+    bc = spark.sparkContext.broadcast(cb)
+
+    @F.pandas_udf("array<array<double>>")
+    def _lut(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cbv = bc.value
+        null_row = [[None] * ks for _ in range(m)]
+        for vecs in batches:
+            X, ok = _stack_f64(vecs)
+            n = len(vecs)
+            out: list = [null_row] * n
+            if X is not None:
+                U = _unit_rows(X)
+                luts = np.empty((n, m, ks), dtype=np.float64)
+                for s in range(m):
+                    luts[:, s, :] = _dots_matrix(
+                        U[:, s * d0 : (s + 1) * d0], cbv[s]
+                    )
+                out = [
+                    luts[i].tolist() if ok[i] else null_row for i in range(n)
+                ]
+            yield pd.Series(out)
+
+    return _lut
+
+
+#: lazily-built singleton (same device as _COSINE_UDF below)
+_ADC_UDF = None
+
+
+def adc_score_udf(lut: Column, codes: Column) -> Column:
+    """(lut m x ks, codes m ints) -> double — the Arrow form of
+    quantize.pq_adc_score's fold ``acc <- acc + lut[s][codes[s]]`` in
+    subspace order. The fold is interpreted per SCORED row (the probed
+    cells' candidates — corpus-scale at 100 TB), m element_at walks
+    each; here one numpy gather per batch. NULL lut/codes (or a NULL
+    code element) -> NULL, matching element_at-over-null's propagation
+    through the fold."""
+    global _ADC_UDF
+    if _ADC_UDF is None:
+        _ADC_UDF = F.pandas_udf(_adc_batches, "double")
+    return _ADC_UDF(lut, codes)
+
+
+def _adc_batches(
+    batches: Iterator[Tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    for lut, codes in batches:
+        n = len(lut)
+        lv, cv = lut.values, codes.values
+        ok = np.empty(n, dtype=bool)
+        crows: list = [None] * n
+        for i in range(n):
+            li, ci = lv[i], cv[i]
+            if li is None or ci is None:
+                ok[i] = False
+                continue
+            # a NULL code element arrives as None (object array) or NaN
+            # (float array) depending on Arrow's conversion — both mean
+            # the fold would yield NULL
+            ca = np.asarray(ci, dtype=np.float64)
+            crows[i] = ca
+            ok[i] = not np.isnan(ca).any()
+        out = np.full(n, np.nan)
+        if ok.any():
+            idx = np.flatnonzero(ok)
+            # Arrow yields each lut row as an object array of per-sub
+            # arrays — concatenate per row (C-speed), then one reshape
+            flat = [
+                np.concatenate([np.asarray(s, dtype=np.float64) for s in lv[i]])
+                for i in idx
+            ]
+            C = np.asarray([crows[i] for i in idx]).astype(np.int64)
+            m = C.shape[1]
+            L = np.asarray(flat, dtype=np.float64).reshape(len(idx), m, -1)
+            acc = np.zeros(len(idx), dtype=np.float64)
+            rows = np.arange(len(idx))
+            for s in range(m):
+                acc = acc + L[rows, s, C[:, s]]
+            out[idx] = acc
+        yield pd.Series(out, dtype="float64")
+
+
 #: lazily-built singleton — pandas_udf parses its return type against
 #: the ACTIVE session, so the decorator cannot run at import time
 _COSINE_UDF = None

@@ -248,6 +248,12 @@ def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = similarity.ivfpq_indexed_topk(
         spark, idx, queries, k=k, nprobe=10, cand_mult=32
     )
+    # the search frame feeds BOTH the recall/mismatch check and the
+    # returned agg below — a lazy localCheckpoint materializes the
+    # k*|queries|-row result at its first action so the full search
+    # pipeline (corpus-scale assign/encode/score) executes once, not
+    # per consumer (guide §5; same device as the CC label rounds)
+    pq = pq.localCheckpoint(eager=False)
     brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
     hits = (
         pq.join(
@@ -298,6 +304,12 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = similarity.ivfpq_indexed_topk(
         spark, idx, queries, k=k, nprobe=10, cand_mult=32
     )
+    # the search frame feeds BOTH the recall/mismatch check and the
+    # returned agg below — a lazy localCheckpoint materializes the
+    # k*|queries|-row result at its first action so the full search
+    # pipeline (corpus-scale assign/encode/score) executes once, not
+    # per consumer (guide §5; same device as the CC label rounds)
+    pq = pq.localCheckpoint(eager=False)
     brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
     hits = (
         pq.join(

@@ -116,6 +116,12 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", idx_path, num_centroids=16
     )
     indexed = similarity.ivf_indexed_topk(spark, idx_path, queries, k=k, nprobe=12)
+    # the search frame feeds BOTH the recall/mismatch check and the
+    # returned agg below — a lazy localCheckpoint materializes the
+    # k*|queries|-row result at its first action so the full search
+    # pipeline (corpus-scale assign/encode/score) executes once, not
+    # per consumer (guide §5; same device as the CC label rounds)
+    indexed = indexed.localCheckpoint(eager=False)
     inline = similarity.ivf_topk(
         emb, queries, "vec_id", "embedding", k=k, num_centroids=16, nprobe=12
     )

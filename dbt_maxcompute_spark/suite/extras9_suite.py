@@ -189,6 +189,12 @@ def q_ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = base.filter(F.col("vec_id").isin(1, 2, 3))
     got = similarity.ivf_indexed_topk(spark, idx, queries, k=5, nprobe=3)
+    # the search frame feeds BOTH the recall/mismatch check and the
+    # returned agg below — a lazy localCheckpoint materializes the
+    # k*|queries|-row result at its first action so the full search
+    # pipeline (corpus-scale assign/encode/score) executes once, not
+    # per consumer (guide §5; same device as the CC label rounds)
+    got = got.localCheckpoint(eager=False)
     want = similarity.ivf_indexed_topk(spark, fresh, queries, k=5, nprobe=3)
     n_mismatch = (
         got.withColumn("__s", F.lit(1))

@@ -279,6 +279,12 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding",
         k=k, num_centroids=16, nprobe=10, m=8, ks=32, cand_mult=32,
     )
+    # the search frame feeds BOTH the recall/mismatch check and the
+    # returned agg below — a lazy localCheckpoint materializes the
+    # k*|queries|-row result at its first action so the full search
+    # pipeline (corpus-scale assign/encode/score) executes once, not
+    # per consumer (guide §5; same device as the CC label rounds)
+    pq = pq.localCheckpoint(eager=False)
     brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
     hits = (
         pq.join(
@@ -396,6 +402,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.ivf_topk(
         emb, queries, "vec_id", "embedding", k=k, num_centroids=16, nprobe=12
     )
+    # the search frame feeds BOTH the recall/mismatch check and the
+    # returned agg below — a lazy localCheckpoint materializes the
+    # k*|queries|-row result at its first action so the full search
+    # pipeline (corpus-scale assign/encode/score) executes once, not
+    # per consumer (guide §5; same device as the CC label rounds)
+    ivf = ivf.localCheckpoint(eager=False)
     brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
     hits = (
         ivf.join(
@@ -445,6 +457,12 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = similarity.pq_topk(
         emb, queries, "vec_id", "embedding", k=k, m=8, ks=32, cand_mult=24
     )
+    # the search frame feeds BOTH the recall/mismatch check and the
+    # returned agg below — a lazy localCheckpoint materializes the
+    # k*|queries|-row result at its first action so the full search
+    # pipeline (corpus-scale assign/encode/score) executes once, not
+    # per consumer (guide §5; same device as the CC label rounds)
+    pq = pq.localCheckpoint(eager=False)
     brute = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
     hits = (
         pq.join(

@@ -160,3 +160,68 @@ def test_kmeans_assign_and_profile_bit_identical(spark, sf_dir, emb_with_edges):
         ]
     )
     assert a == b
+
+
+def test_pq_lut_bit_identical(spark, sf_dir, emb_with_edges):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = quantize.pq_codebook(emb, "vec_id", "embedding", m=8, ks=16, seed=42)
+
+    def lut_rows():
+        return (
+            quantize.pq_lut(
+                emb_with_edges.select("vec_id", "embedding"), "embedding", cb
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+
+    a, b = _both(lut_rows)
+    assert repr(a) == repr(b)
+
+
+def test_adc_score_bit_identical(spark, sf_dir, emb_with_edges):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = quantize.pq_codebook(emb, "vec_id", "embedding", m=8, ks=16, seed=42)
+
+    def scored_rows():
+        coded = quantize.pq_encode(
+            emb_with_edges.select("vec_id", "embedding"), "embedding", cb
+        )
+        lut = quantize.pq_lut(
+            emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("qid"), "embedding"
+            ),
+            "embedding",
+            cb,
+        ).select("qid", "__lut")
+        return (
+            coded.crossJoin(F.broadcast(lut))
+            .select(
+                "vec_id",
+                "qid",
+                quantize.pq_adc_score(F.col("__lut"), F.col("__codes")).alias("s"),
+            )
+            .orderBy("vec_id", "qid")
+            .collect()
+        )
+
+    a, b = _both(scored_rows)
+    assert repr(a) == repr(b)
+
+
+def test_ivfpq_topk_arrow_and_fold_agree(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    def run():
+        return (
+            similarity.ivfpq_topk(
+                emb, queries, "vec_id", "embedding",
+                k=5, num_centroids=8, nprobe=4, m=8, ks=16, cand_mult=8,
+            )
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+
+    a, b = _both(run)
+    assert repr(a) == repr(b)
