@@ -64,66 +64,66 @@ _SUITES = [
 ]
 
 # Query order is driver-visible: the driver's CORRECTNESS gate checks the
-# FIRST 50 ``queries()`` entries only. Round 13 rotation: the 2 NEW
-# round-13 queries lead, then the 4 rows whose CODE PATH changed this
-# round (LM slice clamp + order-1 special case, substring-dedup
-# explode_outer policy, commit-timestamp quantization), then ALL 44
-# r9-stale rows the round-12 verdict queued (freshness floor r9 -> r10)
-# — 2 + 4 + 44 = exactly the 50-row window.
+# FIRST 50 ``queries()`` entries only. Round 14 rotation (round-13
+# verdict item 9): 4 rows whose code paths changed MOST this round
+# (Arrow PQ LUT/ADC kernels, IVF build persist + reused-search
+# checkpoint, one-partition local fixture frames in the stream
+# staging), then ALL 46 now-stalest rows (last driver-checked r10 —
+# the cohort the r13 window rotated out) — 4 + 46 = exactly the
+# 50-row window. Freshness floor moves r10 -> r11.
 _PRIORITY = [
-    # new in round 13 — must be driver-checked
-    "classifier_vocab_100k",
-    "dsir_incremental_profile",
-    # code paths changed in round 13
-    "lm_perplexity_filter",
-    "lm_train_ngram_counts",
-    "dedup_substring_chunks",
-    "txn_restore",
-    # the 44 r9-stale rows (round-12 verdict item 1)
-    "contracts_not_null",
-    "curation_filter_funnel",
-    "decimal_fidelity",
-    "dedup_cluster_components",
-    "dedup_exact_documents",
-    "dedup_incremental_batch",
-    "dedup_keep_canonical",
-    "dedup_lsh_recall_pinned",
-    "dedup_minhash_lsh",
-    "dedup_semantic_clusters",
-    "dedup_simhash_pairs",
-    "dedup_token_jaccard_pairs",
-    "doc_length_histogram",
-    "emb_cosine_dup_pairs",
-    "emb_cosine_exact_pairs",
-    "emb_kmeans_profile",
-    "emb_quantize_int8",
-    "events_asof_last_purchase",
-    "events_range_click_error",
-    "events_sessionize",
-    "events_sliding_windows",
-    "events_tumbling_hourly",
-    "fn_array_ops",
-    "group_split_leakage_safe",
-    "model_hooks_script",
-    "mv_rewrite_view",
-    "text_boilerplate_incremental",
-    "text_boilerplate_removal",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_small_part_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_late_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "txn_change_feed",
-    "txn_incremental_merge",
+    # code paths changed most in round 14
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "ann_ivf_rebalance",
+    "stream_late_data_drop",
+    # the 46 r10-stale rows (round-13 verdict item 9)
+    "ann_brute_force_cosine",
+    "ann_ivfpq_indexed_topk",
+    "ann_ivfpq_residual_topk",
+    "bucketed_colocated_join",
+    "catalog_ddl_audit",
+    "dsir_profile_counts",
+    "dsir_topk_selection",
+    "incr_append_partitioned",
+    "incr_delete_insert_lineitem",
+    "incr_merge_orders",
+    "model_unit_test",
+    "model_unit_test_cte",
+    "multimodal_features",
+    "multimodal_metadata",
+    "mv_auto_rewrite",
+    "mv_rewrite_containment",
+    "mv_rewrite_join_alias",
+    "sample_domain_quota",
+    "sample_quality_weighted",
+    "sample_stratified_lang",
+    "sql_copy_into",
+    "sql_ddl_statement_script",
+    "sql_dml_script",
+    "sql_merge_dv_script",
+    "stream_txn_upsert",
+    "text_chunking",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_redaction",
+    "text_repetition",
+    "text_stats",
+    "text_tfidf_top_terms",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_lateness_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tuple_in_subquery",
+    "txn_dv_upsert",
+    "txn_file_skipping",
+    "txn_optimize_bytes",
+    "txn_schema_evolution",
+    "txn_zorder_skipping",
+    "window_running_revenue",
+    "window_top_orders_per_segment",
 ]
 
 
