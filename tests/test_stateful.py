@@ -198,3 +198,41 @@ def test_state_partition_scope_serializes_concurrent_scopes(spark, monkeypatch):
         t.join()
     assert inner_values == ["5"] * 4
     assert spark.conf.get(key) == before
+
+
+def test_late_data_drop_trigger_count_pinned(spark, sf_dir):
+    """The late-data row's 4 staged files + the availableNow no-data
+    finality batch are its SEMANTICS (watermark commit boundaries) —
+    round-14 pins the trigger count so no optimization can quietly
+    collapse micro-batches (round-13 verdict item 1)."""
+    import json
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from dbt_maxcompute_spark.suite.events_suite import q_stream_late_data_drop
+
+    batches = []
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            batches.append(json.loads(event.progress.json).get("batchId"))
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    try:
+        out = q_stream_late_data_drop(spark, sf_dir)
+        assert out.count() > 0
+    finally:
+        spark.streams.removeListener(listener)
+    # 4 data batches (one per staged file under maxFilesPerTrigger=1)
+    # + 1 no-data finality batch that commits the sentinel watermark
+    assert sorted(batches) == [0, 1, 2, 3, 4]
