@@ -154,8 +154,16 @@ def q_ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = tempfile.mkdtemp(prefix="rebal_") + "/index"
     similarity.build_ivf_index(base, "vec_id", "embedding", idx, num_centroids=8)
 
-    v = base.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
-    n = base.count()
+    # one pass for both fixture scalars (vec_id is unique, so the
+    # ignorenulls-first IS the vec_id==1 embedding): previously a
+    # filter+collect scan plus a count scan
+    fx = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(
+            F.when(F.col("vec_id") == 1, F.col("embedding")), ignorenulls=True
+        ).alias("v"),
+    ).collect()[0]
+    v, n = fx["v"], fx["n"]
     dup = spark.range(1_000_000, 1_000_000 + 3 * n).select(
         F.col("id").alias("vec_id"),
         F.lit([float(x) for x in v]).cast("array<float>").alias("embedding"),
