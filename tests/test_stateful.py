@@ -231,6 +231,13 @@ def test_late_data_drop_trigger_count_pinned(spark, sf_dir):
     try:
         out = q_stream_late_data_drop(spark, sf_dir)
         assert out.count() > 0
+        # listener delivery is ASYNC (an event bus) — the finality
+        # batch's progress event can land after the drain returns
+        import time
+
+        t0 = time.time()
+        while len(batches) < 5 and time.time() - t0 < 30:
+            time.sleep(0.2)
     finally:
         spark.streams.removeListener(listener)
     # 4 data batches (one per staged file under maxFilesPerTrigger=1)
