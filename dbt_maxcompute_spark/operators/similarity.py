@@ -311,6 +311,25 @@ def _unit(vs: list[float]) -> list[float]:
     return [x / n for x in vs] if n > 0 else [0.0] * len(vs)
 
 
+def _centroid_rows(
+    corpus: DataFrame, id_col: str, vec_col: str, num_centroids: int, seed: int
+) -> tuple[DataFrame, list]:
+    """Deterministic centroid pick (num_centroids smallest
+    xxhash64(id, seed) rows) — ONE collect shared by every consumer.
+    Round-14: ivf_assign collected this internally and ivf_topk /
+    ivfpq_topk / build_ivf_index each re-collected the same frame — a
+    duplicate full-scan top-C job per call (guide §1.2: don't read what
+    you already read). Returns (centroids frame, id-sorted rows)."""
+    ranked = corpus.withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
+    centroids = (
+        ranked.orderBy("__r")
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"))
+    )
+    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    return centroids, cent
+
+
 def ivf_assign(
     corpus: DataFrame, id_col: str, vec_col: str, num_centroids: int = 16, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:
@@ -332,13 +351,7 @@ def ivf_assign(
     column. At 100 TB: persist `assigned` partitioned by centroid_id so
     probes prune partitions; the assignment pass is the one full scan.
     """
-    ranked = corpus.withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
-    centroids = (
-        ranked.orderBy("__r")
-        .limit(num_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"))
-    )
-    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    centroids, cent = _centroid_rows(corpus, id_col, vec_col, num_centroids, seed)
     ids = [r["centroid_id"] for r in cent]
     unit_mat = [_unit([float(x) for x in r["centroid_vec"]]) for r in cent]
     assigned = _assign_cells(corpus, vec_col, ids, unit_mat)
@@ -398,10 +411,10 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
-    centroids, assigned = ivf_assign(corpus, id_col, vec_col, num_centroids, seed)
-    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    _, cent = _centroid_rows(corpus, id_col, vec_col, num_centroids, seed)
     ids = [r["centroid_id"] for r in cent]
     unit_mat = [_unit([float(x) for x in r["centroid_vec"]]) for r in cent]
+    assigned = _assign_cells(corpus, vec_col, ids, unit_mat)
 
     # Probe selection is a pure projection too: per query, sort the
     # (sim, negated-matrix-index) array and slice the top nprobe — no
@@ -483,10 +496,10 @@ def build_ivf_index(
     # than evicting on a corpus bigger than execution memory.
     corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        centroids, assigned = ivf_assign(corpus, id_col, vec_col, num_centroids, seed)
-        cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+        _, cent = _centroid_rows(corpus, id_col, vec_col, num_centroids, seed)
         ids = [r["centroid_id"] for r in cent]
         unit_mat = [_unit([float(x) for x in r["centroid_vec"]]) for r in cent]
+        assigned = _assign_cells(corpus, vec_col, ids, unit_mat)
         pq_meta = None
         if pq_m:
             from dbt_maxcompute_spark.operators import quantize
@@ -1251,10 +1264,10 @@ def ivfpq_topk(
 
     from dbt_maxcompute_spark.operators import quantize
 
-    centroids, assigned = ivf_assign(corpus, id_col, vec_col, num_centroids, seed)
-    cent = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    _, cent = _centroid_rows(corpus, id_col, vec_col, num_centroids, seed)
     ids = [r["centroid_id"] for r in cent]
     unit_mat = [_unit([float(x) for x in r["centroid_vec"]]) for r in cent]
+    assigned = _assign_cells(corpus, vec_col, ids, unit_mat)
     cb = quantize.pq_codebook(corpus, id_col, vec_col, m=m, ks=ks, seed=seed)
 
     coded = quantize.pq_encode(
