@@ -2104,6 +2104,16 @@ class TxnTable:
                 return F.unix_timestamp(F_col(c)).cast("double")
             return F_col(c).cast("double")
 
+        def _as_double_sql(c: str) -> str:
+            f = df.schema[c].dataType
+            if isinstance(f, DateType):
+                return (
+                    f"CAST(DATEDIFF(`{c}`, CAST('1970-01-01' AS DATE)) AS DOUBLE)"
+                )
+            if isinstance(f, TimestampType):
+                return f"CAST(UNIX_TIMESTAMP(`{c}`) AS DOUBLE)"
+            return f"CAST(`{c}` AS DOUBLE)"
+
         casted = [_as_double(c) for c in cols]
         probe = df.select(*[e.alias(f"__zc{i}") for i, e in enumerate(casted)])
         probs = [j / nb for j in range(1, nb)]
@@ -2118,32 +2128,43 @@ class TxnTable:
             )
 
         z = F.lit(0).cast("long")
-        for i, e in enumerate(casted):
+        for i, c in enumerate(cols):
             if not bounds[i]:
                 # all-null (or uncastable) column: no quantile bounds —
                 # it contributes rank 0 everywhere, so skip its bits
                 continue
             bl = bounds[i]
+            e_sql = _as_double_sql(c)
 
             # Rank = upper_bound(sorted boundaries, e) = the fold count
-            # of boundaries <= e, found by a balanced F.when binary
+            # of boundaries <= e, found by a balanced CASE binary
             # search whose leaves return the rank's bit-interleaved
             # contribution as a precomputed literal: O(bits)
             # codegen-able comparisons per row, versus the O(2**bits)
-            # interpreted HOF fold (with ``bits`` re-evaluations) this
-            # replaces. Ranks are bit-identical, including NaN (> any
-            # boundary in Spark ordering, so it falls through to the
-            # max-rank leaf exactly as the fold counted it).
-            def _tree(lo: int, hi: int, dim: int):
+            # interpreted HOF fold this replaced in round 13. Round 14:
+            # the tree is generated as ONE SQL string parsed by a
+            # single F.expr call — the F.when/otherwise builder made
+            # ~2*(2**bits) py4j round trips per column (~3 s of DRIVER
+            # time per OPTIMIZE at bits=8; guide §5.3). The parsed tree
+            # is the identical expression: same comparisons, same
+            # literal leaves, same NaN fall-through to the max-rank
+            # leaf (NaN > every boundary in Spark ordering), same NULL
+            # guard. Boundary literals ride as CAST('<repr>' AS
+            # DOUBLE): Python repr round-trips through Java's parser to
+            # the identical binary64.
+            def _tree_sql(lo: int, hi: int, dim: int) -> str:
                 if lo == hi:
-                    return F.lit(_spread(lo, dim)).cast("long")
+                    return f"{_spread(lo, dim)}L"
                 mid = (lo + hi) // 2
-                return F.when(e < F.lit(bl[mid]), _tree(lo, mid, dim)).otherwise(
-                    _tree(mid + 1, hi, dim)
+                b = f"CAST('{bl[mid]!r}' AS DOUBLE)"
+                return (
+                    f"(CASE WHEN {e_sql} < {b} THEN {_tree_sql(lo, mid, dim)} "
+                    f"ELSE {_tree_sql(mid + 1, hi, dim)} END)"
                 )
 
-            contrib = F.when(e.isNull(), F.lit(0).cast("long")).otherwise(
-                _tree(0, len(bl), i)
+            contrib = F.expr(
+                f"(CASE WHEN {e_sql} IS NULL THEN 0L "
+                f"ELSE {_tree_sql(0, len(bl), i)} END)"
             )
             z = z + contrib
         return z
@@ -2290,7 +2311,18 @@ class TxnTable:
             if k >= len(candidates):
                 return snap.version  # packing would not shrink: no-op
             df = self._read_files(snap, candidates)
+        persisted = None
         if cluster_by and zorder and len(cluster_by) > 1:
+            # the z-key's quantile probe evaluates `df` and the staged
+            # write re-reads it — persist for the rewrite's duration so
+            # the DV-aware read runs once, not twice (guide §5.1; at
+            # 100 TB the second full-table read IS the removable cost).
+            # Scan-shaped plan (pruned read + broadcast DV anti-join),
+            # so the cached-partitioning trap does not apply — the
+            # explicit repartitionByRange below defines the layout.
+            from pyspark.storagelevel import StorageLevel
+
+            persisted = df = df.persist(StorageLevel.MEMORY_AND_DISK)
             z = self._zorder_key(df, cluster_by, zorder_bits)
             out = (
                 df.withColumn("__z", z)
@@ -2306,7 +2338,11 @@ class TxnTable:
         # reads were DV-aware, so the rewrite MATERIALIZES the touched
         # files' outstanding row-level deletes; the vector clears only
         # when no untouched file could still carry entries
-        adds = self._stage_files(out)
+        try:
+            adds = self._stage_files(out)
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         removes = [{"remove": f} for f in candidates]
         actions = adds + removes
         if set(candidates) == set(snap.files):
