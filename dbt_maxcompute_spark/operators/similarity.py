@@ -212,6 +212,23 @@ def _sims_col(vec: Column, mat: Column) -> Column:
     )
 
 
+def _lit_matrix(mat: list[list[float]]) -> Column:
+    """C x dim literal double matrix built by ONE SQL parse.
+
+    ``F.array(*[F.array(*[F.lit(x) ...])])`` makes C*dim+C py4j round
+    trips — measured 2-7 s of pure DRIVER time at 16x64 (round 14;
+    guide §5.3) — and ``F.lit(nested_list)`` recurses element-wise so
+    it costs the same. One ``F.expr`` string parses in ~5 ms and
+    constant-folds to the IDENTICAL double literals: Python ``repr``
+    round-trips through Java's parser to the same binary64 (pinned
+    bit-identical against the element-wise form in tests)."""
+    body = ",".join(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row) + ")"
+        for row in mat
+    )
+    return F.expr(f"array({body})")
+
+
 def _unit_sims_expr(vec: Column, unit_mat: list[list[float]]) -> Column:
     """Literal-matrix form of :func:`_sims_col` — QUERY-SIDE ONLY
     (probe selection over a |queries|-bounded frame). Corpus-scale
@@ -222,8 +239,7 @@ def _unit_sims_expr(vec: Column, unit_mat: list[list[float]]) -> Column:
     and codegen blow up long before data does (the measured cliff in
     ``bloomjoin.LITERAL_MAX_BITS`` and the rationale on
     ``clustering._with_matrix``)."""
-    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in unit_mat])
-    return _sims_col(vec, mat)
+    return _sims_col(vec, _lit_matrix(unit_mat))
 
 
 def _ids_sql_type(ids: list) -> str | None:
@@ -560,9 +576,7 @@ def _residual_expr(vec_col: str, ids: list, unit_mat: list[list[float]]):
     (post-assignment)."""
     from dbt_maxcompute_spark.operators.quantize import _unit_expr
 
-    cmat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in unit_mat]
-    )
+    cmat = _lit_matrix(unit_mat)
     # match on the STRING form of the id: a hive-partitioned index read
     # surfaces centroid_id as string when partition-type inference is
     # off, while the sidecar ids are native — canonicalizing both sides

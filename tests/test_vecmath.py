@@ -225,3 +225,33 @@ def test_ivfpq_topk_arrow_and_fold_agree(spark, sf_dir):
 
     a, b = _both(run)
     assert repr(a) == repr(b)
+
+
+def test_lit_matrix_bit_identical_to_elementwise(spark):
+    """_lit_matrix builds the C x dim literal matrix with ONE SQL parse
+    (round-14 driver-time fix: the F.array(F.lit...) form costs C*dim+C
+    py4j round trips, ~1 s per 16x64 probe). The repr->CAST('..' AS
+    DOUBLE) round trip must reproduce the exact binary64 of every
+    element, including negative zero, denormals, and max-magnitude
+    doubles — compare raw bit patterns, not ==."""
+    import struct
+
+    vals = [
+        -0.0, 0.0, 5e-324, 1.7976931348623157e308, 0.1, 1 / 3,
+        -2.2250738585072014e-308, 123456789.123456789, -1e-15,
+        0.30000000000000004, 2.0 ** -1074 * 3, 9007199254740993.0,
+        -1.0, 2.5, 1e16 + 2, 7.2,
+    ]
+    mat = [vals[i : i + 4] for i in range(0, len(vals), 4)]
+    elementwise = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in mat]
+    )
+    parsed = similarity._lit_matrix(mat)
+    row = spark.range(1).select(
+        elementwise.alias("a"), parsed.alias("b")
+    ).first()
+
+    def bits(m):
+        return [[struct.pack("<d", x) for x in r] for r in m]
+
+    assert bits(row["a"]) == bits(row["b"])
