@@ -242,6 +242,40 @@ def _unit_sims_expr(vec: Column, unit_mat: list[list[float]]) -> Column:
     return _sims_col(vec, _lit_matrix(unit_mat))
 
 
+def _neg_idx_arr(n: int) -> Column:
+    """``array(0L, -1L, ..., -(n-1)L)`` in ONE SQL parse — the
+    ``F.array(*[F.lit(-i).cast("long") ...])`` form costs 3n+1 py4j
+    round trips per probe construction (same §5.3 device and exactness
+    argument as :func:`_lit_matrix`; integer literals render exactly)."""
+    if n == 0:
+        return F.array().cast("array<long>")
+    return F.expr("array(" + ",".join(f"{-i}L" for i in range(n)) + ")")
+
+
+def _lit_ids(ids: list, as_string: bool = False) -> Column:
+    """Id lookup array in ONE SQL parse when the ids render exactly:
+    ints within the type :func:`_ids_sql_type` reports, or strings
+    drawn from a quote-free charset. Anything else falls back to the
+    element-wise ``F.lit`` form (C py4j calls — correct, just slower),
+    so the rendered path never has to reason about SQL escaping."""
+    import re
+
+    vals = [str(i) for i in ids] if as_string else list(ids)
+    t = _ids_sql_type(vals)
+    if ids and t in ("int", "long"):
+        sfx = "L" if t == "long" else ""
+        return F.expr(
+            "array(" + ",".join(f"{int(i)}{sfx}" for i in vals) + ")"
+        )
+    if ids and t == "string" and all(
+        re.fullmatch(r"[A-Za-z0-9_\-:. ]*", s) for s in vals
+    ):
+        return F.expr(
+            "array(" + ",".join(f"'{s}'" for s in vals) + ")"
+        )
+    return F.array(*[F.lit(i) for i in vals])
+
+
 def _ids_sql_type(ids: list) -> str | None:
     """Spark SQL element type matching what ``F.lit(id)`` would have
     produced for every id — so the broadcast-frame lookup yields the
@@ -392,10 +426,10 @@ def _probe_frame(
     sims = _unit_sims_expr(F.col("__qv"), unit_mat)
     structs = F.zip_with(
         sims,
-        F.array(*[F.lit(-i).cast("long") for i in range(len(ids))]),
+        _neg_idx_arr(len(ids)),
         lambda s, nidx: F.struct(s.alias("s"), nidx.alias("nidx")),
     )
-    id_arr = F.array(*[F.lit(i) for i in ids])
+    id_arr = _lit_ids(ids)
     return (
         q.withColumn(
             "__p", F.explode(F.slice(F.sort_array(structs, asc=False), 1, nprobe))
@@ -582,7 +616,7 @@ def _residual_expr(vec_col: str, ids: list, unit_mat: list[list[float]]):
     # off, while the sidecar ids are native — canonicalizing both sides
     # keeps the lookup type-agnostic (int/long/string ids alike)
     pos = F.array_position(
-        F.array(*[F.lit(str(i)) for i in ids]),
+        _lit_ids(ids, as_string=True),
         F.col("centroid_id").cast("string"),
     )
     cvec = F.element_at(cmat, pos.cast("int"))
@@ -1108,10 +1142,10 @@ def ivfpq_indexed_topk(
     sims = _unit_sims_expr(F.col("__qv"), unit_mat)
     structs = F.zip_with(
         sims,
-        F.array(*[F.lit(-i).cast("long") for i in range(len(ids))]),
+        _neg_idx_arr(len(ids)),
         lambda s, nidx: F.struct(s.alias("s"), nidx.alias("nidx")),
     )
-    id_arr = F.array(*[F.lit(i) for i in ids])
+    id_arr = _lit_ids(ids)
     probes = q.withColumn(
         "__p", F.explode(F.slice(F.sort_array(structs, asc=False), 1, nprobe))
     ).select(
@@ -1304,10 +1338,10 @@ def ivfpq_topk(
     sims = _unit_sims_expr(F.col("__qv"), unit_mat)
     structs = F.zip_with(
         sims,
-        F.array(*[F.lit(-i).cast("long") for i in range(len(ids))]),
+        _neg_idx_arr(len(ids)),
         lambda s, nidx: F.struct(s.alias("s"), nidx.alias("nidx")),
     )
-    id_arr = F.array(*[F.lit(i) for i in ids])
+    id_arr = _lit_ids(ids)
     probes = q.withColumn(
         "__p", F.explode(F.slice(F.sort_array(structs, asc=False), 1, nprobe))
     ).select(

@@ -255,3 +255,58 @@ def test_lit_matrix_bit_identical_to_elementwise(spark):
         return [[struct.pack("<d", x) for x in r] for r in m]
 
     assert bits(row["a"]) == bits(row["b"])
+
+
+def test_lit_ids_and_neg_idx_match_elementwise(spark):
+    """_lit_ids/_neg_idx_arr (one SQL parse per array) must reproduce
+    the element-wise F.lit forms exactly — values AND column types,
+    since element_at's result type feeds the declared schemas."""
+    cases = [
+        [1, 2, 3],                                   # int
+        [2**40, -5, 0],                              # long
+        ["7", "c-1", "a b"],                         # safe strings
+    ]
+    for ids in cases:
+        a, b = (
+            spark.range(1)
+            .select(
+                F.array(*[F.lit(i) for i in ids]).alias("a"),
+                similarity._lit_ids(ids).alias("b"),
+            )
+            .first()
+        )
+        assert a == b
+        df = spark.range(1).select(
+            F.array(*[F.lit(i) for i in ids]).alias("a"),
+            similarity._lit_ids(ids).alias("b"),
+        )
+        assert df.schema["a"].dataType == df.schema["b"].dataType
+    # string rendering of native ids (the _residual_expr site)
+    sa, sb = (
+        spark.range(1)
+        .select(
+            F.array(*[F.lit(str(i)) for i in [10, 11]]).alias("a"),
+            similarity._lit_ids([10, 11], as_string=True).alias("b"),
+        )
+        .first()
+    )
+    assert sa == sb
+    # unsafe strings take the fallback path, still exact
+    odd = ["it's", 'a"b']
+    oa, ob = (
+        spark.range(1)
+        .select(
+            F.array(*[F.lit(s) for s in odd]).alias("a"),
+            similarity._lit_ids(odd).alias("b"),
+        )
+        .first()
+    )
+    assert oa == ob
+    # negated index sequence: values and long type
+    df = spark.range(1).select(
+        F.array(*[F.lit(-i).cast("long") for i in range(5)]).alias("a"),
+        similarity._neg_idx_arr(5).alias("b"),
+    )
+    r = df.first()
+    assert r["a"] == r["b"]
+    assert df.schema["a"].dataType == df.schema["b"].dataType
